@@ -1,0 +1,103 @@
+"""Sparse matrix–vector products, dispatched on execution format.
+
+Replaces the reference's scalar row-loop SpMV family
+(/root/reference/src/mvops.cxx:5-150).  The four reference entry points
+(y=βy+αAx, z=βy+αAx, y=αAx, y=Ax; include/mvops.h:9-19) are provided as thin
+compositions — under jit XLA fuses the scale/add into the SpMV epilogue, so
+there is no performance reason to hand-write each variant.
+
+Format strategy (TPU-first):
+- ``DIA``: each diagonal is a shifted elementwise multiply-add — pure VPU +
+  sequential HBM streaming, the speed-of-light choice for stencil matrices.
+- ``ELL``: one gather of x at (n, k) indices + row-sum.  XLA lowers the
+  gather to dynamic-slice loads; with k small this is bandwidth-bound on the
+  data/cols arrays, which is optimal for unstructured matrices.
+- ``BSR``: batched (bs×bs)@(bs,) block products via einsum → MXU, plus a
+  segment-sum over block rows.
+- ``CSR``: segment-sum reference path (correctness oracle / fallback).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lssp_tpu.sparse.types import CSR, BSR, ELL, DIA
+
+
+def csr_row_ids(A: CSR) -> np.ndarray:
+    """Expanded row index per nonzero (host-precomputed for the CSR path)."""
+    ip = np.asarray(A.indptr)
+    return np.repeat(np.arange(A.shape[0], dtype=np.int32), ip[1:] - ip[:-1])
+
+
+def _spmv_csr(A: CSR, x, rows=None):
+    if rows is None:
+        rows = csr_row_ids(A)
+    prod = A.data * x[A.indices]
+    return jax.ops.segment_sum(prod, rows, num_segments=A.shape[0])
+
+
+def _spmv_ell(A: ELL, x):
+    return jnp.sum(A.data * x[A.cols], axis=1)
+
+
+def _spmv_dia(A: DIA, x):
+    n = A.shape[0]
+    offs = A.offsets
+    lo = max(0, -min(offs)) if offs else 0
+    hi = max(0, max(offs)) if offs else 0
+    xp = jnp.pad(x, (lo, hi))
+    y = jnp.zeros(n, dtype=jnp.result_type(A.data.dtype, x.dtype))
+    for d, off in enumerate(offs):
+        y = y + A.data[d] * jax.lax.dynamic_slice(xp, (lo + off,), (n,))
+    return y
+
+
+def _spmv_bsr(A: BSR, x, block_rows=None):
+    bs = A.blocksize
+    if block_rows is None:
+        ip = np.asarray(A.indptr)
+        block_rows = np.repeat(np.arange(A.nrowb, dtype=np.int32), ip[1:] - ip[:-1])
+    xb = x.reshape(A.shape[1] // bs, bs)
+    gathered = xb[A.indices]                                   # (nnzb, bs)
+    prod = jnp.einsum("nij,nj->ni", A.blocks, gathered)        # MXU batched
+    yb = jax.ops.segment_sum(prod, block_rows, num_segments=A.nrowb)
+    return yb.reshape(A.shape[0])
+
+
+def spmv(A, x):
+    """y = A @ x for any container format."""
+    if isinstance(A, DIA):
+        return _spmv_dia(A, x)
+    if isinstance(A, ELL):
+        return _spmv_ell(A, x)
+    if isinstance(A, BSR):
+        return _spmv_bsr(A, x)
+    if isinstance(A, CSR):
+        return _spmv_csr(A, x)
+    if callable(A):
+        return A(x)
+    raise TypeError(f"unsupported matrix type {type(A)}")
+
+
+# ---- reference mvops parity wrappers (include/mvops.h:9-19) ----
+
+def mv_amxpby(alpha, A, x, beta, y):
+    """y = beta*y + alpha*A@x   (mvops.cxx:5-39)."""
+    return beta * y + alpha * spmv(A, x)
+
+
+def mv_amxpbyz(alpha, A, x, beta, y):
+    """z = beta*y + alpha*A@x   (mvops.cxx:42-78)."""
+    return beta * y + alpha * spmv(A, x)
+
+
+def mv_amxy(alpha, A, x):
+    """y = alpha*A@x            (mvops.cxx:81-115)."""
+    return alpha * spmv(A, x)
+
+
+def mv_mxy(A, x):
+    """y = A@x                  (mvops.cxx:118-150)."""
+    return spmv(A, x)

@@ -1,0 +1,168 @@
+"""Level-scheduled sparse triangular solve.
+
+The reference's forward/backward substitution
+(/root/reference/src/solver-tri.cxx:4-60) is a sequential row recurrence —
+unrunnable as-is on a SIMD machine.  TPU-native redesign (SURVEY §7 "hard
+parts"):
+
+1. **Host (once, at PC assemble):** compute each row's *level* — the longest
+   dependency chain ending at that row.  Rows within one level are mutually
+   independent.
+2. **Device (every solve):** one `lax.scan` over levels; each step gathers the
+   off-diagonal entries of that level's rows (pre-padded to rectangular
+   shape), forms ``s = b[rows] − Σ vals·x[cols]`` as a vectorized gather +
+   row-sum, scales by 1/diag, and scatters into x.  The only sequential axis
+   left is the level count (≈ the dependency-graph depth, e.g. 2N−1 for a
+   2-D N×N 5-point grid), each step being full-width VPU work.
+
+Padded slots use row index n / column index n pointing at a dummy slot, so
+the device code needs no masking.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lssp_tpu.sparse.types import CSR
+from lssp_tpu.sparse.utils import split_ldu
+
+
+@dataclasses.dataclass(frozen=True)
+class TriSchedule:
+    """Device-ready level schedule for one triangular factor."""
+
+    rows: Any           # (nlev, w) int32, padded with n
+    cols: Any           # (nlev, w, k) int32, padded with n
+    vals: Any           # (nlev, w, k), padded with 0
+    invdiag: Any        # (n,) 1/diag, or None for unit-diagonal factors
+    n: int              # static
+
+    @property
+    def nlevels(self) -> int:
+        return int(self.rows.shape[0])
+
+
+def _flatten(s):
+    return (s.rows, s.cols, s.vals, s.invdiag), (s.n,)
+
+
+def _unflatten(aux, leaves):
+    return TriSchedule(*leaves, n=aux[0])
+
+
+jax.tree_util.register_pytree_node(TriSchedule, _flatten, _unflatten)
+
+
+def _compute_levels(indptr, indices, n, lower: bool) -> np.ndarray:
+    """Longest-dependency-chain level per row (host, sequential)."""
+    lev = np.zeros(n, dtype=np.int64)
+    ip = indptr
+    idx = indices
+    if lower:
+        for i in range(n):
+            s, e = ip[i], ip[i + 1]
+            if e > s:
+                m = lev[idx[s:e]].max()
+                lev[i] = m + 1
+    else:
+        for i in range(n - 1, -1, -1):
+            s, e = ip[i], ip[i + 1]
+            if e > s:
+                m = lev[idx[s:e]].max()
+                lev[i] = m + 1
+    return lev
+
+
+def level_schedule(T: CSR, lower: bool = True,
+                   diag: Optional[np.ndarray] = None) -> TriSchedule:
+    """Build a TriSchedule from a triangular CSR factor.
+
+    ``T`` may include the diagonal; it is split off automatically.  For
+    unit-diagonal factors pass a factor with no stored diagonal and leave
+    ``diag=None``.
+    """
+    n = T.shape[0]
+    Ls, d, Us = split_ldu(T)
+    S = Ls if lower else Us
+    if diag is None and np.any(d != 0):
+        diag = d
+    ip = np.asarray(S.indptr).astype(np.int64)
+    idx = np.asarray(S.indices).astype(np.int64)
+    dat = np.asarray(S.data)
+
+    lev = _compute_levels(ip, idx, n, lower)
+    nlev = int(lev.max()) + 1 if n else 1
+    order = np.argsort(lev, kind="stable")
+    counts = np.bincount(lev, minlength=nlev)
+    w = max(1, int(counts.max()))
+    k = max(1, int((ip[1:] - ip[:-1]).max()) if n else 1)
+
+    rows = np.full((nlev, w), n, dtype=np.int32)
+    cols = np.full((nlev, w, k), n, dtype=np.int32)
+    vals = np.zeros((nlev, w, k), dtype=dat.dtype)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    for l in range(nlev):
+        rs = order[starts[l]:starts[l + 1]]
+        rows[l, :len(rs)] = rs
+        for slot, r in enumerate(rs):
+            s, e = ip[r], ip[r + 1]
+            cols[l, slot, : e - s] = idx[s:e]
+            vals[l, slot, : e - s] = dat[s:e]
+
+    invd = None
+    if diag is not None:
+        invd = (1.0 / np.asarray(diag)).astype(dat.dtype)
+    return TriSchedule(rows=rows, cols=cols, vals=vals, invdiag=invd, n=n)
+
+
+def _sweep(sched: TriSchedule, b):
+    n = sched.n
+    be = jnp.concatenate([b, jnp.zeros(1, dtype=b.dtype)])
+    if sched.invdiag is not None:
+        ide = jnp.concatenate([sched.invdiag,
+                               jnp.ones(1, dtype=sched.invdiag.dtype)])
+    else:
+        ide = None
+
+    def step(xe, level):
+        rows, cols, vals = level
+        xv = xe[cols]                                  # (w, k) gather
+        s = be[rows] - jnp.sum(vals * xv, axis=1)
+        if ide is not None:
+            s = s * ide[rows]
+        xe = xe.at[rows].set(s)
+        return xe, None
+
+    x0 = jnp.zeros(n + 1, dtype=b.dtype)
+    xe, _ = jax.lax.scan(step, x0, (sched.rows, sched.cols, sched.vals))
+    return xe[:n]
+
+
+def trisolve_lower_unit(sched: TriSchedule, b):
+    """Solve L x = b with unit-diagonal lower L (reference forward solve,
+    solver-tri.cxx:4-24)."""
+    return _sweep(sched, b)
+
+
+def trisolve_upper(sched: TriSchedule, b):
+    """Solve U x = b with U holding its diagonal (reference backward solve,
+    solver-tri.cxx:26-46)."""
+    return _sweep(sched, b)
+
+
+def ilu_apply(sched_l: TriSchedule, sched_u: TriSchedule, r):
+    """z = U⁻¹ (L⁻¹ r) — the PC application contract
+    (reference lssp_pc_ilu_solve, solver-tri.cxx:48-60)."""
+    return trisolve_upper(sched_u, trisolve_lower_unit(sched_l, r))
+
+
+def make_ilu_apply(L: CSR, U: CSR):
+    """Build schedules from L (strict lower, unit diag) and U (with diag) and
+    return a jit-friendly ``apply(r) -> z`` closure."""
+    sl = level_schedule(L, lower=True)
+    su = level_schedule(U, lower=False)
+    return lambda r: ilu_apply(sl, su, r)

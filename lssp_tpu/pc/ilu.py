@@ -1,0 +1,40 @@
+"""ILU(k) / ILUT preconditioners: host factorization + device level-scheduled
+triangular solves (reference assemble: pc-iluk.cxx:566-581, pc-ilut.cxx:429-456;
+apply contract: lssp_pc_ilu_solve, solver-tri.cxx:48-60)."""
+from __future__ import annotations
+
+from lssp_tpu.ops.trisolve import level_schedule, ilu_apply
+from lssp_tpu.pc.base import Preconditioner, register_pc
+from lssp_tpu.pc.ilu_host import iluk_factor, ilut_factor
+
+
+def _ilu_apply_fn(state, r):
+    sched_l, sched_u = state
+    return ilu_apply(sched_l, sched_u, r)
+
+
+def make_ilu_pc(L, U, name):
+    """Wrap split L/U factors as a device Preconditioner."""
+    sl = level_schedule(L, lower=True)
+    su = level_schedule(U, lower=False)
+    return Preconditioner(_ilu_apply_fn, state=(sl, su), name=name)
+
+
+@register_pc("iluk")
+def setup_iluk(A, opts):
+    L, U = iluk_factor(A, level=opts.iluk_level,
+                       num_blocks=opts.num_blocks or 1)
+    return make_ilu_pc(L, U, f"iluk({opts.iluk_level})")
+
+
+@register_pc("ilu0")
+def setup_ilu0(A, opts):
+    L, U = iluk_factor(A, level=0, num_blocks=opts.num_blocks or 1)
+    return make_ilu_pc(L, U, "ilu0")
+
+
+@register_pc("ilut")
+def setup_ilut(A, opts):
+    L, U = ilut_factor(A, tol=opts.ilut_tol, p=opts.ilut_p,
+                       num_blocks=opts.num_blocks or 1)
+    return make_ilu_pc(L, U, "ilut")

@@ -1,0 +1,82 @@
+"""Shared solver skeleton.
+
+The reference's common pattern (SURVEY §2.3): read params → fall back to
+global defaults → r0 = b − A·x → threshold ``max(rtol·‖r0‖, atol, rb·‖b‖)``
+(/root/reference/src/solver-cg.cxx:66-70) → iterate → write residual/nits.
+Here the iteration is a ``lax.while_loop`` and the result is a ``SolveInfo``
+pytree.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from lssp_tpu.ops.spmv import spmv
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class SolveInfo:
+    """Result metadata (reference solver.residual / solver.nits,
+    /root/reference/src/lssp.cxx:520-528)."""
+
+    nits: Any               # iteration count (int32 scalar)
+    residual: Any           # final residual norm ‖b−Ax‖ (or method's estimate)
+    converged: Any          # bool scalar
+    r0norm: Any             # initial residual norm
+    bnorm: Any              # ‖b‖
+    history: Any = None     # optional (maxit+1,) residual trace, NaN-padded
+
+    def tree_flatten(self):
+        return (self.nits, self.residual, self.converged, self.r0norm,
+                self.bnorm, self.history), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+
+def operator(A) -> Callable:
+    """Wrap a matrix container (or callable) as x ↦ A@x."""
+    if callable(A) and not hasattr(A, "shape"):
+        return A
+    return lambda v: spmv(A, v)
+
+
+def stopping_tol(r0norm, bnorm, opts):
+    """tol = max(rtol·‖r0‖, atol, rbtol·‖b‖)
+    (/root/reference/src/solver-cg.cxx:66-70)."""
+    return jnp.maximum(jnp.maximum(opts.rtol * r0norm, opts.atol),
+                       opts.rbtol * bnorm)
+
+
+def identity_pc(r):
+    """PC_NONE: solve = copy (/root/reference/src/pc.cxx:67-79)."""
+    return r
+
+
+def init_state(A, b, x0, M):
+    """Common init: operators, x0 default 0, r0 = b − A x0."""
+    op = operator(A)
+    pc = M if M is not None else identity_pc
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - op(x)
+    return op, pc, x, r
+
+
+def history_init(opts, r0norm):
+    """Fixed-size residual-trace buffer; a dummy (1,) array when disabled so
+    the while-loop carry keeps a single static structure."""
+    if not opts.record_history:
+        return jnp.zeros(1, dtype=r0norm.dtype)
+    h = jnp.full(opts.maxit + 1, jnp.nan, dtype=r0norm.dtype)
+    return h.at[0].set(r0norm)
+
+
+def history_update(opts, hist, it, res):
+    if not opts.record_history:
+        return hist
+    return hist.at[it].set(res)

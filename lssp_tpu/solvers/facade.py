@@ -1,0 +1,144 @@
+"""Public solve API.
+
+Functional one-shot ``solve()`` plus a ``Solver`` lifecycle object with the
+reference's create → assemble → solve protocol
+(/root/reference/include/lssp.h:44-53, doc/solver.tex:143-202): assembly
+converts the matrix to its TPU execution format and builds the
+preconditioner once; repeated solves (new rhs / warm restart from the
+previous x, reference lssp_solver_reset_rhs/_unknown, lssp.cxx:416-433)
+reuse the compiled iteration and the factorization.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lssp_tpu.config import SolverOptions, PCOptions
+from lssp_tpu.sparse.types import CSR, BSR, ELL, DIA, COO
+from lssp_tpu.sparse.convert import to_device_format, coo_to_csr
+from lssp_tpu.sparse.utils import sort_columns
+from lssp_tpu.solvers.base import SolveInfo
+from lssp_tpu.solvers.registry import get_solver
+from lssp_tpu import pc as pc_mod
+
+
+@functools.cache
+def _jitted(fn):
+    return jax.jit(fn, static_argnames=("opts",))
+
+
+def _prepare_matrix(A):
+    """Host CSR → TPU execution format; COO → CSR first; device formats and
+    callables pass through."""
+    if isinstance(A, COO):
+        A = coo_to_csr(A)
+    if isinstance(A, CSR):
+        A = sort_columns(A)
+        return A, to_device_format(A)
+    return None, A
+
+
+def solve(A, b, x0=None, method: str = "gmres", pc: Optional[str] = "none",
+          options: Optional[SolverOptions] = None,
+          pc_options: Optional[PCOptions] = None,
+          M=None):
+    """Solve A x = b.  Returns ``(x, SolveInfo)``.
+
+    ``A``: CSR/COO (host; auto-converted to DIA/ELL execution format), or an
+    already-converted device format, or a callable ``x ↦ A@x``.
+    ``pc``: registry name ("none", "jacobi", "ilu0", "iluk", "ilut", ...) or
+    ``M`` a prebuilt Preconditioner / callable.
+    """
+    opts = (options or SolverOptions()).resolved()
+    A_host, A_dev = _prepare_matrix(A)
+    if M is None and pc not in (None, "none"):
+        if A_host is None:
+            raise ValueError("preconditioner setup needs a host CSR matrix; "
+                             "pass M= explicitly for operator inputs")
+        M = pc_mod.setup(A_host, pc, pc_options)
+    fn = get_solver(method)
+    b = jnp.asarray(b)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    x, info = _jitted(fn)(A_dev, b, x0, M, opts=opts)
+    return x, info
+
+
+class Solver:
+    """Lifecycle API with reference-parity setters
+    (/root/reference/src/lssp.cxx:416-535)."""
+
+    def __init__(self, method: str = "gmres", pc: Optional[str] = "none",
+                 options: Optional[SolverOptions] = None,
+                 pc_options: Optional[PCOptions] = None):
+        self.method = method
+        self.pc_type = pc
+        self.options = options or SolverOptions()
+        self.pc_options = pc_options or PCOptions()
+        self.A_host = None
+        self.A_dev = None
+        self.M = None
+        self.b = None
+        self.x = None
+        self.info: Optional[SolveInfo] = None
+        self.assembled = False
+
+    # -- setters (lssp_solver_set_*, include/lssp.h:65-89) --
+    def set_rtol(self, v):   self.options = dataclasses.replace(self.options, rtol=v);   return self
+    def set_atol(self, v):   self.options = dataclasses.replace(self.options, atol=v);   return self
+    def set_rbtol(self, v):  self.options = dataclasses.replace(self.options, rbtol=v);  return self
+    def set_maxit(self, v):  self.options = dataclasses.replace(self.options, maxit=v);  return self
+    def set_restart(self, v): self.options = dataclasses.replace(self.options, restart=v); return self
+    def set_augk(self, v):   self.options = dataclasses.replace(self.options, aug_k=v);  return self
+    def set_bgsl(self, v):   self.options = dataclasses.replace(self.options, bgsl=v);   return self
+    def set_idrs(self, v):   self.options = dataclasses.replace(self.options, idrs=v);   return self
+
+    def assemble(self, A, b=None, x0=None):
+        """Convert the matrix, build the PC (factorization cost lives here —
+        reference lssp_solver_assemble → lssp_pc_assemble, lssp.cxx:142-189)."""
+        self.A_host, self.A_dev = _prepare_matrix(A)
+        if self.pc_type not in (None, "none"):
+            self.M = pc_mod.setup(self.A_host, self.pc_type, self.pc_options)
+        if b is not None:
+            self.b = jnp.asarray(b)
+        if x0 is not None:
+            self.x = jnp.asarray(x0)
+        self.assembled = True
+        return self
+
+    def reset_rhs(self, b):
+        """New rhs, keep factorization (reference lssp_solver_reset_rhs)."""
+        self.b = jnp.asarray(b)
+        return self
+
+    def reset_unknown(self, x0):
+        """New initial guess (reference lssp_solver_reset_unknown)."""
+        self.x = jnp.asarray(x0)
+        return self
+
+    def solve(self, b=None, x0=None):
+        assert self.assembled, "call assemble() first"
+        if b is not None:
+            self.b = jnp.asarray(b)
+        if x0 is not None:
+            self.x = jnp.asarray(x0)
+        opts = self.options.resolved()
+        fn = get_solver(self.method)
+        x0v = self.x if self.x is not None else jnp.zeros_like(self.b)
+        x, info = _jitted(fn)(self.A_dev, self.b, x0v, self.M, opts=opts)
+        self.x, self.info = x, info
+        return x
+
+    # -- getters (lssp_solver_get_residual/_nits, lssp.cxx:520-528) --
+    @property
+    def residual(self):
+        return float(self.info.residual) if self.info is not None else None
+
+    @property
+    def nits(self):
+        return int(self.info.nits) if self.info is not None else None

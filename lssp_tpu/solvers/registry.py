@@ -1,0 +1,39 @@
+"""Solver registry (replaces the reference's dispatch switch,
+/root/reference/src/lssp.cxx:250-414)."""
+from __future__ import annotations
+
+SOLVERS = {}
+
+
+def register_solver(*names):
+    def deco(fn):
+        for n in names:
+            SOLVERS[n] = fn
+        return fn
+    return deco
+
+
+def get_solver(name: str):
+    key = name.lower()
+    if key not in SOLVERS:
+        raise ValueError(f"unknown solver {name!r}; available: {sorted(SOLVERS)}")
+    return SOLVERS[key]
+
+
+def _populate():
+    """Import solver modules so their @register_solver decorators run."""
+    from lssp_tpu.solvers import cg as _cg
+    from lssp_tpu.solvers import gmres as _gmres
+    for mod in ("bicgstab", "bicgstabl", "bicgsafe", "cgs", "gpbicg",
+                "cr", "crs", "bicrstab", "bicrsafe", "gpbicr",
+                "qmrcgstab", "tfqmr", "orthomin", "idrs", "lgmres"):
+        try:
+            __import__(f"lssp_tpu.solvers.{mod}")
+        except ImportError:
+            pass
+    SOLVERS.setdefault("cg", _cg.cg)
+    SOLVERS.setdefault("gmres", _gmres.gmres)
+    SOLVERS.setdefault("rgmres", _gmres.gmres_r)
+
+
+_populate()

@@ -1,0 +1,154 @@
+"""Host-side format conversions (numpy), run once at assembly time.
+
+Semantics follow /root/reference/src/matrix-utils.cxx: COO→CSR is a counting
+sort that sums duplicates (:324-380), CSR↔BSR requires an exact uniform block
+partition (:62-215).  ELL/DIA are new TPU execution formats with no reference
+analog.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from lssp_tpu.sparse.types import COO, CSR, BSR, ELL, DIA
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def coo_to_csr(A: COO, sum_duplicates: bool = True) -> CSR:
+    """Counting-sort COO→CSR, summing duplicate entries
+    (reference lssp_mat_coo_to_csr, matrix-utils.cxx:324-380)."""
+    n, m = A.shape
+    row = np.asarray(A.row, dtype=np.int64)
+    col = np.asarray(A.col, dtype=np.int64)
+    dat = np.asarray(A.data)
+    order = np.lexsort((col, row))
+    row, col, dat = row[order], col[order], dat[order]
+    if sum_duplicates and len(row):
+        keys = row * m + col
+        uniq_mask = np.empty(len(keys), dtype=bool)
+        uniq_mask[0] = True
+        np.not_equal(keys[1:], keys[:-1], out=uniq_mask[1:])
+        seg_ids = np.cumsum(uniq_mask) - 1
+        dat = np.bincount(seg_ids, weights=dat, minlength=seg_ids[-1] + 1).astype(dat.dtype)
+        row, col = row[uniq_mask], col[uniq_mask]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, row + 1, 1)
+    indptr = np.cumsum(indptr)
+    return CSR(indptr.astype(np.int32), col.astype(np.int32), dat, (n, m))
+
+
+def csr_to_coo(A: CSR) -> COO:
+    ip = np.asarray(A.indptr)
+    row = np.repeat(np.arange(A.shape[0], dtype=np.int32), ip[1:] - ip[:-1])
+    return COO(row, np.asarray(A.indices).copy(), np.asarray(A.data).copy(), A.shape)
+
+
+def csr_to_bsr(A: CSR, blocksize: int) -> BSR:
+    """CSR→uniform-block BSR (reference csr→bcsr, matrix-utils.cxx:62-162).
+
+    Every scalar nnz lands inside some bs×bs block; blocks are materialized
+    dense (explicit zeros), row-major for MXU-batched GEMM.
+    """
+    n, m = A.shape
+    bs = int(blocksize)
+    if n % bs or m % bs:
+        raise ValueError(f"matrix shape {A.shape} not divisible by blocksize {bs}")
+    ip = np.asarray(A.indptr).astype(np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), ip[1:] - ip[:-1])
+    cols = np.asarray(A.indices).astype(np.int64)
+    dat = np.asarray(A.data)
+    brow, bcol = rows // bs, cols // bs
+    lrow, lcol = rows % bs, cols % bs
+    nrowb = n // bs
+    keys = brow * (m // bs) + bcol
+    order = np.argsort(keys, kind="stable")
+    keys_s = keys[order]
+    uniq_mask = np.empty(len(keys_s), dtype=bool)
+    if len(keys_s):
+        uniq_mask[0] = True
+        np.not_equal(keys_s[1:], keys_s[:-1], out=uniq_mask[1:])
+    blk_ids_sorted = np.cumsum(uniq_mask) - 1 if len(keys_s) else np.array([], np.int64)
+    nnzb = int(blk_ids_sorted[-1] + 1) if len(keys_s) else 0
+    blocks = np.zeros((nnzb, bs, bs), dtype=dat.dtype)
+    blocks[blk_ids_sorted, lrow[order], lcol[order]] = dat[order]
+    ukeys = keys_s[uniq_mask]
+    ubrow, ubcol = ukeys // (m // bs), ukeys % (m // bs)
+    indptr = np.zeros(nrowb + 1, dtype=np.int64)
+    np.add.at(indptr, ubrow + 1, 1)
+    indptr = np.cumsum(indptr)
+    return BSR(indptr.astype(np.int32), ubcol.astype(np.int32), blocks, (n, m), bs)
+
+
+def bsr_to_csr(A: BSR, prune: bool = True) -> CSR:
+    """BSR→CSR; explicit zeros inside blocks are dropped when ``prune``."""
+    bs, nrowb = A.blocksize, A.nrowb
+    ip = np.asarray(A.indptr).astype(np.int64)
+    bcols = np.asarray(A.indices).astype(np.int64)
+    blocks = np.asarray(A.blocks)
+    brows = np.repeat(np.arange(nrowb, dtype=np.int64), ip[1:] - ip[:-1])
+    # expand: nnzb × bs × bs scalar entries
+    nnzb = blocks.shape[0]
+    r = np.broadcast_to(brows[:, None, None] * bs
+                        + np.arange(bs)[None, :, None], (nnzb, bs, bs)).ravel()
+    c = np.broadcast_to(bcols[:, None, None] * bs
+                        + np.arange(bs)[None, None, :], (nnzb, bs, bs)).ravel()
+    v = blocks.ravel()
+    if prune:
+        keep = v != 0
+        r, c, v = r[keep], c[keep], v[keep]
+    return coo_to_csr(COO(r.astype(np.int32), c.astype(np.int32), v, A.shape), sum_duplicates=False)
+
+
+def csr_to_ell(A: CSR, pad_to: int = 4) -> ELL:
+    """CSR→padded ELLPACK; padded slots get (col=0, val=0) so the device
+    gather needs no mask.  ``k`` is rounded up to a multiple of ``pad_to``."""
+    n, m = A.shape
+    ip = np.asarray(A.indptr).astype(np.int64)
+    rn = ip[1:] - ip[:-1]
+    k = max(1, _round_up(int(rn.max()) if n else 1, pad_to))
+    cols = np.zeros((n, k), dtype=np.int32)
+    data = np.zeros((n, k), dtype=A.data.dtype)
+    pos = np.arange(k)[None, :] < rn[:, None]          # (n, k) valid mask
+    flat_idx = (ip[:-1][:, None] + np.arange(k)[None, :])[pos]
+    cols[pos] = np.asarray(A.indices)[flat_idx]
+    data[pos] = np.asarray(A.data)[flat_idx]
+    return ELL(cols, data, A.shape)
+
+
+def csr_to_dia(A: CSR, max_diags: int = 64) -> DIA:
+    """CSR→diagonal storage (row-aligned: data[d,i] = A[i, i+off]).
+
+    Raises ``ValueError`` if the matrix has more than ``max_diags`` distinct
+    diagonals — callers fall back to ELL.
+    """
+    n, m = A.shape
+    ip = np.asarray(A.indptr).astype(np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), ip[1:] - ip[:-1])
+    cols = np.asarray(A.indices).astype(np.int64)
+    offs = np.unique(cols - rows)
+    if len(offs) > max_diags:
+        raise ValueError(f"{len(offs)} diagonals > max_diags={max_diags}")
+    data = np.zeros((len(offs), n), dtype=A.data.dtype)
+    d_idx = np.searchsorted(offs, cols - rows)
+    data[d_idx, rows] = np.asarray(A.data)
+    return DIA(tuple(int(o) for o in offs), data, A.shape)
+
+
+def to_device_format(A: CSR, max_diags: int = 32, dia_fill: float = 2.0):
+    """Pick the TPU execution format for a CSR matrix.
+
+    DIA when the diagonal count is small and storage waste bounded (stencil
+    matrices — speed-of-light streaming); otherwise padded ELL (gather SpMV).
+    """
+    n = A.shape[0]
+    try:
+        ip = np.asarray(A.indptr)
+        rows = np.repeat(np.arange(n, dtype=np.int64), ip[1:] - ip[:-1])
+        offs = np.unique(np.asarray(A.indices).astype(np.int64) - rows)
+        if len(offs) <= max_diags and len(offs) * n <= dia_fill * max(A.nnz, 1):
+            return csr_to_dia(A, max_diags=max_diags)
+    except Exception:
+        pass
+    return csr_to_ell(A)

@@ -1,0 +1,248 @@
+"""Immutable pytree sparse-matrix containers.
+
+The reference's containers are malloc'd struct-of-arrays
+(/root/reference/include/type-defs.h:15-62).  Here each format is a frozen
+dataclass registered as a JAX pytree: the index/data arrays are leaves (live in
+HBM when jitted), the shape/blocksize metadata is static aux data, so matrices
+can flow through ``jit``/``shard_map``/``scan`` like any other array bundle.
+
+Arrays may be numpy (host, during assembly/factorization) or ``jax.Array``
+(device, during iteration).  All methods are no-copy where possible.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Tuple
+
+import jax
+import numpy as np
+
+
+def _fields(obj):
+    return [getattr(obj, f.name) for f in dataclasses.fields(obj) if f.metadata.get("leaf", True)]
+
+
+def _register(cls, leaf_names, static_names):
+    def flatten(obj):
+        return tuple(getattr(obj, n) for n in leaf_names), tuple(getattr(obj, n) for n in static_names)
+
+    def unflatten(aux, leaves):
+        kwargs = dict(zip(leaf_names, leaves))
+        kwargs.update(dict(zip(static_names, aux)))
+        return cls(**kwargs)
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    return cls
+
+
+@dataclasses.dataclass(frozen=True)
+class COO:
+    """Triplet format (reference lssp_mat_coo, type-defs.h:26-35).
+
+    Duplicate (row, col) entries are *summed* on conversion to CSR, the
+    standard assembly semantic.
+    """
+
+    row: Any            # (nnz,) int32
+    col: Any            # (nnz,) int32
+    data: Any           # (nnz,) float
+    shape: Tuple[int, int]
+
+    @property
+    def nnz(self) -> int:
+        return int(self.data.shape[0])
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def todense(self) -> np.ndarray:
+        out = np.zeros(self.shape, dtype=self.dtype)
+        np.add.at(out, (np.asarray(self.row), np.asarray(self.col)), np.asarray(self.data))
+        return out
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+        return sp.coo_matrix((np.asarray(self.data), (np.asarray(self.row), np.asarray(self.col))), shape=self.shape)
+
+
+@dataclasses.dataclass(frozen=True)
+class CSR:
+    """Compressed sparse row (reference lssp_mat_csr, type-defs.h:15-24).
+
+    ``indptr``: (nrows+1,) int32, ``indices``: (nnz,) int32, ``data``: (nnz,).
+    Column indices within each row are kept sorted (the reference sorts on
+    assemble, /root/reference/src/lssp.cxx:173).
+    """
+
+    indptr: Any
+    indices: Any
+    data: Any
+    shape: Tuple[int, int]
+
+    @property
+    def nnz(self) -> int:
+        return int(self.data.shape[0])
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nrows(self) -> int:
+        return self.shape[0]
+
+    @property
+    def ncols(self) -> int:
+        return self.shape[1]
+
+    def row_nnz(self) -> np.ndarray:
+        ip = np.asarray(self.indptr)
+        return ip[1:] - ip[:-1]
+
+    def todense(self) -> np.ndarray:
+        return self.to_scipy().toarray()
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+        return sp.csr_matrix(
+            (np.asarray(self.data), np.asarray(self.indices), np.asarray(self.indptr)),
+            shape=self.shape,
+        )
+
+    @staticmethod
+    def from_scipy(m) -> "CSR":
+        m = m.tocsr()
+        return CSR(
+            indptr=m.indptr.astype(np.int32),
+            indices=m.indices.astype(np.int32),
+            data=m.data,
+            shape=tuple(m.shape),
+        )
+
+    def astype(self, dtype) -> "CSR":
+        return dataclasses.replace(self, data=self.data.astype(dtype))
+
+    def device_put(self) -> "CSR":
+        return jax.tree_util.tree_map(jax.device_put, self)
+
+
+@dataclasses.dataclass(frozen=True)
+class BSR:
+    """Uniform block CSR (reference lssp_mat_bcsr, type-defs.h:45-55).
+
+    ``blocks``: (nnzb, bs, bs) row-major dense blocks — directly consumable by
+    batched einsum/GEMM on the MXU (the reference stores blocks column-major
+    for Fortran BLAS, doc/mv.tex:54; we deliberately diverge).
+    ``shape`` is the *scalar* shape (nrows, ncols) = (nrowb*bs, ncolb*bs).
+    """
+
+    indptr: Any         # (nrowb+1,) int32
+    indices: Any        # (nnzb,) int32 — block-column indices
+    blocks: Any         # (nnzb, bs, bs)
+    shape: Tuple[int, int]
+    blocksize: int
+
+    @property
+    def nnzb(self) -> int:
+        return int(self.blocks.shape[0])
+
+    @property
+    def nnz(self) -> int:
+        return self.nnzb * self.blocksize * self.blocksize
+
+    @property
+    def dtype(self):
+        return self.blocks.dtype
+
+    @property
+    def nrowb(self) -> int:
+        return self.shape[0] // self.blocksize
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+        return sp.bsr_matrix(
+            (np.asarray(self.blocks), np.asarray(self.indices), np.asarray(self.indptr)),
+            shape=self.shape,
+        )
+
+    @staticmethod
+    def from_scipy(m) -> "BSR":
+        bs = m.blocksize
+        assert bs[0] == bs[1], "only square blocks supported"
+        return BSR(
+            indptr=m.indptr.astype(np.int32),
+            indices=m.indices.astype(np.int32),
+            blocks=np.asarray(m.data),
+            shape=tuple(m.shape),
+            blocksize=int(bs[0]),
+        )
+
+    def todense(self) -> np.ndarray:
+        return self.to_scipy().toarray()
+
+
+@dataclasses.dataclass(frozen=True)
+class ELL:
+    """Padded ELLPACK — the TPU gather-SpMV execution format.
+
+    ``cols``: (nrows, k) int32 column indices, padded entries point at column
+    0; ``data``: (nrows, k) with padded entries 0 — so a plain gather +
+    row-sum computes A@x with no masking.  ``k`` is the max row nnz, rounded
+    up to a lane-friendly multiple when built by ``csr_to_ell``.
+    """
+
+    cols: Any
+    data: Any
+    shape: Tuple[int, int]
+
+    @property
+    def k(self) -> int:
+        return int(self.data.shape[1])
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def todense(self) -> np.ndarray:
+        n, k = np.asarray(self.data).shape
+        out = np.zeros(self.shape, dtype=self.dtype)
+        rows = np.repeat(np.arange(n), k)
+        np.add.at(out, (rows, np.asarray(self.cols).ravel()), np.asarray(self.data).ravel())
+        return out
+
+
+@dataclasses.dataclass(frozen=True)
+class DIA:
+    """Diagonal storage — the TPU stencil-matrix execution format.
+
+    ``offsets``: static tuple of diagonal offsets; ``data``: (ndiag, nrows)
+    where ``data[d, i] = A[i, i + offsets[d]]`` (row-aligned convention, so
+    SpMV is ``y[i] += data[d, i] * x[i + off]`` — a shifted elementwise
+    multiply, which XLA lowers to pure VPU + HBM streaming at speed of light).
+    Out-of-range entries are stored as 0.
+    """
+
+    offsets: Tuple[int, ...]    # static aux
+    data: Any                   # (ndiag, nrows)
+    shape: Tuple[int, int]
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def todense(self) -> np.ndarray:
+        n, m = self.shape
+        out = np.zeros(self.shape, dtype=self.dtype)
+        dat = np.asarray(self.data)
+        for d, off in enumerate(self.offsets):
+            i = np.arange(max(0, -off), min(n, m - off))
+            out[i, i + off] = dat[d, i]
+        return out
+
+
+_register(COO, ("row", "col", "data"), ("shape",))
+_register(CSR, ("indptr", "indices", "data"), ("shape",))
+_register(BSR, ("indptr", "indices", "blocks"), ("shape", "blocksize"))
+_register(ELL, ("cols", "data"), ("shape",))
+_register(DIA, ("data",), ("offsets", "shape"))

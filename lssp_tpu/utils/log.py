@@ -1,0 +1,52 @@
+"""Logging + wall-clock timers (reference /root/reference/src/utils.cxx:
+lssp_printf tee at :93-112, global verbosity :20, timer :40-46)."""
+from __future__ import annotations
+
+import sys
+import time
+from typing import Optional, TextIO
+
+_verbosity = 2              # reference default lssp_verbosity = 2
+_log_file: Optional[TextIO] = None
+
+
+def set_verbosity(v: int) -> None:
+    global _verbosity
+    _verbosity = int(v)
+
+
+def get_verbosity() -> int:
+    return _verbosity
+
+
+def set_log(f: Optional[TextIO]) -> None:
+    """Tee output to a file as well (reference lssp_set_log)."""
+    global _log_file
+    _log_file = f
+
+
+def log(msg: str, level: int = 1) -> None:
+    if _verbosity >= level:
+        sys.stdout.write(msg if msg.endswith("\n") else msg + "\n")
+        if _log_file is not None:
+            _log_file.write(msg if msg.endswith("\n") else msg + "\n")
+
+
+class Timer:
+    """Context-manager wall timer (reference lssp_get_time wrapping,
+    e.g. solver-cg.cxx:42,129-133)."""
+
+    def __init__(self, name: str = "", level: int = 2):
+        self.name = name
+        self.level = level
+        self.elapsed = 0.0
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.elapsed = time.perf_counter() - self.t0
+        if self.name:
+            log(f"{self.name}: {self.elapsed:.6f} s", self.level)
+        return False

@@ -1,0 +1,123 @@
+"""Device-kernel unit tests vs scipy oracles (SURVEY §4 tier 1): SpMV in all
+execution formats, BLAS-1, level-scheduled triangular solves."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from lssp_tpu.ops import (
+    spmv, mv_amxpby, mv_amxpbyz, mv_amxy, mv_mxy,
+    dot, norm2, axpby,
+    level_schedule, trisolve_lower_unit, trisolve_upper, make_ilu_apply,
+)
+from lssp_tpu.sparse import (
+    CSR, csr_to_ell, csr_to_dia, csr_to_bsr, laplacian_2d, random_sparse,
+    split_lu,
+)
+
+
+def random_scipy(n, m, density, seed):
+    rs = np.random.RandomState(seed)
+    return sp.random(n, m, density=density, random_state=rs, format="csr")
+
+
+class TestSpMV:
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_csr(self, seed, rng):
+        S = random_scipy(60, 60, 0.1, seed)
+        A = CSR.from_scipy(S)
+        x = rng.standard_normal(60)
+        np.testing.assert_allclose(spmv(A, jnp.asarray(x)), S @ x, rtol=1e-12)
+
+    def test_ell(self, rng):
+        S = random_scipy(50, 50, 0.12, 2)
+        E = csr_to_ell(CSR.from_scipy(S))
+        x = rng.standard_normal(50)
+        np.testing.assert_allclose(spmv(E, jnp.asarray(x)), S @ x, rtol=1e-12)
+
+    def test_dia(self, rng):
+        A = laplacian_2d(9)
+        D = csr_to_dia(A)
+        x = rng.standard_normal(81)
+        np.testing.assert_allclose(spmv(D, jnp.asarray(x)),
+                                   A.to_scipy() @ x, rtol=1e-12)
+
+    def test_bsr(self, rng):
+        S = random_scipy(48, 48, 0.15, 3)
+        A = CSR.from_scipy(S)
+        B = csr_to_bsr(A, 4)
+        x = rng.standard_normal(48)
+        np.testing.assert_allclose(spmv(B, jnp.asarray(x)), S @ x, rtol=1e-12)
+
+    def test_jit_and_mvops_variants(self, rng):
+        A = csr_to_dia(laplacian_2d(8))
+        x = jnp.asarray(rng.standard_normal(64))
+        y = jnp.asarray(rng.standard_normal(64))
+        Ax = spmv(A, x)
+        np.testing.assert_allclose(mv_amxpby(2.0, A, x, 3.0, y), 3 * y + 2 * Ax)
+        np.testing.assert_allclose(mv_amxpbyz(-1.0, A, x, 1.0, y), y - Ax)
+        np.testing.assert_allclose(mv_amxy(2.5, A, x), 2.5 * Ax)
+        np.testing.assert_allclose(mv_mxy(A, x), Ax)
+        jit_spmv = jax.jit(lambda M, v: spmv(M, v))
+        np.testing.assert_allclose(jit_spmv(A, x), Ax)
+
+
+class TestBlas1:
+    def test_basic(self, rng):
+        x = jnp.asarray(rng.standard_normal(33))
+        y = jnp.asarray(rng.standard_normal(33))
+        np.testing.assert_allclose(dot(x, y), np.dot(x, y))
+        np.testing.assert_allclose(norm2(x), np.linalg.norm(x))
+        np.testing.assert_allclose(axpby(2.0, x, -1.0, y), 2 * x - y)
+
+
+class TestTriSolve:
+    def _lower(self, n, seed):
+        rs = np.random.RandomState(seed)
+        S = sp.random(n, n, density=0.1, random_state=rs, format="csr")
+        L = sp.tril(S, k=-1).tocsr()
+        return CSR.from_scipy(L)
+
+    @pytest.mark.parametrize("n,seed", [(40, 0), (150, 1)])
+    def test_lower_unit(self, n, seed, rng):
+        Lc = self._lower(n, seed)
+        b = rng.standard_normal(n)
+        sched = level_schedule(Lc, lower=True)
+        x = trisolve_lower_unit(sched, jnp.asarray(b))
+        Lfull = Lc.to_scipy() + sp.eye(n)
+        ref = sp.linalg.spsolve_triangular(Lfull.tocsr(), b, lower=True,
+                                           unit_diagonal=True)
+        np.testing.assert_allclose(x, ref, rtol=1e-10, atol=1e-12)
+
+    @pytest.mark.parametrize("n,seed", [(40, 2), (150, 3)])
+    def test_upper_with_diag(self, n, seed, rng):
+        rs = np.random.RandomState(seed)
+        S = sp.random(n, n, density=0.1, random_state=rs, format="csr")
+        U = (sp.triu(S, k=1) + sp.diags(2.0 + rs.rand(n))).tocsr()
+        Uc = CSR.from_scipy(U)
+        b = rng.standard_normal(n)
+        sched = level_schedule(Uc, lower=False)
+        x = trisolve_upper(sched, jnp.asarray(b))
+        ref = sp.linalg.spsolve_triangular(U, b, lower=False)
+        np.testing.assert_allclose(x, ref, rtol=1e-10, atol=1e-12)
+
+    def test_ilu_apply_against_dense(self, rng):
+        n = 64
+        A = random_sparse(n, 5, seed=4)
+        from lssp_tpu.pc.ilu_host import iluk_factor
+        L, U = iluk_factor(A, level=0)
+        apply_fn = make_ilu_apply(L, U)
+        r = rng.standard_normal(n)
+        z = apply_fn(jnp.asarray(r))
+        Ld = L.todense() + np.eye(n)
+        Ud = U.todense()
+        ref = np.linalg.solve(Ud, np.linalg.solve(Ld, r))
+        np.testing.assert_allclose(z, ref, rtol=1e-9, atol=1e-11)
+
+    def test_jit_sweep(self, rng):
+        Lc = self._lower(80, 5)
+        sched = level_schedule(Lc, lower=True)
+        b = jnp.asarray(rng.standard_normal(80))
+        f = jax.jit(trisolve_lower_unit)
+        np.testing.assert_allclose(f(sched, b), trisolve_lower_unit(sched, b))

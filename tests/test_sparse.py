@@ -1,0 +1,155 @@
+"""Sparse container + conversion + structural-utility tests vs scipy oracles
+(SURVEY §4 test pyramid, tier 1)."""
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from lssp_tpu import sparse
+from lssp_tpu.sparse import (
+    COO, CSR, coo_to_csr, csr_to_coo, csr_to_bsr, bsr_to_csr, csr_to_ell,
+    csr_to_dia, to_device_format, sort_columns, is_sorted, transpose,
+    adjust_zero_diag, block_diag_extract, diagonal, split_lu, split_ldu,
+    laplacian_2d, laplacian_3d, random_sparse,
+)
+
+
+def random_scipy(n, m, density, seed):
+    rs = np.random.RandomState(seed)
+    return sp.random(n, m, density=density, random_state=rs, format="csr")
+
+
+class TestConversions:
+    def test_coo_to_csr_sums_duplicates(self):
+        coo = COO(np.array([0, 0, 1], np.int32), np.array([1, 1, 0], np.int32),
+                  np.array([2.0, 3.0, 4.0]), (2, 2))
+        A = coo_to_csr(coo)
+        assert np.allclose(A.todense(), [[0, 5], [4, 0]])
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_csr_coo_roundtrip(self, seed):
+        S = random_scipy(40, 30, 0.1, seed)
+        A = CSR.from_scipy(S)
+        B = coo_to_csr(csr_to_coo(A))
+        assert np.allclose(B.todense(), S.toarray())
+
+    def test_bsr_roundtrip(self):
+        S = random_scipy(32, 32, 0.2, 3)
+        A = CSR.from_scipy(S)
+        B = csr_to_bsr(A, 4)
+        assert np.allclose(B.todense(), S.toarray())
+        C = bsr_to_csr(B)
+        assert np.allclose(C.todense(), S.toarray())
+        assert B.to_scipy().blocksize == (4, 4)
+
+    def test_ell(self):
+        S = random_scipy(50, 50, 0.08, 4)
+        A = CSR.from_scipy(S)
+        E = csr_to_ell(A)
+        assert np.allclose(E.todense(), S.toarray())
+        assert E.k % 4 == 0
+
+    def test_dia(self):
+        A = laplacian_2d(10)
+        D = csr_to_dia(A)
+        assert np.allclose(D.todense(), A.todense())
+        assert D.offsets == (-10, -1, 0, 1, 10)
+
+    def test_device_format_picks_dia_for_stencil(self):
+        from lssp_tpu.sparse.types import DIA, ELL
+        assert isinstance(to_device_format(laplacian_2d(12)), DIA)
+        R = CSR.from_scipy(random_scipy(64, 64, 0.2, 0))
+        assert isinstance(to_device_format(R), ELL)
+
+
+class TestUtils:
+    def test_sort_columns(self):
+        A = CSR(np.array([0, 3], np.int32), np.array([2, 0, 1], np.int32),
+                np.array([1.0, 2.0, 3.0]), (1, 3))
+        assert not is_sorted(A)
+        B = sort_columns(A)
+        assert is_sorted(B)
+        assert np.allclose(B.todense(), A.todense())
+
+    def test_transpose(self):
+        S = random_scipy(20, 35, 0.15, 5)
+        A = CSR.from_scipy(S)
+        assert np.allclose(transpose(A).todense(), S.toarray().T)
+
+    def test_adjust_zero_diag_inserts_tol(self):
+        # row 1 lacks a diagonal → entry inserted with value = tol
+        # (reference matrix-utils.cxx:564 stores `1 * tol`)
+        A = CSR(np.array([0, 1, 2], np.int32), np.array([0, 0], np.int32),
+                np.array([5.0, 3.0]), (2, 2))
+        B = adjust_zero_diag(A, 1e-10)
+        d = B.todense()
+        assert d[1, 1] == 1e-10
+        assert is_sorted(B)
+        # no-op when all diagonals exist
+        L = laplacian_2d(4)
+        assert adjust_zero_diag(L, 1e-10) is L
+
+    def test_block_diag_extract(self):
+        A = laplacian_2d(4)  # n=16
+        B = block_diag_extract(A, 4)
+        d = B.todense()
+        full = A.todense()
+        for blk in range(4):
+            sl = slice(blk * 4, (blk + 1) * 4)
+            assert np.allclose(d[sl, sl], full[sl, sl])
+        # off-block entries are gone
+        assert np.count_nonzero(d) <= np.count_nonzero(full)
+        mask = np.zeros((16, 16), bool)
+        for blk in range(4):
+            sl = slice(blk * 4, (blk + 1) * 4)
+            mask[sl, sl] = True
+        assert np.all(d[~mask] == 0)
+
+    def test_diagonal_and_splits(self):
+        S = random_scipy(30, 30, 0.2, 6) + sp.eye(30)
+        A = CSR.from_scipy(S.tocsr())
+        assert np.allclose(diagonal(A), S.toarray().diagonal())
+        Ls, d, Us = split_ldu(A)
+        dense = S.toarray()
+        assert np.allclose(Ls.todense(), np.tril(dense, -1))
+        assert np.allclose(Us.todense(), np.triu(dense, 1))
+        L, U = split_lu(A)
+        assert np.allclose(L.todense(), np.tril(dense, -1))
+        assert np.allclose(U.todense(), np.triu(dense))
+
+
+class TestGenerators:
+    def test_laplacian_2d_matches_reference_workload(self):
+        # exam.cxx:4-59: n = N², nnz = 5N²-4N, diag 4, neighbors -1
+        N = 100
+        A = laplacian_2d(N)
+        assert A.shape == (N * N, N * N)
+        assert A.nnz == 5 * N * N - 4 * N
+        d = laplacian_2d(5).todense()
+        ref = (sp.kron(sp.eye(5), sp.diags([np.full(4, -1), np.full(5, 4.0),
+                                            np.full(4, -1)], [-1, 0, 1]))
+               + sp.kron(sp.diags([np.full(4, -1), np.full(4, -1)], [-1, 1]),
+                         sp.eye(5))).toarray()
+        assert np.allclose(d, ref)
+
+    def test_laplacian_3d(self):
+        A = laplacian_3d(4)
+        assert A.shape == (64, 64)
+        dense = A.todense()
+        assert np.allclose(dense, dense.T)
+        assert (np.linalg.eigvalsh(dense) > 0).all()
+
+    def test_random_sparse_diag_dominant(self):
+        A = random_sparse(50, 6, seed=1)
+        dense = A.todense()
+        off = np.abs(dense).sum(1) - np.abs(np.diag(dense))
+        assert (np.abs(np.diag(dense)) > off - 1e-12).all()
+
+
+class TestIO:
+    def test_matrix_market_roundtrip(self, tmp_path):
+        S = random_scipy(25, 25, 0.15, 7)
+        A = CSR.from_scipy(S)
+        p = str(tmp_path / "m.mtx")
+        sparse.write_matrix_market(p, A)
+        B = sparse.read_matrix_market(p)
+        assert np.allclose(B.todense(), S.toarray())
