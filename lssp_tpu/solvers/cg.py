@@ -16,8 +16,10 @@ import jax.numpy as jnp
 from lssp_tpu.solvers.base import (
     SolveInfo, init_state, stopping_tol, history_init, history_update,
 )
+from lssp_tpu.solvers.registry import register_solver
 
 
+@register_solver("cg")
 def cg(A, b, x0=None, M=None, opts=None, dot=jnp.dot):
     op, pc, x, r = init_state(A, b, x0, M)
     bnorm = jnp.sqrt(dot(b, b))

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from lssp_tpu.solvers.base import (
     SolveInfo, init_state, stopping_tol, history_init, history_update,
 )
+from lssp_tpu.solvers.registry import register_solver
 
 
 def _arnoldi_cycle(op, pc, v0, beta_p, m, maxit, itr0, gstol, right, dot,
@@ -172,11 +173,13 @@ def _gmres(A, b, x0, M, opts, dot, right):
                         history=hist if opts.record_history else None)
 
 
+@register_solver("gmres")
 def gmres(A, b, x0=None, M=None, opts=None, dot=jnp.dot):
     """Left-preconditioned GMRES(m) (reference LSSP_SOLVER_GMRES)."""
     return _gmres(A, b, x0, M, opts, dot, right=False)
 
 
+@register_solver("rgmres")
 def gmres_r(A, b, x0=None, M=None, opts=None, dot=jnp.dot):
     """Right-preconditioned GMRES(m) (reference LSSP_SOLVER_RGMRES)."""
     return _gmres(A, b, x0, M, opts, dot, right=True)
