@@ -10,6 +10,7 @@ like data while the solver only ever calls ``M(r) -> z`` — the same uniform
 from lssp_tpu.pc.base import Preconditioner, setup, PC_REGISTRY
 from lssp_tpu.pc.ilu_host import iluk_symbolic, ilu0_numeric, iluk_factor, ilut_factor
 from lssp_tpu.pc import ilu as _ilu          # registers iluk/ilu0/ilut
+from lssp_tpu.pc import biluk as _biluk      # registers biluk
 
 __all__ = ["Preconditioner", "setup", "PC_REGISTRY",
            "iluk_symbolic", "ilu0_numeric", "iluk_factor", "ilut_factor"]
