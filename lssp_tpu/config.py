@@ -93,9 +93,11 @@ class PCOptions:
     amg_max_levels: int = 12
     amg_coarse_size: int = 64
     amg_theta: float = 0.25               # strength-of-connection threshold
-    amg_presmooth: int = 1
-    amg_postsmooth: int = 1
-    amg_smoother: str = "chebyshev"       # "jacobi" | "chebyshev" | "l1jacobi"
+    amg_presmooth: int = 2
+    amg_postsmooth: int = 2
+    amg_smooth_interp: bool = True        # Jacobi-smoothed+truncated P
+    amg_trunc: float = 0.2                # interpolation truncation
+    amg_smoother: str = "jacobi"          # "jacobi" | "chebyshev" | "l1jacobi"
     amg_cycles: int = 1                   # V-cycles per PC application
     # user-PC hooks (parity with LSSP_PC_USER, /root/reference/src/pc.cxx:219-227)
     user_setup: Optional[Callable] = None

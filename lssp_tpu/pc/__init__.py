@@ -11,6 +11,7 @@ from lssp_tpu.pc.base import Preconditioner, setup, PC_REGISTRY
 from lssp_tpu.pc.ilu_host import iluk_symbolic, ilu0_numeric, iluk_factor, ilut_factor
 from lssp_tpu.pc import ilu as _ilu          # registers iluk/ilu0/ilut
 from lssp_tpu.pc import biluk as _biluk      # registers biluk
+from lssp_tpu.pc import amg as _amg          # registers amg
 
 __all__ = ["Preconditioner", "setup", "PC_REGISTRY",
            "iluk_symbolic", "ilu0_numeric", "iluk_factor", "ilut_factor"]

@@ -1,0 +1,28 @@
+"""AMG V-cycle as a preconditioner (replaces the reference's external
+FASP/SXAMG/MI20 AMG PC wrappers, /root/reference/src/pc-amg.cxx,
+pc-sxamg.cxx, pc-mi20.cxx — one V-cycle per application, maxit=1 per the
+SXAMG wrapper's convention at pc-sxamg.cxx:23)."""
+from __future__ import annotations
+
+import numpy as np
+
+from lssp_tpu.amg.setup import amg_setup
+from lssp_tpu.amg.cycle import build_device_amg, vcycle
+from lssp_tpu.pc.base import Preconditioner, register_pc
+
+
+def _amg_apply(state, r):
+    return vcycle(state, r)
+
+
+@register_pc("amg")
+def setup_amg(A, opts):
+    hier = amg_setup(A, theta=opts.amg_theta, max_levels=opts.amg_max_levels,
+                     coarse_size=opts.amg_coarse_size,
+                     smooth_interp=opts.amg_smooth_interp,
+                     trunc=opts.amg_trunc)
+    h = build_device_amg(
+        hier, dtype=np.asarray(A.data).dtype, smoother=opts.amg_smoother,
+        degree=max(opts.amg_presmooth, opts.amg_postsmooth, 1),
+        cycles=opts.amg_cycles)
+    return Preconditioner(_amg_apply, state=h, name="amg")
