@@ -1,0 +1,135 @@
+"""Native C++ host kernels (setup-phase hot loops), loaded via ctypes.
+
+The shared library is built on demand with g++ (-O3) into
+``lssp_tpu/native/_build/`` and cached; if no compiler is available the
+Python implementations in lssp_tpu/pc/ilu_host.py and ops/trisolve.py are
+used instead (identical outputs, slower).  Set ``LSSP_TPU_NO_NATIVE=1`` to
+force the Python path.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "src", "ilu.cpp")
+_BUILD_DIR = os.path.join(_HERE, "_build")
+_LIB_PATH = os.path.join(_BUILD_DIR, "liblssp_native.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+
+
+def _build() -> bool:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+           _SRC, "-o", _LIB_PATH]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def load():
+    """Return the ctypes library or None (fallback to Python)."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("LSSP_TPU_NO_NATIVE"):
+            return None
+        if not os.path.exists(_LIB_PATH) or (
+                os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.lssp_levels.argtypes = [_i64p, _i64p, ctypes.c_int64,
+                                    ctypes.c_int, _i64p]
+        lib.lssp_ilu0.argtypes = [_i64p, _i64p, _f64p, ctypes.c_int64,
+                                  ctypes.c_double, ctypes.c_double]
+        lib.lssp_iluk_symbolic.argtypes = [_i64p, _i64p, ctypes.c_int64,
+                                           ctypes.c_int64,
+                                           ctypes.POINTER(ctypes.c_int64)]
+        lib.lssp_iluk_symbolic.restype = ctypes.c_void_p
+        lib.lssp_ilut.argtypes = [_i64p, _i64p, _f64p, ctypes.c_int64,
+                                  ctypes.c_double, ctypes.c_int64,
+                                  ctypes.c_double, ctypes.c_double,
+                                  ctypes.POINTER(ctypes.c_int64)]
+        lib.lssp_ilut.restype = ctypes.c_void_p
+        lib.lssp_pattern_fetch.argtypes = [ctypes.c_void_p, _i64p, _i64p,
+                                           ctypes.c_void_p]
+        lib.lssp_pattern_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+# --- typed wrappers --------------------------------------------------------
+
+def levels(indptr: np.ndarray, indices: np.ndarray, n: int,
+           lower: bool) -> np.ndarray:
+    lib = load()
+    out = np.zeros(n, dtype=np.int64)
+    lib.lssp_levels(np.ascontiguousarray(indptr, np.int64),
+                    np.ascontiguousarray(indices, np.int64),
+                    n, 1 if lower else 0, out)
+    return out
+
+
+def ilu0(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
+         ztol: float, zval: float) -> np.ndarray:
+    lib = load()
+    data = np.ascontiguousarray(data, np.float64).copy()
+    lib.lssp_ilu0(np.ascontiguousarray(indptr, np.int64),
+                  np.ascontiguousarray(indices, np.int64),
+                  data, len(indptr) - 1, ztol, zval)
+    return data
+
+
+def iluk_symbolic(indptr: np.ndarray, indices: np.ndarray, n: int,
+                  level: int):
+    lib = load()
+    nnz = ctypes.c_int64(0)
+    h = lib.lssp_iluk_symbolic(np.ascontiguousarray(indptr, np.int64),
+                               np.ascontiguousarray(indices, np.int64),
+                               n, level, ctypes.byref(nnz))
+    new_ip = np.zeros(n + 1, dtype=np.int64)
+    new_idx = np.zeros(nnz.value, dtype=np.int64)
+    lib.lssp_pattern_fetch(h, new_ip, new_idx, None)
+    lib.lssp_pattern_free(h)
+    return new_ip, new_idx
+
+
+def ilut(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray, n: int,
+         tol: float, p: int, ztol: float, zval: float):
+    lib = load()
+    nnz = ctypes.c_int64(0)
+    h = lib.lssp_ilut(np.ascontiguousarray(indptr, np.int64),
+                      np.ascontiguousarray(indices, np.int64),
+                      np.ascontiguousarray(data, np.float64),
+                      n, tol, p, ztol, zval, ctypes.byref(nnz))
+    new_ip = np.zeros(n + 1, dtype=np.int64)
+    new_idx = np.zeros(nnz.value, dtype=np.int64)
+    new_dat = np.zeros(nnz.value, dtype=np.float64)
+    lib.lssp_pattern_fetch(h, new_ip, new_idx,
+                           new_dat.ctypes.data_as(ctypes.c_void_p))
+    lib.lssp_pattern_free(h)
+    return new_ip, new_idx, new_dat

@@ -58,7 +58,13 @@ jax.tree_util.register_pytree_node(TriSchedule, _flatten, _unflatten)
 
 
 def _compute_levels(indptr, indices, n, lower: bool) -> np.ndarray:
-    """Longest-dependency-chain level per row (host, sequential)."""
+    """Longest-dependency-chain level per row (host, sequential; C++ fast
+    path in lssp_tpu.native when available)."""
+    from lssp_tpu import native
+    if native.available():
+        return native.levels(np.ascontiguousarray(indptr, np.int64),
+                             np.ascontiguousarray(indices, np.int64),
+                             n, lower)
     lev = np.zeros(n, dtype=np.int64)
     ip = indptr
     idx = indices
@@ -105,13 +111,19 @@ def level_schedule(T: CSR, lower: bool = True,
     cols = np.full((nlev, w, k), n, dtype=np.int32)
     vals = np.zeros((nlev, w, k), dtype=dat.dtype)
     starts = np.concatenate([[0], np.cumsum(counts)])
-    for l in range(nlev):
-        rs = order[starts[l]:starts[l + 1]]
-        rows[l, :len(rs)] = rs
-        for slot, r in enumerate(rs):
-            s, e = ip[r], ip[r + 1]
-            cols[l, slot, : e - s] = idx[s:e]
-            vals[l, slot, : e - s] = dat[s:e]
+    # vectorized construction: slot of each (level-ordered) row within its
+    # level, then one padded-ELL expansion of S scattered by (level, slot)
+    slots = np.arange(n, dtype=np.int64) - starts[lev[order]]
+    rows[lev[order], slots] = order
+    rn = ip[1:] - ip[:-1]
+    valid = np.arange(k)[None, :] < rn[:, None]                # (n, k)
+    flat = (ip[:-1][:, None] + np.arange(k)[None, :])[valid]
+    ell_cols = np.full((n, k), n, dtype=np.int64)
+    ell_vals = np.zeros((n, k), dtype=dat.dtype)
+    ell_cols[valid] = idx[flat]
+    ell_vals[valid] = dat[flat]
+    cols[lev[order], slots] = ell_cols[order]
+    vals[lev[order], slots] = ell_vals[order]
 
     invd = None
     if diag is not None:

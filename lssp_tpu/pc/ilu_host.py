@@ -29,6 +29,7 @@ import numpy as np
 from lssp_tpu.config import Defaults
 from lssp_tpu.sparse.types import CSR
 from lssp_tpu.sparse.utils import adjust_zero_diag, sort_columns, split_lu
+from lssp_tpu import native
 
 
 def iluk_symbolic(A: CSR, level: int) -> CSR:
@@ -37,6 +38,11 @@ def iluk_symbolic(A: CSR, level: int) -> CSR:
     n = A.shape[0]
     ip = np.asarray(A.indptr).astype(np.int64)
     idx = np.asarray(A.indices).astype(np.int64)
+
+    if native.available():
+        nip, nidx = native.iluk_symbolic(ip, idx, n, level)
+        return CSR(nip.astype(np.int32), nidx.astype(np.int32),
+                   np.zeros(len(nidx), dtype=A.data.dtype), A.shape)
 
     u_cols = [None] * n     # strict-upper pattern per factored row
     u_lev = [None] * n      # matching fill levels
@@ -115,6 +121,10 @@ def ilu0_numeric(M: CSR) -> CSR:
     data = np.asarray(M.data).copy()
     ztol, zval = Defaults.ZERO_DIAG_TOL, Defaults.ZERO_DIAG_VALUE
 
+    if native.available() and data.dtype == np.float64:
+        out = native.ilu0(ip, idx, data, ztol, zval)
+        return CSR(M.indptr, M.indices, out, M.shape)
+
     invd = np.zeros(n, dtype=data.dtype)
     d0 = data[0] if idx[0] == 0 else 0.0   # row 0 first entry is the diag
     if abs(d0) < ztol:
@@ -184,6 +194,12 @@ def ilut_factor(A: CSR, tol: float = None, p: int = None, num_blocks: int = 1):
     idx = np.asarray(A.indices).astype(np.int64)
     dat = np.asarray(A.data)
     ztol, zval = Defaults.ZERO_DIAG_TOL, Defaults.ZERO_DIAG_VALUE
+
+    if native.available() and dat.dtype == np.float64:
+        nip, nidx, ndat = native.ilut(ip, idx, dat, n, float(tol), int(p),
+                                      ztol, zval)
+        F = CSR(nip.astype(np.int32), nidx.astype(np.int32), ndat, A.shape)
+        return split_lu(F)
 
     out_cols = [None] * n
     out_vals = [None] * n
