@@ -19,22 +19,29 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from lssp_tpu.sparse.types import DIA
 
 _LANE = 128
+_DMA_ALIGN = 1024       # Mosaic 1-D memref tiling: DMA slice lengths must be
+                        # multiples of this
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
 def _pick_tile(n: int, halo: int, ndiag: int, itemsize: int) -> int:
-    """Largest tile T dividing n with (ndiag+2)·T + halo comfortably double-
-    buffered inside ~8 MB of VMEM."""
+    """Largest tile T with (ndiag+2)·T + halo comfortably double-buffered
+    inside ~8 MB of VMEM (rows are padded to a multiple of T)."""
     budget = 8 * 1024 * 1024 // itemsize
     t = 64 * 1024
-    while t > _LANE and ((ndiag + 2) * t + 2 * halo > budget or n % t):
+    while t > _DMA_ALIGN and (ndiag + 2) * t + 2 * halo > budget:
         t //= 2
-    return max(t, _LANE)
+    return min(max(t, _DMA_ALIGN), _round_up(n, _DMA_ALIGN))
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "interpret"))
@@ -47,10 +54,11 @@ def _dia_spmv_pallas(data, x, offsets, interpret=False):
     T = _pick_tile(n, lo + hi, ndiag, dtype.itemsize if hasattr(dtype, "itemsize") else 4)
 
     pad_n = (-n) % T
-    xp = jnp.pad(x.astype(dtype), (lo, hi + pad_n))
+    W = _round_up(T + lo + hi, _DMA_ALIGN)   # DMA window, tile-aligned
+    # x padded so every tile's [i·T, i·T + W) window stays in bounds
+    xp = jnp.pad(x.astype(dtype), (lo, (W - lo - T) + pad_n))
     dp = jnp.pad(data.astype(dtype), ((0, 0), (0, pad_n)))
     nb = (n + pad_n) // T
-    W = T + lo + hi
 
     def kernel(x_hbm, d_ref, y_ref):
         i = pl.program_id(0)
@@ -71,7 +79,9 @@ def _dia_spmv_pallas(data, x, offsets, interpret=False):
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),       # x stays in HBM, DMA'd
-            pl.BlockSpec((ndiag, T), lambda i: (0, i),
+            # np.int32(0): under jax_enable_x64 a bare Python 0 traces as
+            # int64, which Mosaic cannot return from the index map
+            pl.BlockSpec((ndiag, T), lambda i: (np.int32(0), i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((T,), lambda i: (i,), memory_space=pltpu.VMEM),

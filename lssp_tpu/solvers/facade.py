@@ -21,6 +21,7 @@ import numpy as np
 from lssp_tpu.config import SolverOptions, PCOptions
 from lssp_tpu.sparse.types import CSR, BSR, ELL, DIA, COO
 from lssp_tpu.sparse.convert import to_device_format, coo_to_csr
+from lssp_tpu.sparse.reorder import maybe_rcm
 from lssp_tpu.sparse.utils import sort_columns
 from lssp_tpu.solvers.base import SolveInfo
 from lssp_tpu.solvers.registry import get_solver
@@ -32,21 +33,37 @@ def _jitted(fn):
     return jax.jit(fn, static_argnames=("opts",))
 
 
-def _prepare_matrix(A):
+def _prepare_matrix(A, reorder="auto"):
     """Host CSR → TPU execution format; COO → CSR first; device formats and
-    callables pass through."""
+    callables pass through.
+
+    ``reorder``: "rcm" forces a bandwidth-reducing symmetric permutation,
+    None disables, "auto" applies it on the TPU backend when the matrix is
+    not already diagonal-structured (TPU has no hardware gather — see
+    lssp_tpu/sparse/reorder.py).  Returns (host_csr, device_fmt, perm).
+    """
     if isinstance(A, COO):
         A = coo_to_csr(A)
     if isinstance(A, CSR):
         A = sort_columns(A)
-        return A, to_device_format(A)
-    return None, A
+        perm = None
+        on_tpu = jax.default_backend() == "tpu"
+        if reorder == "rcm" or (reorder == "auto" and on_tpu):
+            A2, perm = maybe_rcm(A)
+            if perm is not None:
+                A = A2
+        if on_tpu:
+            dev = to_device_format(A, max_diags=256, dia_fill=50.0)
+        else:
+            dev = to_device_format(A)
+        return A, dev, perm
+    return None, A, None
 
 
 def solve(A, b, x0=None, method: str = "gmres", pc: Optional[str] = "none",
           options: Optional[SolverOptions] = None,
           pc_options: Optional[PCOptions] = None,
-          M=None):
+          M=None, reorder: str = "auto"):
     """Solve A x = b.  Returns ``(x, SolveInfo)``.
 
     ``A``: CSR/COO (host; auto-converted to DIA/ELL execution format), or an
@@ -55,7 +72,7 @@ def solve(A, b, x0=None, method: str = "gmres", pc: Optional[str] = "none",
     ``M`` a prebuilt Preconditioner / callable.
     """
     opts = (options or SolverOptions()).resolved()
-    A_host, A_dev = _prepare_matrix(A)
+    A_host, A_dev, perm = _prepare_matrix(A, reorder=reorder)
     if M is None and pc not in (None, "none"):
         if A_host is None:
             raise ValueError("preconditioner setup needs a host CSR matrix; "
@@ -65,7 +82,14 @@ def solve(A, b, x0=None, method: str = "gmres", pc: Optional[str] = "none",
     b = jnp.asarray(b)
     if x0 is None:
         x0 = jnp.zeros_like(b)
+    if perm is not None:
+        b = b[perm]
+        x0 = x0[perm]
     x, info = _jitted(fn)(A_dev, b, x0, M, opts=opts)
+    if perm is not None:
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm))
+        x = x[inv]
     return x, info
 
 
@@ -98,10 +122,10 @@ class Solver:
     def set_bgsl(self, v):   self.options = dataclasses.replace(self.options, bgsl=v);   return self
     def set_idrs(self, v):   self.options = dataclasses.replace(self.options, idrs=v);   return self
 
-    def assemble(self, A, b=None, x0=None):
+    def assemble(self, A, b=None, x0=None, reorder: str = "auto"):
         """Convert the matrix, build the PC (factorization cost lives here —
         reference lssp_solver_assemble → lssp_pc_assemble, lssp.cxx:142-189)."""
-        self.A_host, self.A_dev = _prepare_matrix(A)
+        self.A_host, self.A_dev, self.perm = _prepare_matrix(A, reorder=reorder)
         if self.pc_type not in (None, "none"):
             self.M = pc_mod.setup(self.A_host, self.pc_type, self.pc_options)
         if b is not None:
@@ -130,7 +154,15 @@ class Solver:
         opts = self.options.resolved()
         fn = get_solver(self.method)
         x0v = self.x if self.x is not None else jnp.zeros_like(self.b)
-        x, info = _jitted(fn)(self.A_dev, self.b, x0v, self.M, opts=opts)
+        b, perm = self.b, getattr(self, "perm", None)
+        if perm is not None:
+            b = b[perm]
+            x0v = x0v[perm]
+        x, info = _jitted(fn)(self.A_dev, b, x0v, self.M, opts=opts)
+        if perm is not None:
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(len(perm))
+            x = x[inv]
         self.x, self.info = x, info
         return x
 

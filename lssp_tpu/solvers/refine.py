@@ -1,0 +1,100 @@
+"""Mixed-precision iterative refinement (Krylov-IR).
+
+TPU hardware has no native fp64 — XLA emulates it at a large slowdown.  The
+TPU-native path to fp64-quality answers is classic iterative refinement:
+
+    repeat:  r = b − A·x          (fp64, one emulated SpMV per outer step)
+             d ≈ A⁻¹ r            (fp32 Krylov solve at full hardware speed)
+             x = x + d            (fp64 accumulation)
+
+The inner solve only needs a few digits (inner_rtol ~1e-4..1e-6), so it
+converges fast in fp32; the outer loop recovers the rest.  This subsumes
+the reference's fp64-only design (its convergence targets, residuals to
+1e-8, are met while the hot loops run at fp32 speed).
+
+No reference analog — this is a new TPU-first capability.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lssp_tpu.config import SolverOptions, PCOptions
+from lssp_tpu.ops.spmv import spmv
+from lssp_tpu.solvers.base import SolveInfo
+from lssp_tpu.solvers.registry import get_solver
+from lssp_tpu.sparse.types import CSR
+
+
+def solve_ir(A, b, x0=None, method: str = "gmres",
+             pc: Optional[str] = "none",
+             options: Optional[SolverOptions] = None,
+             pc_options: Optional[PCOptions] = None,
+             inner_rtol: float = 1e-5, max_outer: int = 20,
+             inner_dtype=jnp.float32, reorder: str = "auto"):
+    """Solve to fp64 accuracy with fp32 inner Krylov solves.
+
+    ``A``: host CSR (fp64).  Returns (x fp64, SolveInfo) where nits counts
+    *total inner iterations* and the residual is the true fp64 residual.
+    """
+    from lssp_tpu.solvers.facade import _prepare_matrix, _jitted
+    from lssp_tpu import pc as pc_mod
+
+    opts = (options or SolverOptions()).resolved()
+    A_host, _, perm = _prepare_matrix(A, reorder=reorder)
+    # build both precisions of the execution format from the (possibly
+    # reordered) host matrix
+    from lssp_tpu.sparse.convert import to_device_format
+    A64 = to_device_format(A_host)
+    A32 = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, inner_dtype)
+        if jnp.asarray(a).dtype in (jnp.float64, jnp.float32) else a, A64)
+
+    M32 = None
+    if pc not in (None, "none"):
+        M32 = pc_mod.setup(A_host.astype(np.dtype(inner_dtype)), pc,
+                           pc_options)
+
+    b = jnp.asarray(b, jnp.float64)
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, jnp.float64)
+    if perm is not None:
+        b = b[perm]
+        x = x[perm]
+
+    bnorm = float(jnp.linalg.norm(b))
+    tol = max(opts.rtol * bnorm, opts.atol)
+
+    inner_opts = dataclasses.replace(
+        opts, rtol=inner_rtol, atol=0.0, rbtol=0.0,
+        maxit=min(opts.maxit, 200))
+    fn = get_solver(method)
+
+    residual64 = jax.jit(lambda x: b - spmv(A64, x))
+    total_inner = 0
+    res = float(jnp.linalg.norm(residual64(x)))
+    r0 = res
+    outer = 0
+    while res > tol and outer < max_outer:
+        r = residual64(x)
+        scale = jnp.linalg.norm(r)
+        safe = jnp.where(scale == 0, 1.0, scale)
+        r32 = (r / safe).astype(inner_dtype)
+        d32, info = _jitted(fn)(A32, r32, jnp.zeros_like(r32), M32,
+                                opts=inner_opts)
+        x = x + d32.astype(jnp.float64) * safe
+        total_inner += int(info.nits)
+        res = float(jnp.linalg.norm(residual64(x)))
+        outer += 1
+
+    if perm is not None:
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm))
+        x = x[inv]
+    return x, SolveInfo(nits=jnp.int32(total_inner), residual=jnp.float64(res),
+                        converged=jnp.bool_(res <= tol),
+                        r0norm=jnp.float64(r0), bnorm=jnp.float64(bnorm),
+                        history=None)

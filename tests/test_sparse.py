@@ -153,3 +153,36 @@ class TestIO:
         sparse.write_matrix_market(p, A)
         B = sparse.read_matrix_market(p)
         assert np.allclose(B.todense(), S.toarray())
+
+
+class TestReorder:
+    def test_rcm_reduces_bandwidth(self):
+        from lssp_tpu.sparse.reorder import (rcm_permutation,
+                                             permute_symmetric, bandwidth)
+        rng = np.random.default_rng(0)
+        # random sparse symmetric matrix with scattered structure
+        n = 200
+        S = sp.random(n, n, density=0.03, random_state=np.random.RandomState(1))
+        S = (S + S.T + sp.eye(n)).tocsr()
+        A = CSR.from_scipy(S)
+        perm = rcm_permutation(A)
+        B = permute_symmetric(A, perm)
+        assert bandwidth(B) < bandwidth(A)
+        # permutation preserves the spectrum-defining structure
+        d = B.todense()
+        assert np.allclose(d, S.toarray()[perm][:, perm])
+
+    def test_solve_with_rcm_reorder(self):
+        import jax.numpy as jnp
+        from lssp_tpu import solve
+        # shuffled Poisson: unstructured-looking until reordered
+        rng = np.random.default_rng(3)
+        A = laplacian_2d(16)
+        p = rng.permutation(256)
+        from lssp_tpu.sparse.reorder import permute_symmetric
+        Ashuf = permute_symmetric(A, p)
+        b = jnp.ones(256, dtype=jnp.float64)
+        x, info = solve(Ashuf, b, method="cg", reorder="rcm")
+        assert bool(info.converged)
+        res = np.linalg.norm(b - Ashuf.to_scipy() @ np.asarray(x))
+        assert res <= 1.1e-7 * 16
