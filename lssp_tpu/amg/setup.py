@@ -60,42 +60,40 @@ def pmis_coarsen(S: sp.csr_matrix, seed: int = 0) -> np.ndarray:
     """
     n = S.shape[0]
     G = ((S + S.T) > 0).tocsr()            # symmetrized strength graph
+    gi = np.repeat(np.arange(n), np.diff(G.indptr))
+    gj = G.indices
     rng = np.random.default_rng(seed)
     w = np.asarray(S.sum(axis=0)).ravel() + rng.random(n)   # |S^T_i| + rand
     state = np.zeros(n, dtype=np.int8)
-    # isolated points: F (no strong couplings at all) — flipped later if
-    # they also have no C neighbour (i.e. stay isolated → become C)
-    deg = np.diff(G.indptr)
     undecided = state == 0
     while undecided.any():
         # candidate C: weight strictly greater than every undecided neighbour
         is_max = undecided.copy()
-        gi, gj = G.nonzero()
         mask = undecided[gi] & undecided[gj]
         lose = gi[mask][w[gi[mask]] <= w[gj[mask]]]
-        is_max[np.unique(lose)] = False
+        is_max[lose] = False
         if not is_max.any():
             # numerical tie pathologies: promote the max-weight undecided
             is_max[np.argmax(np.where(undecided, w, -np.inf))] = True
         state[is_max] = 1
         # undecided strongly connected to a new C become F
-        newC = np.nonzero(is_max)[0]
-        nbrs = G[newC].nonzero()[1]
+        touch = is_max[gi]
+        nbrs = gj[touch]
         state[nbrs[state[nbrs] == 0]] = -1
         undecided = state == 0
-    # ensure every F point has a strong C neighbour
+    # ensure every F point has a strong C neighbour (direct interp needs one)
     Sc = S.tocsr()
-    fpts = np.nonzero(state == -1)[0]
-    for i in fpts:
-        cols = Sc.indices[Sc.indptr[i]:Sc.indptr[i + 1]]
-        if not (state[cols] == 1).any():
-            state[i] = 1
+    si = np.repeat(np.arange(n), np.diff(Sc.indptr))
+    has_c = np.zeros(n, dtype=bool)
+    hit = state[Sc.indices] == 1
+    has_c[np.unique(si[hit])] = True
+    state[(state == -1) & ~has_c] = 1
     return state
 
 
 def direct_interpolation(A: sp.csr_matrix, S: sp.csr_matrix,
                          state: np.ndarray) -> sp.csr_matrix:
-    """Classical direct interpolation (Stüben):
+    """Classical direct interpolation (Stüben), fully vectorized:
     F-point i: w_ij = -α_i a_ij / a_ii over strong C neighbours j, with
     α_i = Σ_{k≠i} a_ik / Σ_{j∈C∩S_i} a_ij;  C-point: identity."""
     n = A.shape[0]
@@ -103,31 +101,34 @@ def direct_interpolation(A: sp.csr_matrix, S: sp.csr_matrix,
     cmap = -np.ones(n, dtype=np.int64)
     cmap[cpts] = np.arange(len(cpts))
     Ad = A.tocsr()
-    Sd = S.tocsr()
     diag = Ad.diagonal()
-    rows, cols, vals = [], [], []
-    for i in range(n):
-        if state[i] == 1:
-            rows.append(i); cols.append(cmap[i]); vals.append(1.0)
-            continue
-        scols = Sd.indices[Sd.indptr[i]:Sd.indptr[i + 1]]
-        strongC = scols[state[scols] == 1]
-        acols = Ad.indices[Ad.indptr[i]:Ad.indptr[i + 1]]
-        avals = Ad.data[Ad.indptr[i]:Ad.indptr[i + 1]]
-        offmask = acols != i
-        num = avals[offmask].sum()
-        avals_map = dict(zip(acols.tolist(), avals.tolist()))
-        den = sum(avals_map.get(int(j), 0.0) for j in strongC)
-        if den == 0.0 or len(strongC) == 0:
-            continue                        # pure-smoothing F point
-        alpha = num / den
-        dii = diag[i] if diag[i] != 0 else 1.0
-        for j in strongC:
-            rows.append(i)
-            cols.append(cmap[j])
-            vals.append(-alpha * avals_map[int(j)] / dii)
-    P = sp.csr_matrix((vals, (rows, cols)), shape=(n, len(cpts)))
-    return P
+    # entries of A restricted to the strong-C pattern: mask S's columns by
+    # C membership, then Hadamard with A
+    is_c_col = (state == 1)
+    Sd = S.tocsr()
+    rows_s = np.repeat(np.arange(n), np.diff(Sd.indptr))
+    keepsc = is_c_col[Sd.indices]
+    # strong-C pattern as boolean CSR
+    SCpat = sp.csr_matrix((np.ones(int(keepsc.sum())),
+                           (rows_s[keepsc], Sd.indices[keepsc])), shape=(n, n))
+    ASC = Ad.multiply(SCpat).tocsr()          # a_ij over j ∈ C∩S_i
+    den = np.asarray(ASC.sum(axis=1)).ravel()
+    num = np.asarray(Ad.sum(axis=1)).ravel() - diag
+    dii = np.where(diag != 0, diag, 1.0)
+    valid_f = (state == -1) & (den != 0) & (np.diff(ASC.indptr) > 0)
+    alpha = np.zeros(n)
+    alpha[valid_f] = num[valid_f] / den[valid_f]
+    scale = -alpha / dii                      # per-row scale for F rows
+    rows_a = np.repeat(np.arange(n), np.diff(ASC.indptr))
+    keep = valid_f[rows_a]
+    r = rows_a[keep]
+    c = cmap[ASC.indices[keep]]
+    v = scale[r] * ASC.data[keep]
+    # C rows: identity
+    r = np.concatenate([r, cpts])
+    c = np.concatenate([c, cmap[cpts]])
+    v = np.concatenate([v, np.ones(len(cpts))])
+    return sp.csr_matrix((v, (r, c)), shape=(n, len(cpts)))
 
 
 @dataclasses.dataclass
@@ -172,24 +173,21 @@ def _lambda_max(A: sp.csr_matrix, dinv: np.ndarray, iters: int = 15,
 def truncate_P(P: sp.csr_matrix, eps: float) -> sp.csr_matrix:
     """Drop interpolation weights |w| < eps·max|row| and rescale each row to
     preserve its sum (keeps constants interpolated exactly) — the standard
-    complexity-control for smoothed interpolation."""
+    complexity-control for smoothed interpolation.  Vectorized."""
     P = P.tocsr()
-    rows, cols, vals = [], [], []
-    for i in range(P.shape[0]):
-        sl = slice(P.indptr[i], P.indptr[i + 1])
-        c, v = P.indices[sl], P.data[sl]
-        if len(v) == 0:
-            continue
-        rowsum = v.sum()
-        keep = np.abs(v) >= eps * np.abs(v).max()
-        c, v = c[keep], v[keep]
-        s = v.sum()
-        if s != 0 and rowsum != 0:
-            v = v * (rowsum / s)
-        rows += [i] * len(c)
-        cols += c.tolist()
-        vals += v.tolist()
-    return sp.csr_matrix((vals, (rows, cols)), shape=P.shape)
+    n = P.shape[0]
+    rows = np.repeat(np.arange(n), np.diff(P.indptr))
+    absd = np.abs(P.data)
+    rowmax = np.zeros(n)
+    np.maximum.at(rowmax, rows, absd)
+    rowsum = np.asarray(P.sum(axis=1)).ravel()
+    keep = absd >= eps * rowmax[rows]
+    r, c, v = rows[keep], P.indices[keep], P.data[keep]
+    newsum = np.zeros(n)
+    np.add.at(newsum, r, v)
+    scale = np.where((newsum != 0) & (rowsum != 0),
+                     rowsum / np.where(newsum == 0, 1.0, newsum), 1.0)
+    return sp.csr_matrix((v * scale[r], (r, c)), shape=P.shape)
 
 
 def amg_setup(A: CSR, theta: float = 0.25, max_levels: int = 12,
