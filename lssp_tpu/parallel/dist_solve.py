@@ -96,6 +96,18 @@ def _build_dist_pc(A: CSR, pc_type, pc_opts: PCOptions, Pn: int, R: int):
         d[small] = np.where(d[small] > 0, Defaults.ZERO_DIAG_VALUE,
                             -Defaults.ZERO_DIAG_VALUE)
         return "jacobi", (pc_opts.omega / d).reshape(Pn, R)
+    if pc_type == "amg":
+        from lssp_tpu.amg.setup import amg_setup
+        from lssp_tpu.parallel.dist_amg import build_dist_amg
+        hier = amg_setup(A, theta=pc_opts.amg_theta,
+                         max_levels=pc_opts.amg_max_levels,
+                         coarse_size=pc_opts.amg_coarse_size,
+                         smooth_interp=pc_opts.amg_smooth_interp,
+                         trunc=pc_opts.amg_trunc)
+        h = build_dist_amg(hier, Pn, dtype=np.asarray(A.data).dtype,
+                           degree=max(pc_opts.amg_presmooth,
+                                      pc_opts.amg_postsmooth, 1))
+        return "amg", h
     if pc_type in ("bjilu", "iluk", "ilu0", "ilut"):
         # block-Jacobi ILU: factor each shard's diagonal block independently
         sls, sus = [], []
@@ -123,6 +135,9 @@ def _shard_pc_apply(kind, state, R):
         sl = TriSchedule(rows=lr, cols=lc, vals=lv, invdiag=lid, n=R)
         su = TriSchedule(rows=ur, cols=uc, vals=uv, invdiag=uid, n=R)
         return lambda r: ilu_apply(sl, su, r)
+    if kind == "amg":
+        from lssp_tpu.parallel.dist_amg import dist_vcycle
+        return lambda r: dist_vcycle(state, r, AXIS)
     raise ValueError(kind)
 
 

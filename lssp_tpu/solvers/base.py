@@ -76,7 +76,19 @@ def history_init(opts, r0norm):
     return h.at[0].set(r0norm)
 
 
-def history_update(opts, hist, it, res):
+def history_update(opts, hist, it, res, r0norm=None, bnorm=None):
+    """Record the residual trace and, at verbosity >= 1, emit the
+    reference's per-iteration line (abs res / rel res / res-over-||b||,
+    /root/reference/src/solver-cg.cxx:108-112) via jax.debug.print."""
+    if opts.verbosity >= 1:
+        if r0norm is not None and bnorm is not None:
+            jax.debug.print(
+                "itr: {it:5d}, abs res: {res:.6e}, rel res: {rel:.6e}, "
+                "rbn: {rbn:.6e}", it=it, res=res,
+                rel=res / jnp.maximum(r0norm, jnp.finfo(res.dtype).tiny),
+                rbn=res / jnp.maximum(bnorm, jnp.finfo(res.dtype).tiny))
+        else:
+            jax.debug.print("itr: {it:5d}, abs res: {res:.6e}", it=it, res=res)
     if not opts.record_history:
         return hist
     return hist.at[it].set(res)

@@ -42,7 +42,7 @@ def cg(A, b, x0=None, M=None, opts=None, dot=jnp.dot):
         x = x + alpha * p
         r = r - alpha * q
         res = jnp.sqrt(dot(r, r))
-        hist = history_update(opts, hist, it + 1, res)
+        hist = history_update(opts, hist, it + 1, res, r0norm, bnorm)
         return (it + 1, x, r, p, rho, res, hist)
 
     # the reference loop always runs ≥1 iteration when ‖r0‖ > tol; when the

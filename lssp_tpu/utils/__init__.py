@@ -1,5 +1,7 @@
 """Timers, logging, and observability (reference src/utils.cxx)."""
 
 from lssp_tpu.utils.log import set_verbosity, get_verbosity, log, Timer
+from lssp_tpu.utils.memory import host_memory_mb, device_memory_mb
 
-__all__ = ["set_verbosity", "get_verbosity", "log", "Timer"]
+__all__ = ["set_verbosity", "get_verbosity", "log", "Timer",
+           "host_memory_mb", "device_memory_mb"]

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from lssp_tpu import solve, SolverOptions, PCOptions
+from lssp_tpu import solve, SolverOptions, PCOptions  # noqa
 from lssp_tpu.parallel.partition import partition_csr
 from lssp_tpu.parallel.dist_solve import dist_solve, make_mesh
 from lssp_tpu.parallel.dist_ops import make_dist_spmv
@@ -96,3 +96,29 @@ class TestDistSolve:
         assert bool(info.converged)
         res = np.linalg.norm(b - A.to_scipy() @ np.asarray(x))
         assert res <= 1e-6
+
+
+class TestDistAMG:
+    """Distributed AMG V-cycle PC over the 8-virtual-device mesh (BASELINE
+    config #5 shape: GMRES+AMG, multi-host partition)."""
+
+    def test_gmres_dist_amg(self, mesh8):
+        from lssp_tpu.sparse import anisotropic_poisson_2d
+        A = anisotropic_poisson_2d(64, 0.001)
+        n = 64 * 64
+        b = jnp.ones(n, dtype=jnp.float64)
+        x, info = dist_solve(A, b, method="gmres", pc="amg", mesh=mesh8,
+                             options=SolverOptions(restart=30))
+        assert bool(info.converged)
+        assert int(info.nits) <= 20
+        res = np.linalg.norm(b - A.to_scipy() @ np.asarray(x))
+        assert res <= 1.1e-7 * 64
+
+    def test_dist_amg_matches_single_device_iterations(self, mesh8):
+        from lssp_tpu import solve
+        A = laplacian_2d(32)
+        b = jnp.ones(1024, dtype=jnp.float64)
+        xd, infod = dist_solve(A, b, method="cg", pc="amg", mesh=mesh8)
+        xs, infos = solve(A, b, method="cg", pc="amg")
+        assert bool(infod.converged)
+        assert abs(int(infod.nits) - int(infos.nits)) <= 3
