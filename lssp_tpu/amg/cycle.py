@@ -56,7 +56,7 @@ jax.tree_util.register_pytree_node(
 
 
 def build_device_amg(hier: AMGHierarchy, dtype=np.float64,
-                     smoother: str = "jacobi", degree: int = 2,
+                     smoother: str = "chebyshev", degree: int = 2,
                      omega: float = 2.0 / 3.0, cycles: int = 1) -> DeviceAMG:
     levels = []
     for lev in hier.levels:
@@ -87,9 +87,11 @@ def _smooth(lev: DeviceLevel, x, b):
         for _ in range(lev.degree):
             x = x + 0.5 * lev.dinv * (b - spmv(lev.A, x))
         return x
-    # Chebyshev on [lmax/30, 1.1·lmax] of D⁻¹A (hypre-style)
+    # Chebyshev on [0.3·lmax, 1.1·lmax] of D⁻¹A (hypre's cheby_fraction=0.3:
+    # the coarse grid owns modes below 0.3·lmax, the polynomial equi-damps
+    # everything above)
     ub = 1.1 * lev.lmax
-    lb = lev.lmax / 30.0
+    lb = 0.3 * lev.lmax
     theta = (ub + lb) / 2.0
     delta = (ub - lb) / 2.0
     sigma = theta / delta
@@ -128,7 +130,7 @@ def vcycle(h: DeviceAMG, b, x=None):
 
 def amg_solve(A: CSR, b, x0=None, rtol: float = 1e-7, atol: float = 1e-7,
               maxit: int = 100, theta: float = 0.25,
-              smoother: str = "jacobi", degree: int = 2,
+              smoother: str = "chebyshev", degree: int = 2,
               dtype=np.float64):
     """Standalone AMG solver (stationary V-cycle iteration) — parity with
     the reference's lssp_solver_amg wrapper around FASP

@@ -97,7 +97,7 @@ class PCOptions:
     amg_postsmooth: int = 2
     amg_smooth_interp: bool = True        # Jacobi-smoothed+truncated P
     amg_trunc: float = 0.2                # interpolation truncation
-    amg_smoother: str = "jacobi"          # "jacobi" | "chebyshev" | "l1jacobi"
+    amg_smoother: str = "chebyshev"       # "jacobi" | "chebyshev" | "l1jacobi"
     amg_cycles: int = 1                   # V-cycles per PC application
     # user-PC hooks (parity with LSSP_PC_USER, /root/reference/src/pc.cxx:219-227)
     user_setup: Optional[Callable] = None

@@ -39,16 +39,20 @@ class DistAMGLevel:
     dinv: Any       # (P, R_l)
     n_pad: int      # static: padded rows of this level
     nc_pad: int     # static: padded rows of the next level (0 on last)
-    degree: int     # static: Jacobi smoothing steps
-    omega: float    # static
+    degree: int     # static: smoothing steps / Chebyshev degree
+    omega: float    # static: Jacobi damping
+    lmax: float     # static: λ_max(D⁻¹A) estimate (Chebyshev interval)
+    smoother: str   # static: "jacobi" | "chebyshev"
 
 
 jax.tree_util.register_pytree_node(
     DistAMGLevel,
     lambda l: ((l.a_cols, l.a_data, l.p_cols, l.p_data, l.r_cols, l.r_data,
-                l.dinv), (l.n_pad, l.nc_pad, l.degree, l.omega)),
+                l.dinv), (l.n_pad, l.nc_pad, l.degree, l.omega, l.lmax,
+                          l.smoother)),
     lambda aux, c: DistAMGLevel(*c, n_pad=aux[0], nc_pad=aux[1],
-                                degree=aux[2], omega=aux[3]))
+                                degree=aux[2], omega=aux[3], lmax=aux[4],
+                                smoother=aux[5]))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -82,7 +86,8 @@ def _pad_ell(S, nshards: int, ncols_pad: int, dtype):
 
 
 def build_dist_amg(hier: AMGHierarchy, nshards: int, dtype=np.float64,
-                   degree: int = 2, omega: float = 2.0 / 3.0) -> DistAMG:
+                   degree: int = 2, omega: float = 2.0 / 3.0,
+                   smoother: str = "chebyshev") -> DistAMG:
     levels = []
     n_pads = []
     for lev in hier.levels:
@@ -104,7 +109,8 @@ def build_dist_amg(hier: AMGHierarchy, nshards: int, dtype=np.float64,
         levels.append(DistAMGLevel(
             a_cols=ac, a_data=ad, p_cols=pc_, p_data=pd, r_cols=rc_,
             r_data=rd, dinv=jnp.asarray(dinv), n_pad=n_pad, nc_pad=nc_pad,
-            degree=degree, omega=omega))
+            degree=degree, omega=omega, lmax=float(lev.lmax),
+            smoother=smoother))
     nc = hier.coarse_inv.shape[0]
     nc_pad = levels[-1].n_pad
     ci = np.zeros((nc_pad, nc_pad), dtype=dtype)
@@ -123,21 +129,37 @@ def dist_vcycle(h: DistAMG, b_local, axis: str):
     """One V-cycle on a row-sharded rhs (call inside shard_map).  Leaves of
     ``h`` must already be the per-shard slices (no leading shard axis)."""
 
+    def smooth(lev, x_l, b_l):
+        Aop = lambda v: _ag_spmv(lev.a_cols, lev.a_data, v, axis)
+        if lev.smoother == "jacobi" or lev.lmax <= 0:
+            for _ in range(lev.degree):
+                x_l = x_l + lev.omega * lev.dinv * (b_l - Aop(x_l))
+            return x_l
+        # Chebyshev on [0.3·lmax, 1.1·lmax] of D⁻¹A (matches amg/cycle.py)
+        ub, lb = 1.1 * lev.lmax, 0.3 * lev.lmax
+        theta, delta = (ub + lb) / 2.0, (ub - lb) / 2.0
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        r = lev.dinv * (b_l - Aop(x_l))
+        d = r / theta
+        for _ in range(lev.degree):
+            x_l = x_l + d
+            r = r - lev.dinv * Aop(d)
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * r
+            rho = rho_new
+        return x_l
+
     def cycle(l, b_l, x_l):
         lev = h.levels[l]
         if l == len(h.levels) - 1:
             b_full = lax.all_gather(b_l, axis, tiled=True)
             return h.coarse_inv @ b_full
-        for _ in range(lev.degree):
-            x_l = x_l + lev.omega * lev.dinv * (
-                b_l - _ag_spmv(lev.a_cols, lev.a_data, x_l, axis))
+        x_l = smooth(lev, x_l, b_l)
         r = b_l - _ag_spmv(lev.a_cols, lev.a_data, x_l, axis)
         rc = _ag_spmv(lev.r_cols, lev.r_data, r, axis)
         ec = cycle(l + 1, rc, jnp.zeros_like(rc))
         x_l = x_l + _ag_spmv(lev.p_cols, lev.p_data, ec, axis)
-        for _ in range(lev.degree):
-            x_l = x_l + lev.omega * lev.dinv * (
-                b_l - _ag_spmv(lev.a_cols, lev.a_data, x_l, axis))
-        return x_l
+        return smooth(lev, x_l, b_l)
 
     return cycle(0, b_local, jnp.zeros_like(b_local))

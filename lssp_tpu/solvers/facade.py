@@ -44,6 +44,11 @@ def _prepare_matrix(A, reorder="auto"):
     """
     if isinstance(A, COO):
         A = coo_to_csr(A)
+    if isinstance(A, BSR):
+        # keep the MXU-batched BSR SpMV as the execution format; expose a
+        # scalar CSR view for preconditioner factorization
+        from lssp_tpu.sparse.convert import bsr_to_csr
+        return bsr_to_csr(A), A, None
     if isinstance(A, CSR):
         A = sort_columns(A)
         perm = None
