@@ -88,6 +88,11 @@ class PCOptions:
     ilut_p: Optional[int] = None          # ILUT max fill per row (-1 = auto)
     num_blocks: Optional[int] = None      # block count for block-ILU
     block_size: Optional[int] = None      # uniform block size for BSR paths
+    ilu_sweeps: Optional[int] = None      # triangular-solve strategy:
+                                          # None = auto (6 Neumann sweeps on
+                                          # TPU, exact level scheduling on
+                                          # CPU); 0 = force exact; k>0 = k
+                                          # iterative SpMV sweeps
     omega: float = 1.0                    # damping (Jacobi/smoothers)
     # AMG knobs (native classical AMG — new construction, no reference analog)
     amg_max_levels: int = 12

@@ -178,3 +178,66 @@ def make_ilu_apply(L: CSR, U: CSR):
     sl = level_schedule(L, lower=True)
     su = level_schedule(U, lower=False)
     return lambda r: ilu_apply(sl, su, r)
+
+
+# ---------------------------------------------------------------------------
+# Iterative (Neumann / Jacobi-sweep) triangular solves — Chow-style.
+#
+# The level-scheduled sweep is exact but serializes on the level count
+# (hundreds of tiny device steps).  For unit-lower L = I + Ls the inverse is
+# the finite Neumann series Σ (−Ls)^m, so k sweeps of  y ← b − Ls·y  give a
+# degree-k truncation — every sweep is ONE full-width SpMV with the strict
+# factor in its DIA/ELL execution format, i.e. it runs at SpMV speed on the
+# VPU instead of level-by-level.  Truncation makes the PC approximate
+# (slightly more Krylov iterations), the standard GPU/TPU trade
+# (Chow & Patel, "Fine-grained parallel incomplete LU", SISC 2015 — see
+# PAPERS.md "Parallel Triangular Solvers on GPU").
+# ---------------------------------------------------------------------------
+
+import dataclasses as _dc
+
+
+@_dc.dataclass(frozen=True)
+class NeumannTri:
+    """State for iterative triangular ILU application."""
+
+    Ls: Any         # strict lower factor, device format (DIA/ELL)
+    Us: Any         # strict upper factor scaled by 1/diag, device format
+    invdiag: Any    # (n,)
+    sweeps: int     # static
+
+
+jax.tree_util.register_pytree_node(
+    NeumannTri,
+    lambda s: ((s.Ls, s.Us, s.invdiag), (s.sweeps,)),
+    lambda aux, c: NeumannTri(*c, sweeps=aux[0]))
+
+
+def make_neumann_tri(L: CSR, U: CSR, sweeps: int = 6) -> NeumannTri:
+    """Build iterative-solve state from L (strict lower, unit diag) and U
+    (upper with diag)."""
+    from lssp_tpu.sparse.convert import to_device_format
+    from lssp_tpu.sparse.utils import split_ldu
+    _, d, Us = split_ldu(U)
+    d = np.where(d == 0, 1.0, d)
+    inv = (1.0 / d).astype(np.asarray(U.data).dtype)
+    # scale strict upper rows by 1/diag once: U⁻¹ = (I + D⁻¹Us)⁻¹ D⁻¹
+    ip = np.asarray(Us.indptr)
+    rows = np.repeat(np.arange(U.shape[0]), ip[1:] - ip[:-1])
+    Us_scaled = CSR(Us.indptr, Us.indices,
+                    np.asarray(Us.data) * inv[rows], Us.shape)
+    return NeumannTri(Ls=to_device_format(L), Us=to_device_format(Us_scaled),
+                      invdiag=inv, sweeps=sweeps)
+
+
+def neumann_ilu_apply(state: NeumannTri, r):
+    """z ≈ U⁻¹ L⁻¹ r via truncated Neumann sweeps (pure SpMVs)."""
+    from lssp_tpu.ops.spmv import spmv
+    y = r
+    for _ in range(state.sweeps):
+        y = r - spmv(state.Ls, y)
+    zr = state.invdiag * y
+    z = zr
+    for _ in range(state.sweeps):
+        z = zr - spmv(state.Us, z)
+    return z

@@ -149,3 +149,33 @@ class TestPallasSpMV:
         y = dia_spmv_pallas(D32, jnp.asarray(x), interpret=True)
         ref = (A.to_scipy() @ x.astype(np.float64)).astype(np.float32)
         np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-4, atol=1e-4)
+
+
+class TestNeumannTriSolve:
+    def test_neumann_converges_to_exact(self, rng):
+        from lssp_tpu.pc.ilu_host import iluk_factor
+        from lssp_tpu.ops.trisolve import (make_neumann_tri,
+                                           neumann_ilu_apply, make_ilu_apply)
+        A = laplacian_2d(16)
+        L, U = iluk_factor(A, level=0)
+        exact = make_ilu_apply(L, U)
+        r = jnp.asarray(rng.standard_normal(256))
+        z_exact = np.asarray(exact(r))
+        errs = []
+        for k in (2, 4, 8, 40):
+            st = make_neumann_tri(L, U, sweeps=k)
+            z = np.asarray(neumann_ilu_apply(st, r))
+            errs.append(np.linalg.norm(z - z_exact))
+        assert errs == sorted(errs, reverse=True)      # monotone convergence
+        assert errs[-1] < 1e-10                        # exact at high k
+        assert errs[2] < 0.1 * np.linalg.norm(z_exact)  # useful at k=8
+
+    def test_cg_with_neumann_ilu(self):
+        from lssp_tpu import solve, PCOptions
+        A = laplacian_2d(32)
+        b = jnp.ones(1024, dtype=jnp.float64)
+        x, info = solve(A, b, method="cg", pc="ilu0",
+                        pc_options=PCOptions(ilu_sweeps=6))
+        assert bool(info.converged)
+        res = np.linalg.norm(b - A.to_scipy() @ np.asarray(x))
+        assert res <= 1.1e-7 * 32
