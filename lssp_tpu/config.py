@@ -94,6 +94,10 @@ class PCOptions:
                                           # CPU); 0 = force exact; k>0 = k
                                           # iterative SpMV sweeps
     omega: float = 1.0                    # damping (Jacobi/smoothers)
+    transpose: bool = False               # also build the exact M⁻ᵀ apply
+                                          # (needed by BiCG/QMR with exact
+                                          # level-scheduled ILU; the Neumann
+                                          # ILU path supports Mᵀ for free)
     # AMG knobs (native classical AMG — new construction, no reference analog)
     amg_max_levels: int = 12
     amg_coarse_size: int = 64

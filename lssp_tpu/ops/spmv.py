@@ -88,6 +88,69 @@ def spmv(A, x):
     raise TypeError(f"unsupported matrix type {type(A)}")
 
 
+# ---- transpose products (yᵀ = Aᵀx) -----------------------------------------
+# The reference never needs Aᵀ·x (its 17 solvers are transpose-free); the
+# extra capability-parity methods drawn from its external-package tables
+# (BiCG/QMR from LASPACK solver-laspack.cxx:29-34, CGNR/LSQR/BiCG from PETSc
+# solver-petsc.cxx:23-32) do.  Each format gets a native transpose apply so
+# no explicit Aᵀ container has to be materialized.
+
+def _spmv_csr_t(A: CSR, x, rows=None):
+    if rows is None:
+        rows = csr_row_ids(A)
+    prod = A.data * x[rows]
+    return jax.ops.segment_sum(prod, A.indices, num_segments=A.shape[1])
+
+
+def _spmv_ell_t(A: ELL, x):
+    prod = (A.data * x[:, None]).ravel()
+    return jax.ops.segment_sum(prod, A.cols.ravel(), num_segments=A.shape[1])
+
+
+def _spmv_dia_t(A: DIA, x):
+    # y[j] = Σ_d data[d, j−off_d]·x[j−off_d]: same shifted-stream structure as
+    # the forward product with the shift sign negated (out-of-range slots are
+    # stored as 0, so no masking is needed).
+    n = A.shape[0]
+    dtype = jnp.result_type(A.data.dtype, x.dtype)
+    offs = A.offsets
+    lo = max(0, -min(offs)) if offs else 0
+    hi = max(0, max(offs)) if offs else 0
+    y = jnp.zeros(n, dtype=dtype)
+    for d, off in enumerate(offs):
+        zp = jnp.pad(A.data[d] * x, (hi, lo))
+        y = y + jax.lax.dynamic_slice(zp, (hi - off,), (n,))
+    return y
+
+
+def _spmv_bsr_t(A: BSR, x, block_rows=None):
+    bs = A.blocksize
+    if block_rows is None:
+        ip = np.asarray(A.indptr)
+        block_rows = np.repeat(np.arange(A.nrowb, dtype=np.int32), ip[1:] - ip[:-1])
+    xb = x.reshape(A.shape[0] // bs, bs)
+    gathered = xb[block_rows]                                   # (nnzb, bs)
+    prod = jnp.einsum("nij,ni->nj", A.blocks, gathered)         # blockᵀ·x
+    yb = jax.ops.segment_sum(prod, A.indices,
+                             num_segments=A.shape[1] // bs)
+    return yb.reshape(A.shape[1])
+
+
+def spmv_t(A, x):
+    """y = Aᵀ @ x for any container format."""
+    if isinstance(A, DIA):
+        return _spmv_dia_t(A, x)
+    if isinstance(A, ELL):
+        return _spmv_ell_t(A, x)
+    if isinstance(A, BSR):
+        return _spmv_bsr_t(A, x)
+    if isinstance(A, CSR):
+        return _spmv_csr_t(A, x)
+    raise TypeError(
+        f"transpose SpMV needs a matrix container, got {type(A)}; "
+        "pass an explicit At operator for callable inputs")
+
+
 # ---- reference mvops parity wrappers (include/mvops.h:9-19) ----
 
 def mv_amxpby(alpha, A, x, beta, y):

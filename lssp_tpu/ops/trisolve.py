@@ -172,6 +172,22 @@ def ilu_apply(sched_l: TriSchedule, sched_u: TriSchedule, r):
     return trisolve_upper(sched_u, trisolve_lower_unit(sched_l, r))
 
 
+def ilu_apply_t(sched_ut: TriSchedule, sched_lt: TriSchedule, r):
+    """z = M⁻ᵀ r = L⁻ᵀ (U⁻ᵀ r) for M = LU (needed by BiCG/QMR).
+
+    ``sched_ut`` is the level schedule of Uᵀ (lower-triangular, carries the
+    diagonal), ``sched_lt`` of Lᵀ (upper-triangular, unit diagonal)."""
+    return _sweep(sched_lt, _sweep(sched_ut, r))
+
+
+def ilu_transpose_schedules(L: CSR, U: CSR):
+    """Level schedules for the transposed factors (host, once)."""
+    from lssp_tpu.sparse.utils import transpose
+    sut = level_schedule(transpose(U), lower=True)
+    slt = level_schedule(transpose(L), lower=False)
+    return sut, slt
+
+
 def make_ilu_apply(L: CSR, U: CSR):
     """Build schedules from L (strict lower, unit diag) and U (with diag) and
     return a jit-friendly ``apply(r) -> z`` closure."""
@@ -240,4 +256,21 @@ def neumann_ilu_apply(state: NeumannTri, r):
     z = zr
     for _ in range(state.sweeps):
         z = zr - spmv(state.Us, z)
+    return z
+
+
+def neumann_ilu_apply_t(state: NeumannTri, r):
+    """z ≈ M⁻ᵀ r = L⁻ᵀ U⁻ᵀ r via transposed Neumann sweeps.
+
+    Needs no extra state: with U = D(I + D⁻¹Us) stored as ``Us`` = D⁻¹Us,
+    U⁻ᵀ = D⁻¹(I + UsᵀD⁻¹)⁻¹ and UsᵀD⁻¹ is exactly ``spmv_t`` on the stored
+    scaled factor; likewise L⁻ᵀ = (I + Lsᵀ)⁻¹."""
+    from lssp_tpu.ops.spmv import spmv_t
+    w = r
+    for _ in range(state.sweeps):
+        w = r - spmv_t(state.Us, w)
+    zr = state.invdiag * w
+    z = zr
+    for _ in range(state.sweeps):
+        z = zr - spmv_t(state.Ls, z)
     return z

@@ -31,17 +31,25 @@ class Preconditioner:
     apply_fn: Callable      # static: (state, r) -> z
     state: Any              # pytree of device arrays
     name: str = "user"
+    apply_t_fn: Any = None  # static: (state, r) -> M⁻ᵀr, or None (symmetric)
 
     def __call__(self, r):
         return self.apply_fn(self.state, r)
 
+    def t(self, r):
+        """Apply M⁻ᵀ (needed by BiCG/QMR).  Falls back to the forward apply
+        when no transpose is installed — exact for symmetric PCs."""
+        fn = self.apply_t_fn if self.apply_t_fn is not None else self.apply_fn
+        return fn(self.state, r)
+
 
 def _flatten(m):
-    return (m.state,), (m.apply_fn, m.name)
+    return (m.state,), (m.apply_fn, m.name, m.apply_t_fn)
 
 
 def _unflatten(aux, leaves):
-    return Preconditioner(apply_fn=aux[0], state=leaves[0], name=aux[1])
+    return Preconditioner(apply_fn=aux[0], state=leaves[0], name=aux[1],
+                          apply_t_fn=aux[2])
 
 
 jax.tree_util.register_pytree_node(Preconditioner, _flatten, _unflatten)

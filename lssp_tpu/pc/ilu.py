@@ -4,56 +4,80 @@ apply contract: lssp_pc_ilu_solve, solver-tri.cxx:48-60)."""
 from __future__ import annotations
 
 from lssp_tpu.ops.trisolve import (
-    level_schedule, ilu_apply, make_neumann_tri, neumann_ilu_apply,
+    level_schedule, ilu_apply, ilu_apply_t, ilu_transpose_schedules,
+    make_neumann_tri, neumann_ilu_apply, neumann_ilu_apply_t,
 )
 from lssp_tpu.pc.base import Preconditioner, register_pc
 from lssp_tpu.pc.ilu_host import iluk_factor, ilut_factor
 
 
 def _ilu_apply_fn(state, r):
-    sched_l, sched_u = state
-    return ilu_apply(sched_l, sched_u, r)
+    return ilu_apply(state[0], state[1], r)
+
+
+def _ilu_apply_t_fn(state, r):
+    if len(state) < 4:
+        raise ValueError("ILU transpose apply requires "
+                         "PCOptions(transpose=True) at setup")
+    return ilu_apply_t(state[2], state[3], r)
 
 
 def _neumann_apply_fn(state, r):
     return neumann_ilu_apply(state, r)
 
 
-def make_ilu_pc(L, U, name, sweeps=None):
+def _neumann_apply_t_fn(state, r):
+    return neumann_ilu_apply_t(state, r)
+
+
+def make_ilu_pc(L, U, name, sweeps=None, transpose=False):
     """Wrap split L/U factors as a device Preconditioner.
 
     sweeps=0: exact level-scheduled triangular solves.
     sweeps>0: Chow-style iterative solves — each sweep one SpMV at full VPU
     bandwidth (measured ~140x faster application on v5e at 32k rows, with
     +0..3 Krylov iterations at 6 sweeps).
-    sweeps=None: auto — 6 on the TPU backend, exact elsewhere."""
+    sweeps=None: auto — 6 on the TPU backend, exact elsewhere.
+    transpose=True additionally installs the exact M⁻ᵀ apply (BiCG/QMR);
+    the Neumann path supports it with no extra state."""
     if sweeps is None:
         import jax
         sweeps = 6 if jax.default_backend() == "tpu" else 0
     if sweeps > 0:
         state = make_neumann_tri(L, U, sweeps=sweeps)
         return Preconditioner(_neumann_apply_fn, state=state,
-                              name=f"{name}-n{sweeps}")
+                              name=f"{name}-n{sweeps}",
+                              apply_t_fn=_neumann_apply_t_fn)
     sl = level_schedule(L, lower=True)
     su = level_schedule(U, lower=False)
-    return Preconditioner(_ilu_apply_fn, state=(sl, su), name=name)
+    state = (sl, su)
+    if transpose:
+        state = state + ilu_transpose_schedules(L, U)
+    # always install the transpose fn: it raises a clear error when the
+    # transposed schedules were not built (instead of silently falling back
+    # to the forward apply, which would be numerically wrong for ILU)
+    return Preconditioner(_ilu_apply_fn, state=state, name=name,
+                          apply_t_fn=_ilu_apply_t_fn)
 
 
 @register_pc("iluk")
 def setup_iluk(A, opts):
     L, U = iluk_factor(A, level=opts.iluk_level,
                        num_blocks=opts.num_blocks or 1)
-    return make_ilu_pc(L, U, f"iluk({opts.iluk_level})", opts.ilu_sweeps)
+    return make_ilu_pc(L, U, f"iluk({opts.iluk_level})", opts.ilu_sweeps,
+                       transpose=opts.transpose)
 
 
 @register_pc("ilu0")
 def setup_ilu0(A, opts):
     L, U = iluk_factor(A, level=0, num_blocks=opts.num_blocks or 1)
-    return make_ilu_pc(L, U, "ilu0", opts.ilu_sweeps)
+    return make_ilu_pc(L, U, "ilu0", opts.ilu_sweeps,
+                       transpose=opts.transpose)
 
 
 @register_pc("ilut")
 def setup_ilut(A, opts):
     L, U = ilut_factor(A, tol=opts.ilut_tol, p=opts.ilut_p,
                        num_blocks=opts.num_blocks or 1)
-    return make_ilu_pc(L, U, "ilut", opts.ilu_sweeps)
+    return make_ilu_pc(L, U, "ilut", opts.ilu_sweeps,
+                       transpose=opts.transpose)

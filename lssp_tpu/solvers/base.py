@@ -46,6 +46,30 @@ def operator(A) -> Callable:
     return lambda v: spmv(A, v)
 
 
+def operator_t(A) -> Callable:
+    """Wrap a matrix container as x ↦ Aᵀ@x (for BiCG/QMR/CGNR/LSQR)."""
+    if callable(A) and not hasattr(A, "shape"):
+        raise TypeError("transpose-based solvers need a matrix container; "
+                        "wrap your callable pair as (A, At) or use a "
+                        "transpose-free method")
+    from lssp_tpu.ops.spmv import spmv_t
+    return lambda v: spmv_t(A, v)
+
+
+def pc_transpose(M) -> Callable:
+    """Return the Mᵀ-apply for a preconditioner.
+
+    A ``Preconditioner`` with an ``apply_t_fn`` uses it (exact, e.g. the ILU
+    family); otherwise the forward apply is reused — exact for symmetric PCs
+    (none/Jacobi/symmetric-smoother AMG)."""
+    if M is None:
+        return identity_pc
+    t = getattr(M, "t", None)
+    if t is not None:
+        return t
+    return M
+
+
 def stopping_tol(r0norm, bnorm, opts):
     """tol = max(rtol·‖r0‖, atol, rbtol·‖b‖)
     (/root/reference/src/solver-cg.cxx:66-70)."""

@@ -82,6 +82,10 @@ def solve(A, b, x0=None, method: str = "gmres", pc: Optional[str] = "none",
         if A_host is None:
             raise ValueError("preconditioner setup needs a host CSR matrix; "
                              "pass M= explicitly for operator inputs")
+        if method.lower() in ("bicg", "qmr", "cgnr", "cgn", "lsqr"):
+            # transpose-based methods need the exact M⁻ᵀ apply
+            pc_options = dataclasses.replace(pc_options or PCOptions(),
+                                             transpose=True)
         M = pc_mod.setup(A_host, pc, pc_options)
     fn = get_solver(method)
     b = jnp.asarray(b)
@@ -90,7 +94,14 @@ def solve(A, b, x0=None, method: str = "gmres", pc: Optional[str] = "none",
     if perm is not None:
         b = b[perm]
         x0 = x0[perm]
-    x, info = _jitted(fn)(A_dev, b, x0, M, opts=opts)
+    if callable(A_dev) and not hasattr(A_dev, "shape"):
+        # a bare operator is not a pytree of arrays — close over it instead
+        # of passing it through jit as a traced argument
+        closed = functools.partial(fn, A_dev)
+        x, info = jax.jit(closed, static_argnames=("opts",))(
+            b, x0, M, opts=opts)
+    else:
+        x, info = _jitted(fn)(A_dev, b, x0, M, opts=opts)
     if perm is not None:
         inv = np.empty_like(perm)
         inv[perm] = np.arange(len(perm))

@@ -26,7 +26,10 @@ def _populate():
     from lssp_tpu.solvers import gmres as _gmres
     for mod in ("bicgstab", "bicgstabl", "bicgsafe", "cgs", "gpbicg",
                 "cr", "crs", "bicrstab", "bicrsafe", "gpbicr",
-                "qmrcgstab", "tfqmr", "orthomin", "idrs", "lgmres"):
+                "qmrcgstab", "tfqmr", "orthomin", "idrs", "lgmres",
+                # capability parity with the reference's external-package
+                # solver tables (LASPACK/PETSc/LIS adapters, SURVEY §2.5)
+                "minres", "bicg", "qmr", "cgnr", "lsqr", "fgmres"):
         try:
             __import__(f"lssp_tpu.solvers.{mod}")
         except ImportError:

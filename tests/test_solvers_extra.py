@@ -1,0 +1,158 @@
+"""Tests for the capability-parity Krylov methods drawn from the reference's
+external-package solver tables (SURVEY §2.5: LASPACK solver-laspack.cxx:29-34
+exposes QMR/CGN/BiCG; PETSc solver-petsc.cxx:23-32 exposes MINRES/LSQR/
+FGMRES/BiCG), plus the transpose machinery (spmv_t, ILU M⁻ᵀ apply) they
+rely on."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lssp_tpu import solve, SolverOptions, PCOptions
+from lssp_tpu.sparse import laplacian_2d, convection_diffusion_2d
+from lssp_tpu.sparse.types import CSR
+from lssp_tpu.ops.spmv import spmv, spmv_t
+
+
+def _solve_and_check(A, b, method, pc, maxit=3000, restart=60,
+                     pc_options=None):
+    opts = SolverOptions(maxit=maxit, restart=restart)
+    x, info = solve(A, b, method=method, pc=pc, options=opts,
+                    pc_options=pc_options)
+    true_res = float(np.linalg.norm(np.asarray(b) - A.to_scipy() @ np.asarray(x)))
+    tol = max(1e-7 * float(jnp.linalg.norm(b)), 1e-7)
+    assert bool(info.converged), f"{method}+{pc} did not converge"
+    assert true_res <= 4 * tol, f"{method}+{pc}: true residual {true_res}"
+    return int(info.nits)
+
+
+# ---- SPD problem: the symmetric methods ------------------------------------
+
+class TestSymmetric:
+    A = laplacian_2d(32)
+    b = jnp.ones(A.shape[0], dtype=jnp.float64)
+
+    @pytest.mark.parametrize("pc", ["none", "jacobi", "iluk"])
+    def test_minres(self, pc):
+        _solve_and_check(self.A, self.b, "minres", pc)
+
+    def test_minres_matches_cg_iterations(self):
+        """On an SPD system MINRES and CG converge in a comparable number of
+        iterations (same Krylov space)."""
+        n_minres = _solve_and_check(self.A, self.b, "minres", "none")
+        n_cg = _solve_and_check(self.A, self.b, "cg", "none")
+        assert abs(n_minres - n_cg) <= max(5, int(0.2 * n_cg))
+
+    def test_minres_indefinite(self):
+        """MINRES handles symmetric *indefinite* systems (CG cannot)."""
+        A = self.A.to_scipy() - 3.0 * __import__("scipy.sparse", fromlist=["eye"]).eye(
+            self.A.shape[0], format="csr")
+        A = CSR.from_scipy(A.tocsr())
+        x, info = solve(A, self.b, method="minres", pc="none",
+                        options=SolverOptions(maxit=5000))
+        res = float(np.linalg.norm(np.asarray(self.b) - A.to_scipy() @ np.asarray(x)))
+        assert bool(info.converged) and res < 1e-5
+
+    @pytest.mark.parametrize("method", ["cgnr", "lsqr"])
+    def test_normal_equation_methods(self, method):
+        _solve_and_check(self.A, self.b, method, "none")
+
+    @pytest.mark.parametrize("method", ["cgnr", "lsqr"])
+    def test_normal_equation_right_pc(self, method):
+        # right-preconditioned via M⁻ᵀ; ILU makes the normal equations
+        # dramatically better conditioned
+        n_pc = _solve_and_check(self.A, self.b, method, "iluk")
+        n_raw = _solve_and_check(self.A, self.b, method, "none")
+        assert n_pc < n_raw
+
+
+# ---- nonsymmetric problem: the two-sided methods ----------------------------
+
+class TestNonsymmetric:
+    A = convection_diffusion_2d(24, beta=10.0)
+    b = jnp.ones(A.shape[0], dtype=jnp.float64)
+
+    @pytest.mark.parametrize("method", ["bicg", "qmr"])
+    @pytest.mark.parametrize("pc", ["none", "iluk", "ilut"])
+    def test_two_sided(self, method, pc):
+        _solve_and_check(self.A, self.b, method, pc)
+
+    @pytest.mark.parametrize("pc", ["iluk", "jacobi"])
+    def test_fgmres(self, pc):
+        _solve_and_check(self.A, self.b, "fgmres", pc, restart=30)
+
+    def test_fgmres_matches_rgmres(self):
+        """With a *fixed* PC, FGMRES and right-GMRES build the same Krylov
+        space — iteration counts should agree closely."""
+        nf = _solve_and_check(self.A, self.b, "fgmres", "iluk", restart=30)
+        nr = _solve_and_check(self.A, self.b, "rgmres", "iluk", restart=30)
+        assert abs(nf - nr) <= 3
+
+    def test_warm_start(self):
+        opts = SolverOptions(maxit=3000)
+        x1, _ = solve(self.A, self.b, method="bicg", pc="iluk", options=opts)
+        x2, info = solve(self.A, self.b, x0=x1, method="bicg", pc="iluk",
+                         options=opts)
+        assert int(info.nits) <= 2
+
+
+# ---- transpose machinery -----------------------------------------------------
+
+class TestTranspose:
+    def test_spmv_t_all_formats(self, rng):
+        from lssp_tpu.sparse.convert import csr_to_ell, csr_to_dia
+        from lssp_tpu.sparse.generators import random_sparse
+        A = random_sparse(96, nnz_per_row=6, seed=3)
+        x = rng.standard_normal(96)
+        want = A.to_scipy().T @ x
+        np.testing.assert_allclose(np.asarray(spmv_t(A, x)), want, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(spmv_t(csr_to_ell(A), x)), want,
+                                   rtol=1e-12)
+        dia = csr_to_dia(laplacian_2d(10))
+        xs = rng.standard_normal(100)
+        np.testing.assert_allclose(np.asarray(spmv_t(dia, xs)),
+                                   laplacian_2d(10).to_scipy().T @ xs,
+                                   rtol=1e-12)
+
+    def test_spmv_t_bsr(self, rng):
+        import scipy.sparse as sp
+        from lssp_tpu.sparse.types import BSR
+        m = sp.random(24, 24, density=0.2, random_state=7,
+                      format="csr").tobsr(blocksize=(4, 4))
+        A = BSR.from_scipy(m)
+        x = rng.standard_normal(24)
+        np.testing.assert_allclose(np.asarray(spmv_t(A, x)), m.T @ x,
+                                   rtol=1e-12)
+
+    def test_ilu_transpose_apply_exact(self):
+        """M.t(r) must equal the dense solve of (LU)ᵀ z = r."""
+        from lssp_tpu import pc as pc_mod
+        from lssp_tpu.pc.ilu_host import iluk_factor
+        A = convection_diffusion_2d(12, beta=8.0)
+        L, U = iluk_factor(A, level=1)
+        M = pc_mod.setup(A, "iluk", PCOptions(iluk_level=1, transpose=True))
+        r = np.linspace(1.0, 2.0, A.shape[0])
+        z = np.asarray(M.t(jnp.asarray(r)))
+        LU = (L.todense() + np.eye(A.shape[0])) @ U.todense()
+        want = np.linalg.solve(LU.T, r)
+        np.testing.assert_allclose(z, want, rtol=1e-10, atol=1e-12)
+
+    def test_neumann_transpose_apply(self):
+        """The sweep-based M⁻ᵀ converges to the exact transpose solve."""
+        from lssp_tpu.pc.ilu import make_ilu_pc
+        from lssp_tpu.pc.ilu_host import iluk_factor
+        A = laplacian_2d(12)
+        L, U = iluk_factor(A, level=0)
+        M = make_ilu_pc(L, U, "ilu0", sweeps=40)
+        r = np.linspace(1.0, 2.0, A.shape[0])
+        z = np.asarray(M.t(jnp.asarray(r)))
+        LU = (L.todense() + np.eye(A.shape[0])) @ U.todense()
+        want = np.linalg.solve(LU.T, r)
+        np.testing.assert_allclose(z, want, rtol=1e-6, atol=1e-8)
+
+    def test_transpose_requires_flag_for_exact_ilu(self):
+        from lssp_tpu import pc as pc_mod
+        A = laplacian_2d(8)
+        M = pc_mod.setup(A, "iluk", PCOptions(iluk_level=1))
+        with pytest.raises(ValueError, match="transpose"):
+            M.t(jnp.ones(64))
