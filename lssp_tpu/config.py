@@ -94,6 +94,10 @@ class PCOptions:
                                           # CPU); 0 = force exact; k>0 = k
                                           # iterative SpMV sweeps
     omega: float = 1.0                    # damping (Jacobi/smoothers)
+    lu_order: str = "rcm"                 # direct-LU fill-reducing ordering
+                                          # ("rcm" | None)
+    lu_pivot_tol: float = 0.1             # diagonal-preference threshold for
+                                          # partial pivoting (1.0 = strict)
     transpose: bool = False               # also build the exact M⁻ᵀ apply
                                           # (needed by BiCG/QMR with exact
                                           # level-scheduled ILU; the Neumann

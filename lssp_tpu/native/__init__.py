@@ -16,7 +16,8 @@ import threading
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "src", "ilu.cpp")
+_SRCS = [os.path.join(_HERE, "src", "ilu.cpp"),
+         os.path.join(_HERE, "src", "splu.cpp")]
 _BUILD_DIR = os.path.join(_HERE, "_build")
 _LIB_PATH = os.path.join(_BUILD_DIR, "liblssp_native.so")
 
@@ -30,8 +31,11 @@ _f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 
 def _build() -> bool:
     os.makedirs(_BUILD_DIR, exist_ok=True)
-    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-           _SRC, "-o", _LIB_PATH]
+    # -ffp-contract=off: no FMA contraction, so outputs are bit-identical to
+    # the pure-Python oracle implementations (these kernels are gather-bound;
+    # the cost is negligible)
+    cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off", "-std=c++17",
+           "-shared", "-fPIC", *_SRCS, "-o", _LIB_PATH]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
@@ -50,8 +54,9 @@ def load():
         _tried = True
         if os.environ.get("LSSP_TPU_NO_NATIVE"):
             return None
-        if not os.path.exists(_LIB_PATH) or (
-                os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
+        if not os.path.exists(_LIB_PATH) or any(
+                os.path.getmtime(_LIB_PATH) < os.path.getmtime(s)
+                for s in _SRCS):
             if not _build():
                 return None
         try:
@@ -74,6 +79,17 @@ def load():
         lib.lssp_pattern_fetch.argtypes = [ctypes.c_void_p, _i64p, _i64p,
                                            ctypes.c_void_p]
         lib.lssp_pattern_free.argtypes = [ctypes.c_void_p]
+        lib.lssp_splu.argtypes = [_i64p, _i64p, _f64p, ctypes.c_int64,
+                                  ctypes.c_double, ctypes.c_double,
+                                  ctypes.c_double,
+                                  ctypes.POINTER(ctypes.c_int64)]
+        lib.lssp_splu.restype = ctypes.c_void_p
+        lib.lssp_splu_sizes.argtypes = [ctypes.c_void_p,
+                                        ctypes.POINTER(ctypes.c_int64),
+                                        ctypes.POINTER(ctypes.c_int64)]
+        lib.lssp_splu_fetch.argtypes = [ctypes.c_void_p, _i64p, _i64p, _f64p,
+                                        _i64p, _i64p, _f64p, _i64p]
+        lib.lssp_splu_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -116,6 +132,32 @@ def iluk_symbolic(indptr: np.ndarray, indices: np.ndarray, n: int,
     lib.lssp_pattern_fetch(h, new_ip, new_idx, None)
     lib.lssp_pattern_free(h)
     return new_ip, new_idx
+
+
+def splu(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray, n: int,
+         pivot_tol: float, ztol: float, zval: float):
+    """Left-looking sparse LU with threshold partial pivoting.  Input is CSC
+    (Ap, Ai, Ax); returns (Lp, Li, Lx, Up, Ui, Ux, pinv, nclamped) — L
+    unit-diagonal (diag not stored), U with diagonal, both CSC in pivot-row
+    numbering; pinv maps original row -> pivot position."""
+    lib = load()
+    info = ctypes.c_int64(0)
+    h = lib.lssp_splu(np.ascontiguousarray(indptr, np.int64),
+                      np.ascontiguousarray(indices, np.int64),
+                      np.ascontiguousarray(data, np.float64),
+                      n, pivot_tol, ztol, zval, ctypes.byref(info))
+    lnnz, unnz = ctypes.c_int64(0), ctypes.c_int64(0)
+    lib.lssp_splu_sizes(h, ctypes.byref(lnnz), ctypes.byref(unnz))
+    Lp = np.zeros(n + 1, dtype=np.int64)
+    Li = np.zeros(lnnz.value, dtype=np.int64)
+    Lx = np.zeros(lnnz.value, dtype=np.float64)
+    Up = np.zeros(n + 1, dtype=np.int64)
+    Ui = np.zeros(unnz.value, dtype=np.int64)
+    Ux = np.zeros(unnz.value, dtype=np.float64)
+    pinv = np.zeros(n, dtype=np.int64)
+    lib.lssp_splu_fetch(h, Lp, Li, Lx, Up, Ui, Ux, pinv)
+    lib.lssp_splu_free(h)
+    return Lp, Li, Lx, Up, Ui, Ux, pinv, int(info.value)
 
 
 def ilut(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray, n: int,

@@ -12,6 +12,7 @@ from lssp_tpu.pc.ilu_host import iluk_symbolic, ilu0_numeric, iluk_factor, ilut_
 from lssp_tpu.pc import ilu as _ilu          # registers iluk/ilu0/ilut
 from lssp_tpu.pc import biluk as _biluk      # registers biluk
 from lssp_tpu.pc import amg as _amg          # registers amg
+from lssp_tpu.pc import lu as _lu            # registers lu (direct)
 
 __all__ = ["Preconditioner", "setup", "PC_REGISTRY",
            "iluk_symbolic", "ilu0_numeric", "iluk_factor", "ilut_factor"]

@@ -77,6 +77,8 @@ def solve(A, b, x0=None, method: str = "gmres", pc: Optional[str] = "none",
     ``M`` a prebuilt Preconditioner / callable.
     """
     opts = (options or SolverOptions()).resolved()
+    if method.lower() in ("direct", "splu") and pc in (None, "none") and M is None:
+        pc = "lu"   # direct solve = one application of the exact-LU PC
     A_host, A_dev, perm = _prepare_matrix(A, reorder=reorder)
     if M is None and pc not in (None, "none"):
         if A_host is None:
@@ -142,6 +144,9 @@ class Solver:
         """Convert the matrix, build the PC (factorization cost lives here —
         reference lssp_solver_assemble → lssp_pc_assemble, lssp.cxx:142-189)."""
         self.A_host, self.A_dev, self.perm = _prepare_matrix(A, reorder=reorder)
+        if self.method.lower() in ("direct", "splu") and \
+                self.pc_type in (None, "none"):
+            self.pc_type = "lu"
         if self.pc_type not in (None, "none"):
             self.M = pc_mod.setup(self.A_host, self.pc_type, self.pc_options)
         if b is not None:

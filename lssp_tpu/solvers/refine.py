@@ -54,6 +54,8 @@ def solve_ir(A, b, x0=None, method: str = "gmres",
         lambda a: jnp.asarray(a, inner_dtype)
         if jnp.asarray(a).dtype in (jnp.float64, jnp.float32) else a, A64)
 
+    if method.lower() in ("direct", "splu") and pc in (None, "none"):
+        pc = "lu"   # IR around a direct solve: exact fp32 LU inner
     M32 = None
     if pc not in (None, "none"):
         M32 = pc_mod.setup(A_host.astype(np.dtype(inner_dtype)), pc,

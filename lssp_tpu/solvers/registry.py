@@ -29,7 +29,10 @@ def _populate():
                 "qmrcgstab", "tfqmr", "orthomin", "idrs", "lgmres",
                 # capability parity with the reference's external-package
                 # solver tables (LASPACK/PETSc/LIS adapters, SURVEY §2.5)
-                "minres", "bicg", "qmr", "cgnr", "lsqr", "fgmres"):
+                "minres", "bicg", "qmr", "cgnr", "lsqr", "fgmres",
+                # native sparse direct LU (the reference's external
+                # UMFPACK/KLU/SuperLU/MUMPS/PARDISO capability)
+                "direct"):
         try:
             __import__(f"lssp_tpu.solvers.{mod}")
         except ImportError:

@@ -19,7 +19,9 @@ def is_sorted(A: CSR) -> bool:
         return True
     rising = np.ones(len(idx), dtype=bool)
     rising[1:] = idx[1:] > idx[:-1]
-    rising[ip[1:-1]] = True       # row starts may go backwards
+    # row starts may go backwards; trailing empty rows make ip[1:-1] hit nnz
+    starts = ip[1:-1]
+    rising[starts[starts < len(idx)]] = True
     return bool(rising.all())
 
 

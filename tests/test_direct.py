@@ -1,0 +1,115 @@
+"""Native sparse direct LU tests (the reference's external direct-solver
+capability — UMFPACK/KLU/SuperLU/MUMPS/PARDISO wrappers, SURVEY §2.5 —
+reimplemented natively: Gilbert–Peierls host factorization + device
+level-scheduled triangular solves)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from lssp_tpu import solve, solve_ir, SolverOptions, PCOptions
+from lssp_tpu.pc.lu_host import splu_factor, _splu_python
+from lssp_tpu.sparse.generators import (
+    laplacian_2d, convection_diffusion_2d, random_sparse)
+from lssp_tpu.sparse.types import CSR
+from lssp_tpu.sparse.utils import transpose
+
+
+def _residual(A, x, b):
+    return float(np.linalg.norm(np.asarray(b) - A.to_scipy() @ np.asarray(x)))
+
+
+class TestFactorization:
+    @pytest.mark.parametrize("gen,order", [
+        (lambda: laplacian_2d(16), "rcm"),
+        (lambda: convection_diffusion_2d(12, beta=25.0), "rcm"),
+        (lambda: random_sparse(150, nnz_per_row=6, seed=1), None),
+    ])
+    def test_exact_vs_scipy(self, gen, order):
+        A = gen()
+        n = A.shape[0]
+        f = splu_factor(A, order=order)
+        assert f.nclamped == 0
+        b = np.linspace(1.0, 2.0, n)
+        Ld = f.L.todense() + np.eye(n)
+        Ud = f.U.todense()
+        x = np.linalg.solve(Ud, np.linalg.solve(Ld, b[f.perm_in]))[f.perm_out]
+        xs = spla.spsolve(A.to_scipy().tocsc(), b)
+        np.testing.assert_allclose(x, xs, rtol=1e-8, atol=1e-10)
+
+    def test_pivoting_indefinite(self):
+        """A shifted (indefinite) Laplacian has small/negative pivots without
+        pivoting; threshold pivoting must keep the factorization exact."""
+        A = CSR.from_scipy(
+            (laplacian_2d(10).to_scipy() - 3.0 * sp.eye(100)).tocsr())
+        f = splu_factor(A)
+        assert f.nclamped == 0
+        b = np.ones(100)
+        Ld, Ud = f.L.todense() + np.eye(100), f.U.todense()
+        x = np.linalg.solve(Ud, np.linalg.solve(Ld, b[f.perm_in]))[f.perm_out]
+        assert np.linalg.norm(b - A.to_scipy() @ x) < 1e-9
+
+    def test_python_native_parity(self, monkeypatch):
+        """C++ and Python paths produce identical factors."""
+        A = convection_diffusion_2d(8, beta=15.0)
+        f1 = splu_factor(A, order=None)
+        Bt = transpose(A)
+        out = _splu_python(np.asarray(Bt.indptr, np.int64),
+                           np.asarray(Bt.indices, np.int64),
+                           np.asarray(Bt.data, np.float64),
+                           A.shape[0], 0.1, 1e-10, 1e-3)
+        Lp, Li, Lx, Up, Ui, Ux, pinv, ncl = out
+        L2 = transpose(CSR(Lp, Li, Lx, A.shape))
+        U2 = transpose(CSR(Up, Ui, Ux, A.shape))
+        np.testing.assert_array_equal(f1.L.todense(), L2.todense())
+        np.testing.assert_array_equal(f1.U.todense(), U2.todense())
+
+    def test_zero_pivot_clamped(self):
+        """A structurally singular matrix is clamped, not crashed
+        (reference zero-pivot convention, pc-iluk.cxx:367-374)."""
+        A = CSR.from_scipy(sp.diags(np.r_[np.ones(9), 0.0]).tocsr())
+        f = splu_factor(A, order=None)
+        assert f.nclamped >= 1
+
+    def test_rcm_reduces_fill(self):
+        A = laplacian_2d(24)
+        f_rcm = splu_factor(A, order="rcm")
+        f_raw = splu_factor(A, order=None)
+        assert f_rcm.L.nnz + f_rcm.U.nnz <= f_raw.L.nnz + f_raw.U.nnz
+
+
+class TestDirectSolve:
+    def test_direct_method(self):
+        A = convection_diffusion_2d(20, beta=10.0)
+        b = jnp.ones(A.shape[0], dtype=jnp.float64)
+        x, info = solve(A, b, method="direct")
+        assert int(info.nits) == 1 and bool(info.converged)
+        assert _residual(A, x, b) < 1e-9
+
+    def test_lu_pc_one_iteration(self):
+        """An exact-LU PC converges any Krylov method in one iteration."""
+        A = laplacian_2d(24)
+        b = jnp.ones(A.shape[0], dtype=jnp.float64)
+        for method in ("cg", "gmres", "bicgstab"):
+            x, info = solve(A, b, method=method, pc="lu")
+            assert int(info.nits) <= 2, method
+            assert _residual(A, x, b) < 1e-8
+
+    def test_ir_direct(self):
+        """Mixed-precision direct: fp32 LU inner + fp64 refinement."""
+        A = laplacian_2d(24)
+        b = jnp.ones(A.shape[0], dtype=jnp.float64)
+        x, info = solve_ir(A, b, method="direct")
+        assert bool(info.converged)
+        assert _residual(A, x, b) < 1e-6
+
+    def test_lifecycle_caches_factorization(self):
+        from lssp_tpu.solvers.facade import Solver
+        A = convection_diffusion_2d(16, beta=5.0)
+        b = jnp.ones(A.shape[0], dtype=jnp.float64)
+        s = Solver(method="direct").assemble(A, b)
+        x1 = s.solve()
+        x2 = s.solve(b=2 * b)      # reuses factors — reference reset_rhs
+        np.testing.assert_allclose(np.asarray(x2), 2 * np.asarray(x1),
+                                   rtol=1e-10)
