@@ -88,6 +88,8 @@ class PCOptions:
     ilut_p: Optional[int] = None          # ILUT max fill per row (-1 = auto)
     num_blocks: Optional[int] = None      # block count for block-ILU
     block_size: Optional[int] = None      # uniform block size for BSR paths
+    block_sizes: Any = None               # variable block sizes (vbiluk /
+                                          # vbilut; reference s.blk_size[])
     ilu_sweeps: Optional[int] = None      # triangular-solve strategy:
                                           # None = auto (6 Neumann sweeps on
                                           # TPU, exact level scheduling on

@@ -1,0 +1,122 @@
+"""Block-ILUT and variable-block ILU tests (the reference's ITSOL adapter
+capabilities: BILUT pc-bilut.cxx:12-112, VBILUK pc-vbiluk.cxx:8-65, VBILUT
+pc-vbilut.cxx:7-76 — reimplemented natively; variable blocks are embedded
+into uniform bs_max blocks for static MXU shapes)."""
+import itertools
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lssp_tpu import solve, SolverOptions, PCOptions
+from lssp_tpu.sparse.generators import elasticity_2d, laplacian_2d
+
+
+def _var_sizes(n, cycle=(2, 3, 4)):
+    szs, rem = [], n
+    for s in itertools.cycle(cycle):
+        if rem <= max(cycle):
+            szs.append(rem)
+            break
+        szs.append(s)
+        rem -= s
+    return szs
+
+
+class TestBlockPCs:
+    A = elasticity_2d(10)
+    b = jnp.ones(A.shape[0], dtype=jnp.float64)
+
+    def _run(self, pc, po):
+        x, info = solve(self.A, self.b, method="gmres", pc=pc, pc_options=po,
+                        options=SolverOptions(maxit=2000, restart=60))
+        res = float(np.linalg.norm(
+            np.asarray(self.b) - self.A.to_scipy() @ np.asarray(x)))
+        assert bool(info.converged), f"{pc} did not converge"
+        assert res < 1e-5
+        return int(info.nits)
+
+    def test_bilut(self):
+        n_bilut = self._run("bilut", PCOptions(block_size=2, ilut_tol=1e-3))
+        n_none = 693  # unpreconditioned GMRES baseline is far worse
+        assert n_bilut < 100
+
+    def test_bilut_tighter_tol_fewer_iterations(self):
+        loose = self._run("bilut", PCOptions(block_size=2, ilut_tol=5e-2))
+        tight = self._run("bilut", PCOptions(block_size=2, ilut_tol=1e-4))
+        assert tight <= loose
+
+    def test_vbiluk_uniform_matches_biluk(self):
+        """Uniform variable blocks must reproduce the uniform-BSR path
+        exactly (the padding embedding is the identity there)."""
+        n = self.A.shape[0]
+        n1 = self._run("vbiluk", PCOptions(block_sizes=[2] * (n // 2),
+                                           iluk_level=1))
+        n2 = self._run("biluk", PCOptions(block_size=2, iluk_level=1))
+        assert n1 == n2
+
+    def test_vbiluk_variable(self):
+        n = self.A.shape[0]
+        self._run("vbiluk", PCOptions(block_sizes=_var_sizes(n),
+                                      iluk_level=1))
+
+    def test_vbilut_variable(self):
+        n = self.A.shape[0]
+        self._run("vbilut", PCOptions(block_sizes=_var_sizes(n),
+                                      ilut_tol=1e-3))
+
+    def test_vbilu_bad_sizes(self):
+        with pytest.raises(AssertionError, match="sum"):
+            solve(self.A, self.b, method="gmres", pc="vbiluk",
+                  pc_options=PCOptions(block_sizes=[2, 3]))
+
+    def test_vbilu_requires_sizes(self):
+        with pytest.raises(ValueError, match="block_sizes"):
+            solve(self.A, self.b, method="gmres", pc="vbiluk",
+                  pc_options=PCOptions())
+
+
+class TestRelaxPCs:
+    """SSOR/SOR/GS (LASPACK solver-laspack.cxx:29-34 / LIS
+    solver-lis.cxx:8-41 PC-table capabilities)."""
+
+    A = laplacian_2d(16)
+    b = jnp.ones(A.shape[0], dtype=jnp.float64)
+
+    @pytest.mark.parametrize("pc,omega", [("ssor", 1.0), ("ssor", 1.5),
+                                          ("gs", 1.0), ("sor", 1.3)])
+    def test_exact_apply(self, pc, omega):
+        from lssp_tpu import pc as pc_mod
+        A = laplacian_2d(12)
+        n = A.shape[0]
+        Ad = A.todense()
+        D = np.diag(np.diag(Ad))
+        L = np.tril(Ad, -1)
+        U = np.triu(Ad, 1)
+        M = pc_mod.setup(A, pc, PCOptions(omega=omega, ilu_sweeps=0))
+        if pc == "ssor":
+            Md = (D + omega * L) @ np.linalg.inv(D) @ (D + omega * U) \
+                / (omega * (2 - omega))
+        else:
+            w = 1.0 if pc == "gs" else omega
+            Md = D / w + L
+        r = np.linspace(1.0, 2.0, n)
+        np.testing.assert_allclose(np.asarray(M(jnp.asarray(r))),
+                                   np.linalg.solve(Md, r),
+                                   rtol=1e-10, atol=1e-12)
+
+    def test_ssor_accelerates_cg(self):
+        x, info = solve(self.A, self.b, method="cg", pc="ssor")
+        x0, info0 = solve(self.A, self.b, method="cg", pc="none")
+        assert bool(info.converged)
+        assert int(info.nits) < int(info0.nits)
+
+    def test_ssor_transpose_symmetric(self):
+        """For symmetric A, M_SSOR is symmetric: M.t == M apply."""
+        from lssp_tpu import pc as pc_mod
+        A = laplacian_2d(10)
+        M = pc_mod.setup(A, "ssor", PCOptions(omega=1.2, ilu_sweeps=0,
+                                              transpose=True))
+        r = jnp.asarray(np.linspace(1.0, 2.0, A.shape[0]))
+        np.testing.assert_allclose(np.asarray(M.t(r)), np.asarray(M(r)),
+                                   rtol=1e-10)
