@@ -104,6 +104,11 @@ class PCOptions:
                                           # (needed by BiCG/QMR with exact
                                           # level-scheduled ILU; the Neumann
                                           # ILU path supports Mᵀ for free)
+    # ARMS multilevel recursive Schur (reference ITSOL ARMS adapter,
+    # pc-arms.cxx:83-153; ipar/droptol analogs)
+    arms_tol: float = 1e-3                # Schur drop tolerance
+    arms_max_levels: int = 10
+    arms_coarse_size: int = 200           # direct-LU below this size
     # AMG knobs (native classical AMG — new construction, no reference analog)
     amg_max_levels: int = 12
     amg_coarse_size: int = 64

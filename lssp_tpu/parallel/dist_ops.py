@@ -53,7 +53,11 @@ def make_dist_spmv(M: DistELL, axis: str):
 
 
 def make_psum_dot(axis: str):
-    """Distributed ⟨x,y⟩: local dot + psum over the mesh axis."""
+    """Distributed ⟨x,y⟩: local dot + psum over the mesh axis.
+
+    Local part is multiply+sum, not jnp.dot — the TPU fp64 vector
+    dot_general path loses ~1e-6 relative accuracy (see
+    lssp_tpu.solvers.base.vdot)."""
     def dot(x, y):
-        return lax.psum(jnp.dot(x, y), axis)
+        return lax.psum(jnp.sum(x * y), axis)
     return dot

@@ -14,6 +14,7 @@ from lssp_tpu.pc import biluk as _biluk      # registers biluk
 from lssp_tpu.pc import amg as _amg          # registers amg
 from lssp_tpu.pc import lu as _lu            # registers lu (direct)
 from lssp_tpu.pc import relax as _relax      # registers ssor/sor/gs
+from lssp_tpu.pc import arms as _arms        # registers arms
 
 __all__ = ["Preconditioner", "setup", "PC_REGISTRY",
            "iluk_symbolic", "ilu0_numeric", "iluk_factor", "ilut_factor"]

@@ -15,13 +15,14 @@ import jax
 import jax.numpy as jnp
 
 from lssp_tpu.solvers.base import (
+    vdot, 
     SolveInfo, init_state, stopping_tol, history_init, history_update,
 )
 from lssp_tpu.solvers.registry import register_solver
 
 
 @register_solver("bicgstabl")
-def bicgstabl(A, b, x0=None, M=None, opts=None, dot=jnp.dot):
+def bicgstabl(A, b, x0=None, M=None, opts=None, dot=vdot):
     l = opts.bgsl
     op, pc, x_in, r0 = init_state(A, b, x0, M)
     dtype = b.dtype

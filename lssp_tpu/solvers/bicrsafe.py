@@ -7,13 +7,14 @@ import jax
 import jax.numpy as jnp
 
 from lssp_tpu.solvers.base import (
+    vdot, 
     SolveInfo, init_state, stopping_tol, history_init, history_update,
 )
 from lssp_tpu.solvers.registry import register_solver
 
 
 @register_solver("bicrsafe")
-def bicrsafe(A, b, x0=None, M=None, opts=None, dot=jnp.dot):
+def bicrsafe(A, b, x0=None, M=None, opts=None, dot=vdot):
     op, pc, x, r = init_state(A, b, x0, M)
     dtype = b.dtype
     bnorm = jnp.sqrt(dot(b, b))

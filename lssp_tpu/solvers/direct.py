@@ -14,12 +14,12 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from lssp_tpu.solvers.base import SolveInfo, init_state, stopping_tol
+from lssp_tpu.solvers.base import SolveInfo, init_state, stopping_tol, vdot
 from lssp_tpu.solvers.registry import register_solver
 
 
 @register_solver("direct", "splu")
-def direct(A, b, x0=None, M=None, opts=None, dot=jnp.dot):
+def direct(A, b, x0=None, M=None, opts=None, dot=vdot):
     if M is None:
         raise ValueError('method="direct" needs an exact preconditioner; '
                          'use solve(..., method="direct") (the facade '

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from lssp_tpu.solvers.base import (
+    vdot, basis_combine,
     SolveInfo, init_state, stopping_tol, history_init, history_update,
 )
 from lssp_tpu.solvers.registry import register_solver
@@ -90,7 +91,7 @@ def _fgmres_cycle(op, pc, v0, beta_p, m, maxit, itr0, tol, dot, breakdown):
 
 
 @register_solver("fgmres")
-def fgmres(A, b, x0=None, M=None, opts=None, dot=jnp.dot):
+def fgmres(A, b, x0=None, M=None, opts=None, dot=vdot):
     m = opts.restart
     maxit = opts.maxit
     op, pc, x, rg = init_state(A, b, x0, M)
@@ -111,7 +112,7 @@ def fgmres(A, b, x0=None, M=None, opts=None, dot=jnp.dot):
         Z, H, gg, kk, itr, gs_norm = _fgmres_cycle(
             op, pc, v0, bp, m, maxit, itr, tol, dot, opts.breakdown)
         ym = _solve_ym(H, gg, kk, m)
-        x = x + ym @ Z
+        x = x + basis_combine(ym, Z)
         rg = b - op(x)
         beta = jnp.sqrt(dot(rg, rg))       # true residual each restart
         hist = history_update(opts, hist, itr, beta)

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from lssp_tpu.solvers.base import (
+    vdot, basis_combine,
     SolveInfo, init_state, stopping_tol, history_init, history_update,
 )
 from lssp_tpu.solvers.registry import register_solver
@@ -151,7 +152,7 @@ def _gmres(A, b, x0, M, opts, dot, right):
             op, pc, v0, bp, m, maxit, itr, gstol if not right else tol,
             right, dot, opts.breakdown)
         ym = _solve_ym(H, gg, kk, m)
-        vy = ym @ V
+        vy = basis_combine(ym, V)
         if right:
             x = x + pc(vy)
             beta = gs_norm                     # Givens estimate is the residual
@@ -174,12 +175,12 @@ def _gmres(A, b, x0, M, opts, dot, right):
 
 
 @register_solver("gmres")
-def gmres(A, b, x0=None, M=None, opts=None, dot=jnp.dot):
+def gmres(A, b, x0=None, M=None, opts=None, dot=vdot):
     """Left-preconditioned GMRES(m) (reference LSSP_SOLVER_GMRES)."""
     return _gmres(A, b, x0, M, opts, dot, right=False)
 
 
 @register_solver("rgmres")
-def gmres_r(A, b, x0=None, M=None, opts=None, dot=jnp.dot):
+def gmres_r(A, b, x0=None, M=None, opts=None, dot=vdot):
     """Right-preconditioned GMRES(m) (reference LSSP_SOLVER_RGMRES)."""
     return _gmres(A, b, x0, M, opts, dot, right=True)

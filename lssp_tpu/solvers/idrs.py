@@ -11,13 +11,15 @@ import jax
 import jax.numpy as jnp
 
 from lssp_tpu.solvers.base import (
+    basis_combine,
+    vdot, 
     SolveInfo, init_state, stopping_tol, history_init, history_update,
 )
 from lssp_tpu.solvers.registry import register_solver
 
 
 @register_solver("idrs")
-def idrs(A, b, x0=None, M=None, opts=None, dot=jnp.dot):
+def idrs(A, b, x0=None, M=None, opts=None, dot=vdot):
     s = opts.idrs
     op, pc, x, r = init_state(A, b, x0, M)
     dtype = b.dtype
@@ -60,7 +62,7 @@ def idrs(A, b, x0=None, M=None, opts=None, dot=jnp.dot):
         res = jnp.where(go, res_new, res)
         it = jnp.where(go, k + 1, it)
         hist = history_update(opts, hist, k + 1, res)
-        Mg = jnp.where(go, Mg.at[:, k].set(P @ dR[k]), Mg)
+        Mg = jnp.where(go, Mg.at[:, k].set(jnp.sum(P * dR[k][None, :], axis=1)), Mg)
         stopped = stopped | (res <= tol)
         return (x, r, dX, dR, Mg, om_k, res, it, stopped, hist)
 
@@ -72,7 +74,7 @@ def idrs(A, b, x0=None, M=None, opts=None, dot=jnp.dot):
     x, r, dX, dR, Mg, om, res, it, stopped, hist = jax.lax.fori_loop(
         0, s, warm, state)
 
-    m_vec = P @ r
+    m_vec = jnp.sum(P * r[None, :], axis=1)
 
     def cond(carry):
         it, x, r, dX, dR, Mg, m_vec, om, oldest, res, hist = carry
@@ -81,19 +83,19 @@ def idrs(A, b, x0=None, M=None, opts=None, dot=jnp.dot):
     def body(carry):
         it, x, r, dX, dR, Mg, m_vec, om, oldest, res, hist = carry
         c = jnp.linalg.solve(Mg, m_vec)
-        v = r - c @ dR
+        v = r - basis_combine(c, dR)
         av = pc(v)
 
         def with_omega():
             t = op(av)
             h = dot(t, t)
             om_new = dot(t, v) / jnp.where(h == 0.0, 1.0, h)
-            dx = om_new * av - c @ dX
-            dr = -om_new * t - c @ dR
+            dx = om_new * av - basis_combine(c, dX)
+            dr = -om_new * t - basis_combine(c, dR)
             return dx, dr, om_new
 
         def without_omega():
-            dx = om * av - c @ dX
+            dx = om * av - basis_combine(c, dX)
             dr = op(dx)
             return dx, -dr, om
 
@@ -106,7 +108,7 @@ def idrs(A, b, x0=None, M=None, opts=None, dot=jnp.dot):
         it = it + 1
         res = jnp.sqrt(dot(r, r))
         hist = history_update(opts, hist, it, res)
-        h_vec = P @ dr
+        h_vec = jnp.sum(P * dr[None, :], axis=1)
         m_vec = m_vec + h_vec
         Mg = Mg.at[:, oldest].set(h_vec)
         oldest = jnp.mod(oldest + 1, s)

@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 
 from lssp_tpu.solvers.base import (
+    basis_combine,
+    vdot, 
     SolveInfo, init_state, stopping_tol, history_init, history_update,
 )
 from lssp_tpu.solvers.registry import register_solver
@@ -129,7 +131,7 @@ def _lgmres(A, b, x0, M, opts, dot, right):
             op, pc, v0, bp, Z, mk, auk, m_dyn, m_max, maxit, itr,
             gstol if not right else tol, right, dot, opts.breakdown)
         ym = _solve_ym(H, gg, kk, m_max)
-        corr = ym[:mk] @ V[:mk] + (ym[mk:] @ Z if auk > 0 else 0.0)
+        corr = basis_combine(ym[:mk], V[:mk]) + (basis_combine(ym[mk:], Z) if auk > 0 else 0.0)
         if right:
             x = x + pc(corr)
             beta = gs_norm
@@ -157,12 +159,12 @@ def _lgmres(A, b, x0, M, opts, dot, right):
 
 
 @register_solver("lgmres")
-def lgmres(A, b, x0=None, M=None, opts=None, dot=jnp.dot):
+def lgmres(A, b, x0=None, M=None, opts=None, dot=vdot):
     """Left-preconditioned LGMRES(m,k) (reference LSSP_SOLVER_LGMRES)."""
     return _lgmres(A, b, x0, M, opts, dot, right=False)
 
 
 @register_solver("rlgmres")
-def lgmres_r(A, b, x0=None, M=None, opts=None, dot=jnp.dot):
+def lgmres_r(A, b, x0=None, M=None, opts=None, dot=vdot):
     """Right-preconditioned LGMRES(m,k) (reference LSSP_SOLVER_RLGMRES)."""
     return _lgmres(A, b, x0, M, opts, dot, right=True)

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from lssp_tpu.solvers.base import (
+    vdot, 
     SolveInfo, identity_pc, operator, operator_t, pc_transpose, stopping_tol,
     history_init, history_update,
 )
@@ -24,7 +25,7 @@ from lssp_tpu.solvers.registry import register_solver
 
 
 @register_solver("lsqr")
-def lsqr(A, b, x0=None, M=None, opts=None, dot=jnp.dot):
+def lsqr(A, b, x0=None, M=None, opts=None, dot=vdot):
     a_op, a_opt = operator(A), operator_t(A)
     if M is None:
         op, opt = a_op, a_opt

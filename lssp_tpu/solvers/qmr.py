@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from lssp_tpu.solvers.base import (
+    vdot, 
     SolveInfo, init_state, operator_t, pc_transpose, stopping_tol,
     history_init, history_update,
 )
@@ -21,7 +22,7 @@ from lssp_tpu.solvers.registry import register_solver
 
 
 @register_solver("qmr")
-def qmr(A, b, x0=None, M=None, opts=None, dot=jnp.dot):
+def qmr(A, b, x0=None, M=None, opts=None, dot=vdot):
     op, pc, x, r = init_state(A, b, x0, M)
     opt = operator_t(A)
     pct = pc_transpose(M)

@@ -1,0 +1,100 @@
+"""Checkpoint / resume.
+
+The reference has none (SURVEY §5); its solvers support warm restart by
+construction — x is read as the initial guess everywhere (r0 = b − A·x,
+/root/reference/src/solver-cg.cxx:59) and factorizations are cached behind
+``factored`` flags (solver-umfpack.cxx:43-44).  This module makes that
+durable: Krylov state is tiny (x), so a checkpoint is the solution vector
+plus metadata; preconditioner state (ILU/LU factors, level schedules, AMG
+hierarchies, ARMS levels) is a pytree of arrays and round-trips losslessly.
+
+Uses plain ``pickle`` with device arrays converted to numpy — every
+``apply_fn`` in the framework is a module-level function (or a
+``functools.partial`` of one), so Preconditioner objects serialize by
+reference without any custom machinery.
+"""
+from __future__ import annotations
+
+import pickle
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(
+        lambda a: np.asarray(a) if hasattr(a, "shape") else a, tree)
+
+
+def _to_device(tree):
+    import jax.numpy as jnp
+    return jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a) if isinstance(a, np.ndarray) else a, tree)
+
+
+def save_checkpoint(path: str, x=None, M=None, info=None, **extra) -> None:
+    """Write a checkpoint: current iterate ``x`` (warm-restart state),
+    optional preconditioner ``M`` (factors survive the round trip, so
+    resume skips re-factorization), optional ``SolveInfo`` and any extra
+    pytrees (e.g. ``b``, solver options)."""
+    payload = {"x": _to_host(x) if x is not None else None,
+               "M": _to_host(M) if M is not None else None,
+               "info": _to_host(info) if info is not None else None,
+               "extra": _to_host(extra)}
+    with open(path, "wb") as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def load_checkpoint(path: str, device: bool = True) -> dict:
+    """Read a checkpoint written by ``save_checkpoint``.  Returns a dict
+    with keys ``x``, ``M``, ``info`` and the extras; arrays are moved back
+    to the default device unless ``device=False``."""
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    out = dict(payload.pop("extra", {}))
+    out.update(payload)
+    if device:
+        out = _to_device(out)
+    return out
+
+
+def checkpointed_solve(A, b, path: str, every: int = 100, method="gmres",
+                       pc: Optional[str] = "none", options=None,
+                       pc_options=None, max_rounds: int = 1000):
+    """Solve with periodic checkpointing: runs ``every`` iterations at a
+    time, writing ``path`` after each round; if ``path`` exists, resumes
+    from it (x and the factorized preconditioner are restored, so neither
+    prior iterations nor setup cost are repeated)."""
+    import dataclasses
+    import os
+
+    import jax.numpy as jnp
+
+    from lssp_tpu import pc as pc_mod
+    from lssp_tpu.config import SolverOptions
+    from lssp_tpu.solvers.facade import solve
+
+    opts = (options or SolverOptions()).resolved()
+    x0, M = None, None
+    done = 0
+    if os.path.exists(path):
+        ck = load_checkpoint(path)
+        x0, M = ck["x"], ck["M"]
+        done = int(ck.get("nits_done", 0))
+    if M is None and pc not in (None, "none"):
+        M = pc_mod.setup(A, pc, pc_options)
+
+    total = 0
+    info = None
+    for _ in range(max_rounds):
+        round_opts = dataclasses.replace(opts, maxit=every)
+        x0, info = solve(A, b, x0=x0, method=method, M=M,
+                         options=round_opts, reorder=None)
+        total = done + int(info.nits)
+        save_checkpoint(path, x=x0, M=M, info=info, nits_done=total)
+        if bool(info.converged) or int(info.nits) == 0:
+            break
+        done = total
+    info = dataclasses.replace(info, nits=jnp.int32(total))
+    return x0, info

@@ -120,3 +120,42 @@ class TestRelaxPCs:
         r = jnp.asarray(np.linspace(1.0, 2.0, A.shape[0]))
         np.testing.assert_allclose(np.asarray(M.t(r)), np.asarray(M(r)),
                                    rtol=1e-10)
+
+
+class TestARMS:
+    """ARMS multilevel recursive Schur (reference ITSOL ARMS adapter,
+    pc-arms.cxx:83-153 — native independent-set/Schur reimplementation)."""
+
+    @pytest.mark.parametrize("gen", [
+        lambda: laplacian_2d(32),
+        lambda: __import__("lssp_tpu").sparse.convection_diffusion_2d(24, beta=20.0),
+        lambda: __import__("lssp_tpu").sparse.anisotropic_poisson_2d(24, 0.01),
+    ])
+    def test_converges_fast(self, gen):
+        A = gen()
+        b = jnp.ones(A.shape[0], dtype=jnp.float64)
+        x, info = solve(A, b, method="gmres", pc="arms",
+                        options=SolverOptions(maxit=200, restart=60))
+        res = float(np.linalg.norm(np.asarray(b) - A.to_scipy() @ np.asarray(x)))
+        assert bool(info.converged) and res < 1e-5
+        assert int(info.nits) <= 10            # multilevel quality
+
+    def test_small_matrix_degenerates_to_direct(self):
+        """Below coarse_size the hierarchy is empty — pure direct LU."""
+        A = laplacian_2d(8)                    # n=64 < coarse_size=200
+        b = jnp.ones(64, dtype=jnp.float64)
+        x, info = solve(A, b, method="gmres", pc="arms")
+        assert int(info.nits) <= 2
+
+    def test_fine_block_is_diagonal(self):
+        """The independent set must induce a diagonal B (no F-F edges in
+        the symmetrized pattern), including for nonsymmetric matrices."""
+        from lssp_tpu.pc.arms import _greedy_dd_mis
+        import lssp_tpu
+        A = lssp_tpu.sparse.convection_diffusion_2d(16, beta=30.0)
+        f_idx, c_idx = _greedy_dd_mis(A)
+        sub = A.to_scipy()[f_idx][:, f_idx]
+        off = sub - __import__("scipy.sparse", fromlist=["diags"]).diags(
+            sub.diagonal())
+        assert abs(off).sum() == 0.0
+        assert len(f_idx) + len(c_idx) == A.shape[0]
