@@ -63,8 +63,11 @@ def main():
         dict(name="bicgstabl_biluk_elasticity", method="bicgstabl",
              pc="biluk", pc_opts=PCOptions(block_size=2),
              gen=lambda: elasticity_2d(48, dtype=dtype)),
+        # TPU uses the gather-free structured-SA multigrid (amg/sa.py);
+        # classical AMG remains the CPU-parity path
         dict(name="gmres_amg_aniso",
-             method="gmres", pc="amg", opts=SolverOptions(restart=30),
+             method="gmres", pc="saamg" if on_tpu else "amg",
+             opts=SolverOptions(restart=30),
              gen=lambda: anisotropic_poisson_2d(
                  1024 if args.full else 256, dtype=dtype)),
     ]

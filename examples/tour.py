@@ -1,0 +1,57 @@
+"""A tour of capabilities beyond the reference's example (exam.py):
+direct solve, multilevel preconditioners, transpose-based Krylov methods,
+mixed-precision refinement, and checkpoint/resume.
+
+Run: python examples/tour.py  (CPU or TPU)
+"""
+import tempfile
+
+import jax
+import numpy as np
+
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp  # noqa: E402
+
+import lssp_tpu as lt  # noqa: E402
+from lssp_tpu.utils.checkpoint import checkpointed_solve  # noqa: E402
+
+
+def residual(A, x, b):
+    return float(np.linalg.norm(np.asarray(b) - A.to_scipy() @ np.asarray(x, np.float64)))
+
+
+def main():
+    A = lt.sparse.convection_diffusion_2d(48, beta=15.0)   # nonsymmetric
+    S = lt.sparse.laplacian_2d(64)                          # SPD
+    b = jnp.ones(A.shape[0], dtype=jnp.float64)
+    bs = jnp.ones(S.shape[0], dtype=jnp.float64)
+
+    print("== native sparse direct LU (UMFPACK/KLU role) ==")
+    x, info = lt.solve(A, b, method="direct")
+    print(f"  nits={int(info.nits)}  true-res={residual(A, x, b):.2e}")
+
+    print("== multilevel PCs: ARMS vs AMG vs ILU(1) ==")
+    for pc in ("arms", "amg", "iluk"):
+        x, info = lt.solve(S, bs, method="cg", pc=pc)
+        print(f"  cg+{pc:5s} nits={int(info.nits):3d}  res={residual(S, x, bs):.2e}")
+
+    print("== transpose-based methods on the nonsymmetric system ==")
+    for m in ("bicg", "qmr", "cgnr", "lsqr"):
+        x, info = lt.solve(A, b, method=m, pc="ilut")
+        print(f"  {m:5s} nits={int(info.nits):4d}  res={residual(A, x, b):.2e}")
+
+    print("== mixed-precision iterative refinement (fp32 inner) ==")
+    x, info = lt.solve_ir(S, bs, method="cg", pc="amg")
+    print(f"  inner-nits={int(info.nits)}  res={residual(S, x, bs):.2e}")
+
+    print("== checkpoint / resume ==")
+    path = tempfile.mktemp(suffix=".ckpt")
+    x, info = checkpointed_solve(S, bs, path, every=20, method="cg",
+                                 pc="iluk", max_rounds=1)
+    print(f"  interrupted at nits={int(info.nits)} (converged={bool(info.converged)})")
+    x, info = checkpointed_solve(S, bs, path, every=20, method="cg", pc="iluk")
+    print(f"  resumed: total nits={int(info.nits)}  res={residual(S, x, bs):.2e}")
+
+
+if __name__ == "__main__":
+    main()

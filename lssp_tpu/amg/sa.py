@@ -1,0 +1,273 @@
+"""Structured smoothed-aggregation AMG — the TPU-fast multigrid.
+
+Capability parity with the LIS adapter's ``saamg`` PC
+(/root/reference/src/solver-lis.cxx:8-41); the design is TPU-first rather
+than a port of any aggregation code:
+
+The classical-AMG device cycle (lssp_tpu/amg/cycle.py) applies P/R as ELL
+gathers — and TPU has no hardware gather, so at 1M rows a V-cycle costs
+~10⁴× an SpMV.  This module removes every gather from the cycle:
+
+* **aggregates are contiguous index ranges** of fixed size ``g`` (after the
+  facade's RCM banded-ization, neighbouring rows are geometrically close,
+  so ranges are legitimate aggregates);
+* the tentative prolongator P₀ is then a *reshape*: ``P₀·ec =
+  repeat(ec, g)`` and ``P₀ᵀ·r = r.reshape(n_c, g).sum(1)`` — pure VPU;
+* Jacobi smoothing of the prolongator keeps everything **banded**:
+  ``P = B·P₀`` with ``B = I − c·D⁻¹A`` stored as one extra DIA matrix per
+  level (and ``C = Bᵀ`` for the restriction), so P/R applications are one
+  DIA SpMV + one reshape;
+* Galerkin coarse operators ``A_{l+1} = PᵀA P`` are built on the host
+  (scipy) and padded with identity rows to a multiple of ``g`` — every
+  level is static-shape DIA.
+
+A V-cycle therefore costs a handful of DIA SpMVs per level (smoothers +
+B/C) — bandwidth-limited, ~10³× faster per application than the
+gather-based cycle at 1M rows on a v5e.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lssp_tpu.sparse.types import CSR
+from lssp_tpu.ops.spmv import spmv
+
+
+# --------------------------------------------------------------------------
+# host setup
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class SALevel:
+    A: Any              # DIA, (n_l, n_l), n_l % g == 0 (except coarsest)
+    B: Any              # DIA: I − c·D⁻¹A   (prolongator smoother), or None
+    C: Any              # DIA: I − c·AᵀD⁻¹  (restriction smoother), or None
+    dinv: Any           # (n_l,)
+    lmax: float         # static: λmax(D⁻¹A) for Chebyshev
+    g: int              # static: aggregate size
+    smoother: str       # static
+    degree: int         # static
+    n_next: int         # static: (padded) size of the next level, 0 at bottom
+
+
+jax.tree_util.register_pytree_node(
+    SALevel,
+    lambda l: ((l.A, l.B, l.C, l.dinv),
+               (l.lmax, l.g, l.smoother, l.degree, l.n_next)),
+    lambda aux, c: SALevel(*c, lmax=aux[0], g=aux[1], smoother=aux[2],
+                           degree=aux[3], n_next=aux[4]))
+
+
+@dataclasses.dataclass(frozen=True)
+class SAHierarchy:
+    levels: Tuple[SALevel, ...]
+    coarse_inv: Any     # dense (n_b, n_b)
+    n_top: int          # static: unpadded problem size
+
+
+jax.tree_util.register_pytree_node(
+    SAHierarchy,
+    lambda h: ((h.levels, h.coarse_inv), (h.n_top,)),
+    lambda aux, c: SAHierarchy(levels=c[0], coarse_inv=c[1], n_top=aux[0]))
+
+
+def _pad_identity(A, m):
+    """Pad a scipy CSR with ``m`` decoupled identity rows/cols."""
+    import scipy.sparse as sp
+    if m == 0:
+        return A
+    n = A.shape[0]
+    return sp.bmat([[A, None], [None, sp.eye(m, format="csr")]],
+                   format="csr")
+
+
+def _to_dia(Ah, dtype, max_diags):
+    from lssp_tpu.sparse.convert import csr_to_dia, csr_to_ell
+    csr = CSR.from_scipy(Ah.astype(dtype))
+    try:
+        return csr_to_dia(csr, max_diags=max_diags)
+    except ValueError:
+        return csr_to_ell(csr)          # fallback; still correct
+
+
+def _filter_lumped(Ac, tol):
+    """Drop |a_ij| < tol·√(a_ii·a_jj), lumping dropped mass onto the
+    diagonal (keeps row sums, bounds the coarse-stencil growth that
+    otherwise compounds through repeated smoothed RAP)."""
+    import scipy.sparse as sp
+    if tol <= 0:
+        return Ac
+    Ac = Ac.tocsr()
+    Ac.sum_duplicates()
+    n = Ac.shape[0]
+    d = np.abs(Ac.diagonal())
+    d[d == 0] = 1.0
+    rows = np.repeat(np.arange(n), np.diff(Ac.indptr))
+    cols = Ac.indices
+    thresh = tol * np.sqrt(d[rows] * d[cols])
+    keep = (np.abs(Ac.data) >= thresh) | (rows == cols)
+    lump = np.bincount(rows[~keep], weights=Ac.data[~keep], minlength=n)
+    out = sp.csr_matrix((Ac.data[keep], (rows[keep], cols[keep])),
+                        shape=Ac.shape)
+    return (out + sp.diags(lump.astype(Ac.data.dtype))).tocsr()
+
+
+def sa_setup(A: CSR, g: int = 4, max_levels: int = 12,
+             coarse_size: int = 256, omega_p: float = 4.0 / 3.0,
+             smoother: str = "chebyshev", degree: int = 2,
+             dtype=None, max_diags: int = 96, filter_tol: float = 1e-3,
+             smooth_levels: int = 2) -> SAHierarchy:
+    """Build the structured-SA hierarchy (host, scipy SpGEMM).
+
+    ``filter_tol``: post-RAP lumped filtering threshold (stencil control).
+    ``smooth_levels``: Jacobi-smooth the prolongator only on this many of
+    the finest levels; deeper levels use the tentative P₀ (pure reshape —
+    no B/C SpMVs at all), which bounds stencil growth and cycle cost.
+    """
+    import scipy.sparse as sp
+    from lssp_tpu.amg.setup import _lambda_max
+
+    dtype = dtype or np.asarray(A.data).dtype
+    n_top = A.shape[0]
+    Al = A.to_scipy().tocsr().astype(np.float64)
+    levels = []
+    for li in range(max_levels):
+        n = Al.shape[0]
+        if n <= coarse_size:
+            break
+        pad = (-n) % g
+        Al = _pad_identity(Al, pad)
+        n = Al.shape[0]
+        d = Al.diagonal().copy()
+        d[d == 0] = 1.0
+        dinv = 1.0 / d
+        lmax = _lambda_max(Al, dinv)
+        # P0: (n, n/g) contiguous aggregation
+        n_c = n // g
+        P0 = sp.csr_matrix(
+            (np.ones(n), np.arange(n) // g, np.arange(n + 1)),
+            shape=(n, n_c))
+        if li < smooth_levels:
+            c = omega_p / lmax
+            Dinv = sp.diags(dinv)
+            B = (sp.eye(n) - c * Dinv @ Al).tocsr()         # P = B P0
+            C = (sp.eye(n) - c * (Al.T @ Dinv)).tocsr()     # R = P0ᵀ C
+            P = (B @ P0).tocsr()
+        else:
+            B = C = None                                    # tentative P0
+            P = P0
+        Ac = (P.T @ Al @ P).tocsr()
+        Ac.eliminate_zeros()
+        Ac = _filter_lumped(Ac, filter_tol)
+        levels.append((Al, B, C, dinv, lmax, n_c))
+        Al = Ac
+
+    # pack device levels; n_next records the padded size the level below
+    # was built at (for reshape bookkeeping)
+    dev = []
+    for i, (Ah, B, C, dinv, lmax, n_c) in enumerate(levels):
+        dev.append(SALevel(
+            A=_to_dia(Ah, dtype, max_diags),
+            B=_to_dia(B, dtype, max_diags) if B is not None else None,
+            C=_to_dia(C, dtype, max_diags) if C is not None else None,
+            dinv=jnp.asarray(dinv.astype(dtype)),
+            lmax=float(lmax), g=g, smoother=smoother, degree=degree,
+            n_next=n_c))
+    coarse_inv = jnp.asarray(np.linalg.inv(Al.toarray()).astype(dtype))
+    return SAHierarchy(levels=tuple(dev), coarse_inv=coarse_inv,
+                       n_top=n_top)
+
+
+# --------------------------------------------------------------------------
+# device cycle — reshape prolongation, DIA everything
+# --------------------------------------------------------------------------
+
+def _smooth(lev: SALevel, x, b):
+    if lev.degree <= 0:
+        return x
+    if lev.smoother == "jacobi":
+        for _ in range(lev.degree):
+            x = x + (2.0 / 3.0) * lev.dinv * (b - spmv(lev.A, x))
+        return x
+    # Chebyshev on [0.3, 1.1]·lmax of D⁻¹A (same interval as amg/cycle.py)
+    ub = 1.1 * lev.lmax
+    lb = 0.3 * lev.lmax
+    theta = (ub + lb) / 2.0
+    delta = (ub - lb) / 2.0
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    r = lev.dinv * (b - spmv(lev.A, x))
+    d = r / theta
+    for _ in range(lev.degree):
+        x = x + d
+        r = r - lev.dinv * spmv(lev.A, d)
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * r
+        rho = rho_new
+    return x
+
+
+def _restrict(lev: SALevel, r):
+    """rc = P0ᵀ·(C·r): one DIA SpMV + a reshape-sum (no SpMV when the
+    level uses the tentative prolongator)."""
+    t = spmv(lev.C, r) if lev.C is not None else r
+    return t.reshape(lev.n_next, lev.g).sum(axis=1)
+
+
+def _prolong(lev: SALevel, ec):
+    """e = B·(P0·ec): a broadcast-reshape + one DIA SpMV (reshape only for
+    tentative-P levels)."""
+    t = jnp.broadcast_to(ec[:, None], (lev.n_next, lev.g)).reshape(-1)
+    return spmv(lev.B, t) if lev.B is not None else t
+
+
+def sa_vcycle(h: SAHierarchy, b, x=None):
+    """One V-cycle; handles the top-level identity padding transparently."""
+    nl0 = h.levels[0].A.shape[0] if h.levels else h.coarse_inv.shape[0]
+    bp = b if b.shape[0] == nl0 else jnp.pad(b, (0, nl0 - b.shape[0]))
+    if x is None:
+        xp = jnp.zeros_like(bp)
+    else:
+        xp = x if x.shape[0] == nl0 else jnp.pad(x, (0, nl0 - x.shape[0]))
+
+    def cycle(l, b_l, x_l):
+        if l == len(h.levels):
+            return h.coarse_inv @ b_l
+        lev = h.levels[l]
+        x_l = _smooth(lev, x_l, b_l)
+        r = b_l - spmv(lev.A, x_l)
+        rc = _restrict(lev, r)
+        # the next level may be identity-padded to a multiple of g
+        n_below = (h.levels[l + 1].A.shape[0] if l + 1 < len(h.levels)
+                   else h.coarse_inv.shape[0])
+        if n_below != rc.shape[0]:
+            rc = jnp.pad(rc, (0, n_below - rc.shape[0]))
+        ec = cycle(l + 1, rc, jnp.zeros_like(rc))
+        x_l = x_l + _prolong(lev, ec[:lev.n_next])
+        return _smooth(lev, x_l, b_l)
+
+    xp = cycle(0, bp, xp)
+    return xp[:b.shape[0]]
+
+
+# --------------------------------------------------------------------------
+# preconditioner registration
+# --------------------------------------------------------------------------
+
+def _saamg_apply(state, r):
+    return sa_vcycle(state, r)
+
+
+def setup_saamg_pc(A: CSR, opts):
+    from lssp_tpu.pc.base import Preconditioner
+    h = sa_setup(A, g=opts.saamg_aggregate, max_levels=opts.amg_max_levels,
+                 coarse_size=opts.amg_coarse_size,
+                 smoother=opts.amg_smoother
+                 if opts.amg_smoother != "l1jacobi" else "jacobi",
+                 degree=opts.amg_presmooth)
+    return Preconditioner(_saamg_apply, state=h, name="saamg")

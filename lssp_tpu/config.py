@@ -119,6 +119,8 @@ class PCOptions:
     amg_trunc: float = 0.2                # interpolation truncation
     amg_smoother: str = "chebyshev"       # "jacobi" | "chebyshev" | "l1jacobi"
     amg_cycles: int = 1                   # V-cycles per PC application
+    saamg_aggregate: int = 4              # structured-SA aggregate size
+                                          # (contiguous ranges; see amg/sa.py)
     # user-PC hooks (parity with LSSP_PC_USER, /root/reference/src/pc.cxx:219-227)
     user_setup: Optional[Callable] = None
     user_apply: Optional[Callable] = None

@@ -35,11 +35,13 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pick_tile(n: int, halo: int, ndiag: int, itemsize: int) -> int:
-    """Largest tile T with (ndiag+2)·T + halo comfortably double-buffered
-    inside ~8 MB of VMEM (rows are padded to a multiple of T)."""
-    budget = 8 * 1024 * 1024 // itemsize
+    """Largest tile T fitting in VMEM.  The pipeline double-buffers the
+    (ndiag, T) diagonal block and the (T,) output automatically, and the
+    kernel holds one (W≈T+halo,) x window — so the live footprint is about
+    (2·ndiag + 3)·T + halo elements; budget at 12 MB of the 16 MB VMEM."""
+    budget = 12 * 1024 * 1024 // itemsize
     t = 64 * 1024
-    while t > _DMA_ALIGN and (ndiag + 2) * t + 2 * halo > budget:
+    while t > _DMA_ALIGN and (2 * ndiag + 3) * t + 2 * halo > budget:
         t //= 2
     return min(max(t, _DMA_ALIGN), _round_up(n, _DMA_ALIGN))
 

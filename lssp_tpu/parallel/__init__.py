@@ -3,4 +3,6 @@ halo-exchange SpMV via shard_map + ICI collectives, psum-reduced dots
 (SURVEY §2.7 — the TPU-native communication backend the serial reference
 does not have)."""
 
-__all__ = []
+from lssp_tpu.parallel import multihost
+
+__all__ = ["multihost"]

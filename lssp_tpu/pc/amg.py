@@ -26,3 +26,11 @@ def setup_amg(A, opts):
         degree=max(opts.amg_presmooth, opts.amg_postsmooth, 1),
         cycles=opts.amg_cycles)
     return Preconditioner(_amg_apply, state=h, name="amg")
+
+
+@register_pc("saamg")
+def setup_saamg(A, opts):
+    """Structured smoothed-aggregation AMG — the gather-free TPU-fast
+    multigrid (LIS saamg capability; see lssp_tpu/amg/sa.py)."""
+    from lssp_tpu.amg.sa import setup_saamg_pc
+    return setup_saamg_pc(A, opts)

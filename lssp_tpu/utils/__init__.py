@@ -2,6 +2,11 @@
 
 from lssp_tpu.utils.log import set_verbosity, get_verbosity, log, Timer
 from lssp_tpu.utils.memory import host_memory_mb, device_memory_mb
+from lssp_tpu.utils.checkpoint import (
+    save_checkpoint, load_checkpoint, checkpointed_solve)
+from lssp_tpu.utils import profile
 
 __all__ = ["set_verbosity", "get_verbosity", "log", "Timer",
-           "host_memory_mb", "device_memory_mb"]
+           "host_memory_mb", "device_memory_mb",
+           "save_checkpoint", "load_checkpoint", "checkpointed_solve",
+           "profile"]

@@ -1,0 +1,70 @@
+"""Structured smoothed-aggregation AMG tests (the gather-free TPU multigrid,
+lssp_tpu/amg/sa.py; LIS saamg capability, solver-lis.cxx:8-41)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import lssp_tpu as lt
+from lssp_tpu import solve, SolverOptions, PCOptions
+from lssp_tpu.amg.sa import sa_setup, sa_vcycle
+from lssp_tpu.sparse.generators import (
+    laplacian_2d, laplacian_3d, anisotropic_poisson_2d)
+from lssp_tpu.sparse.types import DIA
+
+
+class TestSAAMG:
+    @pytest.mark.parametrize("gen", [
+        lambda: laplacian_2d(64),
+        lambda: laplacian_2d(128),
+        lambda: anisotropic_poisson_2d(64, 0.001),
+        lambda: laplacian_3d(16),
+    ])
+    def test_cg_saamg_converges(self, gen):
+        A = gen()
+        b = jnp.ones(A.shape[0], dtype=jnp.float64)
+        x, info = solve(A, b, method="cg", pc="saamg",
+                        options=SolverOptions(maxit=200))
+        res = float(np.linalg.norm(np.asarray(b) - A.to_scipy() @ np.asarray(x)))
+        assert bool(info.converged)
+        assert res < 1e-4
+        assert int(info.nits) < 60
+
+    def test_everything_is_dia(self):
+        """The whole point: no gather formats anywhere in the hierarchy."""
+        A = anisotropic_poisson_2d(64, 0.001)
+        h = sa_setup(A)
+        for lev in h.levels:
+            assert isinstance(lev.A, DIA)
+            if lev.B is not None:
+                assert isinstance(lev.B, DIA)
+                assert isinstance(lev.C, DIA)
+
+    def test_stencils_bounded(self):
+        """Lumped RAP filtering must keep anisotropic coarse stencils small
+        (unfiltered they grow 5 → 17 → 53 → 164...)."""
+        A = anisotropic_poisson_2d(64, 0.001)
+        h = sa_setup(A, filter_tol=1e-3)
+        for lev in h.levels:
+            assert len(lev.A.offsets) <= 16
+
+    def test_vcycle_reduces_error(self):
+        A = laplacian_2d(48)
+        n = A.shape[0]
+        h = sa_setup(A)
+        rng = np.random.default_rng(7)
+        xstar = rng.standard_normal(n)
+        b = jnp.asarray(A.to_scipy() @ xstar)
+        x = jnp.zeros(n)
+        e0 = np.linalg.norm(xstar)
+        for _ in range(6):
+            x = sa_vcycle(h, b, x)
+        e = np.linalg.norm(np.asarray(x) - xstar)
+        assert e < 0.15 * e0                  # ≥ ~0.7 reduction per cycle
+
+    def test_nonsquare_padding(self):
+        """Sizes not divisible by the aggregate size are identity-padded."""
+        A = laplacian_2d(31)                   # 961 = not divisible by 4
+        b = jnp.ones(A.shape[0], dtype=jnp.float64)
+        x, info = solve(A, b, method="cg", pc="saamg")
+        res = float(np.linalg.norm(np.asarray(b) - A.to_scipy() @ np.asarray(x)))
+        assert bool(info.converged) and res < 1e-4
