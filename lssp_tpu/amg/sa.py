@@ -53,14 +53,15 @@ class SALevel:
     smoother: str       # static
     degree: int         # static
     n_next: int         # static: (padded) size of the next level, 0 at bottom
+    grid: Any = None    # static: (gy, gx) for 2-D box aggregation, or None
 
 
 jax.tree_util.register_pytree_node(
     SALevel,
     lambda l: ((l.A, l.B, l.C, l.dinv),
-               (l.lmax, l.g, l.smoother, l.degree, l.n_next)),
+               (l.lmax, l.g, l.smoother, l.degree, l.n_next, l.grid)),
     lambda aux, c: SALevel(*c, lmax=aux[0], g=aux[1], smoother=aux[2],
-                           degree=aux[3], n_next=aux[4]))
+                           degree=aux[3], n_next=aux[4], grid=aux[5]))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -121,13 +122,17 @@ def sa_setup(A: CSR, g: int = 4, max_levels: int = 12,
              coarse_size: int = 256, omega_p: float = 4.0 / 3.0,
              smoother: str = "chebyshev", degree: int = 2,
              dtype=None, max_diags: int = 96, filter_tol: float = 1e-3,
-             smooth_levels: int = 2) -> SAHierarchy:
+             smooth_levels: int = 2, grid=None) -> SAHierarchy:
     """Build the structured-SA hierarchy (host, scipy SpGEMM).
 
     ``filter_tol``: post-RAP lumped filtering threshold (stencil control).
     ``smooth_levels``: Jacobi-smooth the prolongator only on this many of
     the finest levels; deeper levels use the tentative P₀ (pure reshape —
     no B/C SpMVs at all), which bounds stencil growth and cycle cost.
+    ``grid``: optional (gy, gx) row-major grid dims of the UNREORDERED
+    matrix — enables 2-D box aggregation (2×2 cells via reshapes; true
+    geometric-style coarsening, grid-size-robust convergence).  Levels
+    fall back to 1-D contiguous ranges once a dimension goes odd/small.
     """
     import scipy.sparse as sp
     from lssp_tpu.amg.setup import _lambda_max
@@ -140,18 +145,33 @@ def sa_setup(A: CSR, g: int = 4, max_levels: int = 12,
         n = Al.shape[0]
         if n <= coarse_size:
             break
-        pad = (-n) % g
-        Al = _pad_identity(Al, pad)
-        n = Al.shape[0]
+        # box mode: 2x2 cells while the grid stays even in both dims
+        box = (grid is not None and grid[0] % 2 == 0 and grid[1] % 2 == 0
+               and grid[0] >= 2 and grid[1] >= 2
+               and grid[0] * grid[1] == n)
+        if not box:
+            grid = None
+            pad = (-n) % g
+            Al = _pad_identity(Al, pad)
+            n = Al.shape[0]
         d = Al.diagonal().copy()
         d[d == 0] = 1.0
         dinv = 1.0 / d
         lmax = _lambda_max(Al, dinv)
-        # P0: (n, n/g) contiguous aggregation
-        n_c = n // g
-        P0 = sp.csr_matrix(
-            (np.ones(n), np.arange(n) // g, np.arange(n + 1)),
-            shape=(n, n_c))
+        if box:
+            gy, gx = grid
+            iy = np.arange(n) // gx
+            ix = np.arange(n) % gx
+            n_c = (gy // 2) * (gx // 2)
+            P0 = sp.csr_matrix(
+                (np.ones(n), (iy // 2) * (gx // 2) + ix // 2,
+                 np.arange(n + 1)), shape=(n, n_c))
+        else:
+            # P0: (n, n/g) contiguous aggregation
+            n_c = n // g
+            P0 = sp.csr_matrix(
+                (np.ones(n), np.arange(n) // g, np.arange(n + 1)),
+                shape=(n, n_c))
         if li < smooth_levels:
             c = omega_p / lmax
             Dinv = sp.diags(dinv)
@@ -164,20 +184,22 @@ def sa_setup(A: CSR, g: int = 4, max_levels: int = 12,
         Ac = (P.T @ Al @ P).tocsr()
         Ac.eliminate_zeros()
         Ac = _filter_lumped(Ac, filter_tol)
-        levels.append((Al, B, C, dinv, lmax, n_c))
+        levels.append((Al, B, C, dinv, lmax, n_c, grid))
+        if grid is not None:
+            grid = (grid[0] // 2, grid[1] // 2)
         Al = Ac
 
     # pack device levels; n_next records the padded size the level below
     # was built at (for reshape bookkeeping)
     dev = []
-    for i, (Ah, B, C, dinv, lmax, n_c) in enumerate(levels):
+    for i, (Ah, B, C, dinv, lmax, n_c, gr) in enumerate(levels):
         dev.append(SALevel(
             A=_to_dia(Ah, dtype, max_diags),
             B=_to_dia(B, dtype, max_diags) if B is not None else None,
             C=_to_dia(C, dtype, max_diags) if C is not None else None,
             dinv=jnp.asarray(dinv.astype(dtype)),
             lmax=float(lmax), g=g, smoother=smoother, degree=degree,
-            n_next=n_c))
+            n_next=n_c, grid=gr))
     coarse_inv = jnp.asarray(np.linalg.inv(Al.toarray()).astype(dtype))
     return SAHierarchy(levels=tuple(dev), coarse_inv=coarse_inv,
                        n_top=n_top)
@@ -214,15 +236,23 @@ def _smooth(lev: SALevel, x, b):
 
 def _restrict(lev: SALevel, r):
     """rc = P0ᵀ·(C·r): one DIA SpMV + a reshape-sum (no SpMV when the
-    level uses the tentative prolongator)."""
+    level uses the tentative prolongator; 2×2 box-sum in grid mode)."""
     t = spmv(lev.C, r) if lev.C is not None else r
+    if lev.grid is not None:
+        gy, gx = lev.grid
+        return t.reshape(gy // 2, 2, gx // 2, 2).sum(axis=(1, 3)).reshape(-1)
     return t.reshape(lev.n_next, lev.g).sum(axis=1)
 
 
 def _prolong(lev: SALevel, ec):
     """e = B·(P0·ec): a broadcast-reshape + one DIA SpMV (reshape only for
-    tentative-P levels)."""
-    t = jnp.broadcast_to(ec[:, None], (lev.n_next, lev.g)).reshape(-1)
+    tentative-P levels; 2×2 box-broadcast in grid mode)."""
+    if lev.grid is not None:
+        gy, gx = lev.grid
+        t = jnp.broadcast_to(ec.reshape(gy // 2, 1, gx // 2, 1),
+                             (gy // 2, 2, gx // 2, 2)).reshape(-1)
+    else:
+        t = jnp.broadcast_to(ec[:, None], (lev.n_next, lev.g)).reshape(-1)
     return spmv(lev.B, t) if lev.B is not None else t
 
 
@@ -269,5 +299,5 @@ def setup_saamg_pc(A: CSR, opts):
                  coarse_size=opts.amg_coarse_size,
                  smoother=opts.amg_smoother
                  if opts.amg_smoother != "l1jacobi" else "jacobi",
-                 degree=opts.amg_presmooth)
+                 degree=opts.amg_presmooth, grid=opts.saamg_grid)
     return Preconditioner(_saamg_apply, state=h, name="saamg")

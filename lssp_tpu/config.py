@@ -121,6 +121,10 @@ class PCOptions:
     amg_cycles: int = 1                   # V-cycles per PC application
     saamg_aggregate: int = 4              # structured-SA aggregate size
                                           # (contiguous ranges; see amg/sa.py)
+    saamg_grid: Any = None                # (gy, gx) row-major grid dims =>
+                                          # 2-D box aggregation (requires the
+                                          # matrix NOT be reordered; pass
+                                          # reorder=None to solve())
     # user-PC hooks (parity with LSSP_PC_USER, /root/reference/src/pc.cxx:219-227)
     user_setup: Optional[Callable] = None
     user_apply: Optional[Callable] = None

@@ -77,6 +77,9 @@ def solve(A, b, x0=None, method: str = "gmres", pc: Optional[str] = "none",
     ``M`` a prebuilt Preconditioner / callable.
     """
     opts = (options or SolverOptions()).resolved()
+    if (pc == "saamg" and pc_options is not None
+            and pc_options.saamg_grid is not None and reorder == "auto"):
+        reorder = None   # grid-aware aggregation needs the original ordering
     if method.lower() in ("direct", "splu") and pc in (None, "none") and M is None:
         pc = "lu"   # direct solve = one application of the exact-LU PC
     A_host, A_dev, perm = _prepare_matrix(A, reorder=reorder)

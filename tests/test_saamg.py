@@ -68,3 +68,42 @@ class TestSAAMG:
         x, info = solve(A, b, method="cg", pc="saamg")
         res = float(np.linalg.norm(np.asarray(b) - A.to_scipy() @ np.asarray(x)))
         assert bool(info.converged) and res < 1e-4
+
+
+class TestBoxAggregation:
+    """2-D grid-aware box aggregation (saamg_grid): geometric-style
+    coarsening via reshapes — near grid-size-robust on isotropic problems."""
+
+    def test_grid_robust(self):
+        nits = []
+        for N in (64, 128):
+            A = laplacian_2d(N)
+            b = jnp.ones(A.shape[0], dtype=jnp.float64)
+            x, info = solve(A, b, method="cg", pc="saamg",
+                            pc_options=PCOptions(saamg_grid=(N, N)),
+                            options=SolverOptions(maxit=100))
+            assert bool(info.converged)
+            res = float(np.linalg.norm(
+                np.asarray(b) - A.to_scipy() @ np.asarray(x)))
+            assert res < 1e-4
+            nits.append(int(info.nits))
+        assert nits[1] <= nits[0] + 4          # near grid-independence
+        assert nits[1] <= 15
+
+    def test_box_beats_range_isotropic(self):
+        N = 128
+        A = laplacian_2d(N)
+        b = jnp.ones(A.shape[0], dtype=jnp.float64)
+        _, i_box = solve(A, b, method="cg", pc="saamg",
+                         pc_options=PCOptions(saamg_grid=(N, N)))
+        _, i_rng = solve(A, b, method="cg", pc="saamg")
+        assert int(i_box.nits) < int(i_rng.nits)
+
+    def test_wrong_grid_dims_fall_back(self):
+        """grid dims not matching n: box mode silently disabled, still
+        converges via range aggregation."""
+        A = laplacian_2d(32)
+        b = jnp.ones(A.shape[0], dtype=jnp.float64)
+        x, info = solve(A, b, method="cg", pc="saamg",
+                        pc_options=PCOptions(saamg_grid=(100, 7)))
+        assert bool(info.converged)
