@@ -106,6 +106,7 @@ class PCOptions:
                                           # ILU path supports Mᵀ for free)
     # ARMS multilevel recursive Schur (reference ITSOL ARMS adapter,
     # pc-arms.cxx:83-153; ipar/droptol analogs)
+    schwarz_overlap: int = 8              # RAS subdomain overlap (rows)
     arms_tol: float = 1e-3                # Schur drop tolerance
     arms_max_levels: int = 10
     arms_coarse_size: int = 200           # direct-LU below this size
