@@ -118,26 +118,20 @@ def _filter_lumped(Ac, tol):
     return (out + sp.diags(lump.astype(Ac.data.dtype))).tocsr()
 
 
-def sa_setup(A: CSR, g: int = 4, max_levels: int = 12,
-             coarse_size: int = 256, omega_p: float = 4.0 / 3.0,
-             smoother: str = "chebyshev", degree: int = 2,
-             dtype=None, max_diags: int = 96, filter_tol: float = 1e-3,
-             smooth_levels: int = 2, grid=None) -> SAHierarchy:
-    """Build the structured-SA hierarchy (host, scipy SpGEMM).
-
-    ``filter_tol``: post-RAP lumped filtering threshold (stencil control).
-    ``smooth_levels``: Jacobi-smooth the prolongator only on this many of
-    the finest levels; deeper levels use the tentative P₀ (pure reshape —
-    no B/C SpMVs at all), which bounds stencil growth and cycle cost.
-    ``grid``: optional (gy, gx) row-major grid dims of the UNREORDERED
-    matrix — enables 2-D box aggregation (2×2 cells via reshapes; true
-    geometric-style coarsening, grid-size-robust convergence).  Levels
-    fall back to 1-D contiguous ranges once a dimension goes odd/small.
-    """
+def sa_host_levels(A: CSR, g: int = 4, max_levels: int = 12,
+                   coarse_size: int = 256, omega_p: float = 4.0 / 3.0,
+                   filter_tol: float = 1e-3, smooth_levels: int = 2,
+                   grid=None, pad_mult: int = None):
+    """Host part of the structured-SA setup, shared by the single-device
+    and distributed builders.  Returns (levels, Al_coarse, n_top) where
+    each level is (A_scipy, B_scipy|None, C_scipy|None, dinv, lmax, n_c,
+    grid|None).  ``pad_mult``: pad every level to a multiple of this
+    (defaults to ``g``; the distributed builder passes P·g so shard-local
+    reshapes stay aligned)."""
     import scipy.sparse as sp
     from lssp_tpu.amg.setup import _lambda_max
 
-    dtype = dtype or np.asarray(A.data).dtype
+    pad_mult = pad_mult or g
     n_top = A.shape[0]
     Al = A.to_scipy().tocsr().astype(np.float64)
     levels = []
@@ -151,7 +145,7 @@ def sa_setup(A: CSR, g: int = 4, max_levels: int = 12,
                and grid[0] * grid[1] == n)
         if not box:
             grid = None
-            pad = (-n) % g
+            pad = (-n) % pad_mult
             Al = _pad_identity(Al, pad)
             n = Al.shape[0]
         d = Al.diagonal().copy()
@@ -188,9 +182,32 @@ def sa_setup(A: CSR, g: int = 4, max_levels: int = 12,
         if grid is not None:
             grid = (grid[0] // 2, grid[1] // 2)
         Al = Ac
+    return levels, Al, n_top
 
-    # pack device levels; n_next records the padded size the level below
-    # was built at (for reshape bookkeeping)
+
+def sa_setup(A: CSR, g: int = 4, max_levels: int = 12,
+             coarse_size: int = 256, omega_p: float = 4.0 / 3.0,
+             smoother: str = "chebyshev", degree: int = 2,
+             dtype=None, max_diags: int = 96, filter_tol: float = 1e-3,
+             smooth_levels: int = 2, grid=None) -> SAHierarchy:
+    """Build the structured-SA hierarchy (host, scipy SpGEMM).
+
+    ``filter_tol``: post-RAP lumped filtering threshold (stencil control).
+    ``smooth_levels``: Jacobi-smooth the prolongator only on this many of
+    the finest levels; deeper levels use the tentative P₀ (pure reshape —
+    no B/C SpMVs at all), which bounds stencil growth and cycle cost.
+    ``grid``: optional (gy, gx) row-major grid dims of the UNREORDERED
+    matrix — enables 2-D box aggregation (2×2 cells via reshapes; true
+    geometric-style coarsening, grid-size-robust convergence).  Levels
+    fall back to 1-D contiguous ranges once a dimension goes odd/small.
+    """
+    dtype = dtype or np.asarray(A.data).dtype
+    levels, Al, n_top = sa_host_levels(
+        A, g=g, max_levels=max_levels, coarse_size=coarse_size,
+        omega_p=omega_p, filter_tol=filter_tol,
+        smooth_levels=smooth_levels, grid=grid)
+    # pack device levels; n_next records the size the level below was
+    # built at (for reshape bookkeeping)
     dev = []
     for i, (Ah, B, C, dinv, lmax, n_c, gr) in enumerate(levels):
         dev.append(SALevel(

@@ -1,0 +1,162 @@
+"""Distributed structured smoothed-aggregation AMG.
+
+The multi-chip form of lssp_tpu/amg/sa.py — the V-cycle that rides ICI
+without gathers.  Key alignment property: with every level padded to a
+multiple of P·g (P shards, aggregate size g), each shard's rows are whole
+aggregates, so restriction/prolongation stay *shard-local reshapes* — the
+only communication per level is the banded halo exchange of the A/B/C
+SpMVs (`lax.ppermute` neighbour shifts) and the one all-gather feeding the
+row-sharded dense coarse solve (exactly like parallel/dist_amg.py).
+
+Planned-depth sizing: the fine level is padded once to a multiple of
+P·g^L so every coarser size n₀/gˡ remains divisible by P·g — identity
+padding rows are decoupled and cost nothing.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from lssp_tpu.parallel.partition import DistELL, partition_csr
+from lssp_tpu.parallel.dist_ops import make_dist_spmv
+from lssp_tpu.sparse.types import CSR
+
+
+@dataclasses.dataclass(frozen=True)
+class DistSALevel:
+    A: Any              # DistELL
+    B: Any              # DistELL or None (prolongator smoother)
+    C: Any              # DistELL or None (restriction smoother)
+    dinv: Any           # (P, R_l)
+    lmax: float         # static
+    g: int              # static
+    smoother: str       # static
+    degree: int         # static
+
+
+jax.tree_util.register_pytree_node(
+    DistSALevel,
+    lambda l: ((l.A, l.B, l.C, l.dinv),
+               (l.lmax, l.g, l.smoother, l.degree)),
+    lambda aux, c: DistSALevel(*c, lmax=aux[0], g=aux[1], smoother=aux[2],
+                               degree=aux[3]))
+
+
+@dataclasses.dataclass(frozen=True)
+class DistSA:
+    levels: Tuple[DistSALevel, ...]
+    coarse_inv: Any     # (P, Rc, nc) row-sharded dense inverse
+    n_top: int          # static: unpadded problem size
+
+
+jax.tree_util.register_pytree_node(
+    DistSA,
+    lambda h: ((h.levels, h.coarse_inv), (h.n_top,)),
+    lambda aux, c: DistSA(levels=c[0], coarse_inv=c[1], n_top=aux[0]))
+
+
+def planned_depth(n: int, g: int, coarse_size: int = 512,
+                  max_levels: int = 12) -> int:
+    """Number of levels the builder will create for an n-row system."""
+    L, m = 0, max(n, 1)
+    while m > coarse_size and L < max_levels:
+        m = -(-m // g)
+        L += 1
+    return max(L, 1)
+
+
+def planned_padded_size(n: int, nshards: int, g: int = 4,
+                        coarse_size: int = 512, max_levels: int = 12) -> int:
+    """Fine-level size after padding to a multiple of P·g^L (so every
+    coarser level stays divisible by P·g)."""
+    L = planned_depth(n, g, coarse_size, max_levels)
+    m = nshards * g ** L
+    return ((n + m - 1) // m) * m
+
+
+def build_dist_sa(A: CSR, nshards: int, g: int = 4, max_levels: int = 12,
+                  coarse_size: int = 512, smoother: str = "chebyshev",
+                  degree: int = 2, filter_tol: float = 1e-3,
+                  smooth_levels: int = 2, dtype=None) -> DistSA:
+    from lssp_tpu.amg.sa import sa_host_levels, _pad_identity
+
+    dtype = dtype or np.asarray(A.data).dtype
+    n = A.shape[0]
+    L = planned_depth(n, g, coarse_size, max_levels)
+    n0 = planned_padded_size(n, nshards, g, coarse_size, max_levels)
+    Ap = CSR.from_scipy(_pad_identity(A.to_scipy().tocsr(), n0 - n))
+    levels, Al, _ = sa_host_levels(
+        Ap, g=g, max_levels=L, coarse_size=0, filter_tol=filter_tol,
+        smooth_levels=smooth_levels, pad_mult=nshards * g)
+
+    dlev = []
+    for (Ah, B, C, dinv, lmax, n_c, _gr) in levels:
+        nl = Ah.shape[0]
+        assert nl % nshards == 0 and (nl // nshards) % g == 0
+        dlev.append(DistSALevel(
+            A=partition_csr(CSR.from_scipy(Ah.astype(dtype)), nshards),
+            B=(partition_csr(CSR.from_scipy(B.astype(dtype)), nshards)
+               if B is not None else None),
+            C=(partition_csr(CSR.from_scipy(C.astype(dtype)), nshards)
+               if C is not None else None),
+            dinv=jnp.asarray(dinv.astype(dtype).reshape(nshards, -1)),
+            lmax=float(lmax), g=g, smoother=smoother, degree=degree))
+    nc = Al.shape[0]
+    nc_pad = ((nc + nshards - 1) // nshards) * nshards
+    ci = np.zeros((nc_pad, nc_pad), dtype=dtype)
+    ci[:nc, :nc] = np.linalg.inv(Al.toarray()).astype(dtype)
+    coarse_inv = jnp.asarray(ci.reshape(nshards, nc_pad // nshards, nc_pad))
+    return DistSA(levels=tuple(dlev), coarse_inv=coarse_inv, n_top=n)
+
+
+def dist_sa_vcycle(h: DistSA, b_local, axis: str):
+    """One V-cycle on a row-sharded rhs; call inside shard_map (leaves of
+    ``h`` are the per-shard slices)."""
+
+    def smooth(lev, Aop, x_l, b_l):
+        if lev.smoother == "jacobi" or lev.lmax <= 0:
+            for _ in range(lev.degree):
+                x_l = x_l + (2.0 / 3.0) * lev.dinv * (b_l - Aop(x_l))
+            return x_l
+        ub, lb = 1.1 * lev.lmax, 0.3 * lev.lmax
+        theta, delta = (ub + lb) / 2.0, (ub - lb) / 2.0
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        r = lev.dinv * (b_l - Aop(x_l))
+        d = r / theta
+        for _ in range(lev.degree):
+            x_l = x_l + d
+            r = r - lev.dinv * Aop(d)
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * r
+            rho = rho_new
+        return x_l
+
+    def cycle(l, b_l, x_l):
+        if l == len(h.levels):
+            b_full = lax.all_gather(b_l, axis, tiled=True)
+            return h.coarse_inv @ b_full
+        lev = h.levels[l]
+        opA = make_dist_spmv(lev.A, axis)
+        Aop = lambda v: opA(lev.A.cols, lev.A.data, v)
+        x_l = smooth(lev, Aop, x_l, b_l)
+        r = b_l - Aop(x_l)
+        if lev.C is not None:
+            opC = make_dist_spmv(lev.C, axis)
+            r = opC(lev.C.cols, lev.C.data, r)
+        rc = r.reshape(-1, lev.g).sum(axis=1)       # shard-local P0ᵀ
+        ec = cycle(l + 1, rc, jnp.zeros_like(rc))
+        # shard-local P0 (broadcast), then the banded B SpMV
+        e = jnp.broadcast_to(ec[:, None], (ec.shape[0], lev.g)).reshape(-1)
+        if lev.B is not None:
+            opB = make_dist_spmv(lev.B, axis)
+            e = opB(lev.B.cols, lev.B.data, e)
+        x_l = x_l + e
+        return smooth(lev, Aop, x_l, b_l)
+
+    return cycle(0, b_local, jnp.zeros_like(b_local))

@@ -108,6 +108,15 @@ def _build_dist_pc(A: CSR, pc_type, pc_opts: PCOptions, Pn: int, R: int):
                            degree=max(pc_opts.amg_presmooth,
                                       pc_opts.amg_postsmooth, 1))
         return "amg", h
+    if pc_type == "saamg":
+        from lssp_tpu.parallel.dist_sa import build_dist_sa
+        h = build_dist_sa(A, Pn, g=pc_opts.saamg_aggregate,
+                          max_levels=pc_opts.amg_max_levels,
+                          smooth_levels=2,
+                          degree=max(pc_opts.amg_presmooth,
+                                     pc_opts.amg_postsmooth, 1),
+                          dtype=np.asarray(A.data).dtype)
+        return "saamg", h
     if pc_type in ("bjilu", "iluk", "ilu0", "ilut"):
         # block-Jacobi ILU: factor each shard's diagonal block independently
         sls, sus = [], []
@@ -138,6 +147,9 @@ def _shard_pc_apply(kind, state, R):
     if kind == "amg":
         from lssp_tpu.parallel.dist_amg import dist_vcycle
         return lambda r: dist_vcycle(state, r, AXIS)
+    if kind == "saamg":
+        from lssp_tpu.parallel.dist_sa import dist_sa_vcycle
+        return lambda r: dist_sa_vcycle(state, r, AXIS)
     raise ValueError(kind)
 
 
@@ -151,6 +163,24 @@ def dist_solve(A: CSR, b, x0=None, method: str = "cg",
     if mesh is None:
         mesh = make_mesh()
     Pn = mesh.devices.size
+    n_orig = A.shape[0]
+    if pc == "saamg":
+        # pad the whole system to the SA-planned size so every level's
+        # shard-local rows are whole aggregates (see parallel/dist_sa.py)
+        from lssp_tpu.parallel.dist_sa import planned_padded_size
+        from lssp_tpu.amg.sa import _pad_identity
+        n0 = planned_padded_size(n_orig, Pn, g=pc_opts.saamg_aggregate,
+                                 max_levels=pc_opts.amg_max_levels)
+        if n0 != n_orig:
+            A = CSR.from_scipy(_pad_identity(A.to_scipy().tocsr(),
+                                             n0 - n_orig))
+            b = jnp.concatenate([jnp.asarray(b),
+                                 jnp.zeros(n0 - n_orig,
+                                           dtype=jnp.asarray(b).dtype)])
+            if x0 is not None:
+                x0 = jnp.concatenate([jnp.asarray(x0),
+                                      jnp.zeros(n0 - n_orig,
+                                                dtype=jnp.asarray(x0).dtype)])
     n = A.shape[0]
     R = n // Pn
     M = partition_csr(A, Pn)
@@ -182,4 +212,4 @@ def dist_solve(A: CSR, b, x0=None, method: str = "cg",
     mapped = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
                            out_specs=out_specs, check_vma=False)
     x_sh, info = jax.jit(mapped)(M.cols, M.data, b2, x02, pc_state)
-    return jnp.reshape(x_sh, (n,)), info
+    return jnp.reshape(x_sh, (n,))[:n_orig], info

@@ -122,3 +122,36 @@ class TestDistAMG:
         xs, infos = solve(A, b, method="cg", pc="amg")
         assert bool(infod.converged)
         assert abs(int(infod.nits) - int(infos.nits)) <= 3
+
+
+class TestDistSAAMG:
+    """Distributed structured-SA multigrid (parallel/dist_sa.py): shard-local
+    reshape prolongation + halo-exchange SpMVs, no gathers except the coarse
+    solve's all_gather."""
+
+    def test_matches_single_device(self):
+        import lssp_tpu as lt
+        from lssp_tpu.parallel.dist_solve import dist_solve, make_mesh
+        A = lt.sparse.laplacian_2d(32)
+        b = jnp.ones(A.shape[0], dtype=jnp.float64)
+        x, info = dist_solve(A, b, method="cg", pc="saamg",
+                             mesh=make_mesh(8),
+                             options=lt.SolverOptions(maxit=100))
+        res = float(np.linalg.norm(np.asarray(b) - A.to_scipy() @ np.asarray(x)))
+        assert bool(info.converged) and res < 1e-4
+        xs, i1 = lt.solve(A, b, method="cg", pc="saamg",
+                          options=lt.SolverOptions(maxit=100))
+        assert abs(int(info.nits) - int(i1.nits)) <= 4
+
+    def test_padding_path(self):
+        """n not divisible by P·g^L: the system is identity-padded."""
+        import lssp_tpu as lt
+        from lssp_tpu.parallel.dist_solve import dist_solve, make_mesh
+        A = lt.sparse.laplacian_2d(30)             # 900 rows
+        b = jnp.ones(900, dtype=jnp.float64)
+        x, info = dist_solve(A, b, method="cg", pc="saamg",
+                             mesh=make_mesh(8),
+                             options=lt.SolverOptions(maxit=100))
+        assert x.shape == (900,)
+        res = float(np.linalg.norm(np.asarray(b) - A.to_scipy() @ np.asarray(x)))
+        assert bool(info.converged) and res < 1e-4
