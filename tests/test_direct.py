@@ -113,3 +113,28 @@ class TestDirectSolve:
         x2 = s.solve(b=2 * b)      # reuses factors — reference reset_rhs
         np.testing.assert_allclose(np.asarray(x2), 2 * np.asarray(x1),
                                    rtol=1e-10)
+
+
+class TestLeastSquares:
+    """solve_lsq — direct least squares (the reference's QR_MUMPS capability,
+    solver-qrmumps.cxx:10-84) via normal equations + refinement."""
+
+    def test_overdetermined_matches_lstsq(self, rng):
+        m, n = 300, 120
+        As = sp.random(m, n, density=0.08, random_state=5, format="csr")
+        As = (As + sp.vstack([sp.eye(n),
+                              sp.csr_matrix((m - n, n))])).tocsr()
+        from lssp_tpu import solve_lsq
+        A = CSR.from_scipy(As)
+        b = rng.standard_normal(m)
+        x, res = solve_lsq(A, b)
+        xs, *_ = np.linalg.lstsq(As.toarray(), b, rcond=None)
+        np.testing.assert_allclose(np.asarray(x), xs, rtol=1e-8, atol=1e-10)
+        assert res < 1e-10
+
+    def test_square_reproduces_direct(self):
+        from lssp_tpu import solve_lsq
+        A = laplacian_2d(16)
+        b = np.linspace(1.0, 2.0, 256)
+        x, res = solve_lsq(A, b)
+        assert np.linalg.norm(b - A.to_scipy() @ np.asarray(x)) < 1e-9
