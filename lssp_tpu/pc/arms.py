@@ -50,8 +50,8 @@ def _greedy_dd_mis(A: CSR):
     order = np.argsort(-dominance, kind="stable")
     # symmetrized adjacency for the independence test
     import scipy.sparse as sp
-    G = (sp.csr_matrix((np.ones_like(dat), idx, ip), shape=A.shape) +
-         sp.csr_matrix((np.ones_like(dat), idx, ip), shape=A.shape).T).tocsr()
+    G0 = sp.csr_matrix((np.ones_like(dat), idx, ip), shape=A.shape)
+    G = (G0 + G0.T).tocsr()
     gp, gi = G.indptr, G.indices
     state = np.zeros(n, dtype=np.int8)          # 0 free, 1 in F, 2 blocked
     for i in order:

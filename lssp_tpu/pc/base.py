@@ -37,10 +37,16 @@ class Preconditioner:
         return self.apply_fn(self.state, r)
 
     def t(self, r):
-        """Apply M⁻ᵀ (needed by BiCG/QMR).  Falls back to the forward apply
-        when no transpose is installed — exact for symmetric PCs."""
-        fn = self.apply_t_fn if self.apply_t_fn is not None else self.apply_fn
-        return fn(self.state, r)
+        """Apply M⁻ᵀ (needed by BiCG/QMR/CGNR/LSQR).  Raises when the PC
+        has no transpose apply — silently substituting M⁻¹ would corrupt
+        the two-sided recurrences (symmetric PCs install
+        ``apply_t_fn = apply_fn`` explicitly at setup)."""
+        if self.apply_t_fn is None:
+            raise ValueError(
+                f"preconditioner {self.name!r} has no transpose apply; "
+                "use a transpose-free method (gmres/bicgstab/...) or a PC "
+                "supporting M^-T (none/jacobi/ilu*/ssor/sor/gs/lu)")
+        return self.apply_t_fn(self.state, r)
 
 
 def _flatten(m):
@@ -87,7 +93,8 @@ def _identity_apply(state, r):
 @register_pc("none")
 def _setup_none(A, opts):
     """solve = copy (reference lssp_pc_non_assemble/solve, pc.cxx:67-79)."""
-    return Preconditioner(_identity_apply, state=(), name="none")
+    return Preconditioner(_identity_apply, state=(), name="none",
+                          apply_t_fn=_identity_apply)
 
 
 def _jacobi_apply(state, r):
@@ -106,7 +113,8 @@ def _setup_jacobi(A, opts):
     d[small] = np.where(d[small] > 0, Defaults.ZERO_DIAG_VALUE,
                         -Defaults.ZERO_DIAG_VALUE)
     inv = (opts.omega / d).astype(A.data.dtype)
-    return Preconditioner(_jacobi_apply, state=inv, name="jacobi")
+    return Preconditioner(_jacobi_apply, state=inv, name="jacobi",
+                          apply_t_fn=_jacobi_apply)
 
 
 @register_pc("user")

@@ -20,18 +20,40 @@ from lssp_tpu.pc.lu_host import splu_factor
 
 
 def _lu_apply(state, r):
-    sl, su, perm_in, perm_out = state
+    sl, su, perm_in, perm_out = state[:4]
     y = ilu_apply(sl, su, r[perm_in])
     return y[perm_out]
+
+
+def _lu_apply_t(state, r):
+    """M⁻ᵀ for M x = (U⁻¹L⁻¹ (x[perm_in]))[perm_out]:
+    z = (Lᵀ)⁻¹(Uᵀ)⁻¹ applied with the permutations transposed
+    (gather by perm_out on input, perm_in on output)."""
+    if len(state) < 6:
+        raise ValueError("LU transpose apply requires "
+                         "PCOptions(transpose=True) at setup")
+    _, _, perm_in, perm_out, sut, slt = state
+    from lssp_tpu.ops.trisolve import ilu_apply_t
+    y = ilu_apply_t(sut, slt, r[_inv(perm_out)])
+    return y[_inv(perm_in)]
+
+
+def _inv(perm):
+    # inverse permutation as a gather index array (device-side)
+    return jnp.argsort(perm)
 
 
 @register_pc("lu")
 def setup_lu(A, opts):
     f = splu_factor(A, order=opts.lu_order, pivot_tol=opts.lu_pivot_tol)
     dtype = np.asarray(A.data).dtype
-    sl = level_schedule(f.L.astype(dtype) if f.L.dtype != dtype else f.L,
-                        lower=True)
-    su = level_schedule(f.U.astype(dtype) if f.U.dtype != dtype else f.U,
-                        lower=False)
+    L = f.L.astype(dtype) if f.L.dtype != dtype else f.L
+    U = f.U.astype(dtype) if f.U.dtype != dtype else f.U
+    sl = level_schedule(L, lower=True)
+    su = level_schedule(U, lower=False)
     state = (sl, su, jnp.asarray(f.perm_in), jnp.asarray(f.perm_out))
-    return Preconditioner(_lu_apply, state=state, name="lu")
+    if opts.transpose:
+        from lssp_tpu.ops.trisolve import ilu_transpose_schedules
+        state = state + ilu_transpose_schedules(L, U)
+    return Preconditioner(_lu_apply, state=state, name="lu",
+                          apply_t_fn=_lu_apply_t)

@@ -8,7 +8,7 @@ reference has no native implementation.
 TPU-native construction: both factor exactly into the ILU apply machinery,
 
     M_SSOR = 1/(ω(2−ω)) (D + ωLₛ) D⁻¹ (D + ωUₛ)
-           = (I + ωD⁻¹Lₛ) · [ (D + ωUₛ) / (ω(2−ω)) ]      (unit-L · U)
+           = (I + ωLₛD⁻¹) · [ (D + ωUₛ) / (ω(2−ω)) ]      (unit-L · U)
     M_SOR  = (D/ω + Lₛ)
            = (I + ωLₛD⁻¹) · (D/ω)                          (unit-L · U)
 
@@ -75,7 +75,9 @@ def setup_ssor(A, opts):
     Ls, d, Us = split_ldu(A)
     d = _safe_diag(d)
     w = opts.omega
-    L = _scale_rows(Ls, w / d)                       # ω D⁻¹ Lₛ
+    # (D + ωLₛ)D⁻¹ = I + ωLₛD⁻¹ — column scaling, NOT row scaling (they
+    # coincide only for constant-diagonal matrices)
+    L = _scale_cols(Ls, w / d)                       # ω Lₛ D⁻¹
     U = _append_diag(_scale_rows(Us, np.full_like(d, w / (w * (2 - w)))),
                      d / (w * (2 - w)))              # (D + ωUₛ)/(ω(2−ω))
     return make_ilu_pc(L, U, f"ssor(w={w})", opts.ilu_sweeps,

@@ -33,6 +33,11 @@ def _jitted(fn):
     return jax.jit(fn, static_argnames=("opts",))
 
 
+@functools.cache
+def _jitted_closed(fn, A_op):
+    return jax.jit(functools.partial(fn, A_op), static_argnames=("opts",))
+
+
 def _prepare_matrix(A, reorder="auto"):
     """Host CSR → TPU execution format; COO → CSR first; device formats and
     callables pass through.
@@ -101,10 +106,9 @@ def solve(A, b, x0=None, method: str = "gmres", pc: Optional[str] = "none",
         x0 = x0[perm]
     if callable(A_dev) and not hasattr(A_dev, "shape"):
         # a bare operator is not a pytree of arrays — close over it instead
-        # of passing it through jit as a traced argument
-        closed = functools.partial(fn, A_dev)
-        x, info = jax.jit(closed, static_argnames=("opts",))(
-            b, x0, M, opts=opts)
+        # of passing it through jit as a traced argument (cached per
+        # (solver, operator) pair so repeated solves reuse the compilation)
+        x, info = _jitted_closed(fn, A_dev)(b, x0, M, opts=opts)
     else:
         x, info = _jitted(fn)(A_dev, b, x0, M, opts=opts)
     if perm is not None:
@@ -146,12 +150,20 @@ class Solver:
     def assemble(self, A, b=None, x0=None, reorder: str = "auto"):
         """Convert the matrix, build the PC (factorization cost lives here —
         reference lssp_solver_assemble → lssp_pc_assemble, lssp.cxx:142-189)."""
+        if (self.pc_type == "saamg" and self.pc_options is not None
+                and self.pc_options.saamg_grid is not None
+                and reorder == "auto"):
+            reorder = None   # grid-aware aggregation needs original ordering
         self.A_host, self.A_dev, self.perm = _prepare_matrix(A, reorder=reorder)
         if self.method.lower() in ("direct", "splu") and \
                 self.pc_type in (None, "none"):
             self.pc_type = "lu"
         if self.pc_type not in (None, "none"):
-            self.M = pc_mod.setup(self.A_host, self.pc_type, self.pc_options)
+            pc_options = self.pc_options
+            if self.method.lower() in ("bicg", "qmr", "cgnr", "cgn", "lsqr"):
+                pc_options = dataclasses.replace(pc_options or PCOptions(),
+                                                 transpose=True)
+            self.M = pc_mod.setup(self.A_host, self.pc_type, pc_options)
         if b is not None:
             self.b = jnp.asarray(b)
         if x0 is not None:

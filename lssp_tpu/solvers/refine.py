@@ -58,6 +58,9 @@ def solve_ir(A, b, x0=None, method: str = "gmres",
         pc = "lu"   # IR around a direct solve: exact fp32 LU inner
     M32 = None
     if pc not in (None, "none"):
+        if method.lower() in ("bicg", "qmr", "cgnr", "cgn", "lsqr"):
+            pc_options = dataclasses.replace(pc_options or PCOptions(),
+                                             transpose=True)
         M32 = pc_mod.setup(A_host.astype(np.dtype(inner_dtype)), pc,
                            pc_options)
 

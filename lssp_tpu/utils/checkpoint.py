@@ -78,21 +78,34 @@ def checkpointed_solve(A, b, path: str, every: int = 100, method="gmres",
     opts = (options or SolverOptions()).resolved()
     x0, M = None, None
     done = 0
+    tol0 = None
     if os.path.exists(path):
         ck = load_checkpoint(path)
         x0, M = ck["x"], ck["M"]
         done = int(ck.get("nits_done", 0))
+        tol0 = ck.get("tol0")
     if M is None and pc not in (None, "none"):
         M = pc_mod.setup(A, pc, pc_options)
+
+    if tol0 is None:
+        # freeze the stopping threshold to the ORIGINAL r0 once: later
+        # rounds would otherwise re-derive rtol·‖r_round0‖ from their own
+        # (already reduced) start residual and over-solve
+        bn = np.asarray(b, np.float64)
+        r0 = bn if x0 is None else bn - A.to_scipy() @ np.asarray(x0, np.float64)
+        tol0 = float(max(opts.rtol * np.linalg.norm(r0), opts.atol,
+                         opts.rbtol * np.linalg.norm(bn)))
 
     total = 0
     info = None
     for _ in range(max_rounds):
-        round_opts = dataclasses.replace(opts, maxit=every)
+        round_opts = dataclasses.replace(opts, maxit=every, atol=tol0,
+                                         rtol=0.0, rbtol=0.0)
         x0, info = solve(A, b, x0=x0, method=method, M=M,
                          options=round_opts, reorder=None)
         total = done + int(info.nits)
-        save_checkpoint(path, x=x0, M=M, info=info, nits_done=total)
+        save_checkpoint(path, x=x0, M=M, info=info, nits_done=total,
+                        tol0=tol0)
         if bool(info.converged) or int(info.nits) == 0:
             break
         done = total

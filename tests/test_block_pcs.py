@@ -111,6 +111,31 @@ class TestRelaxPCs:
         assert bool(info.converged)
         assert int(info.nits) < int(info0.nits)
 
+    def test_ssor_nonconstant_diagonal(self):
+        """Regression: the SSOR unit-L factor is omega*Ls*D^-1 (column
+        scaling); row scaling only coincides for constant diagonals."""
+        import scipy.sparse as sp
+        from lssp_tpu.sparse.types import CSR
+        from lssp_tpu import pc as pc_mod
+        n = 30
+        d = np.linspace(1.0, 10.0, n)
+        As = sp.diags([np.full(n - 1, -0.3), d, np.full(n - 1, -0.3)],
+                      [-1, 0, 1]).tocsr()
+        A = CSR.from_scipy(As)
+        M = pc_mod.setup(A, "ssor", PCOptions(omega=1.2, ilu_sweeps=0))
+        Ad = As.toarray()
+        D = np.diag(np.diag(Ad))
+        L = np.tril(Ad, -1)
+        U = np.triu(Ad, 1)
+        Md = (D + 1.2 * L) @ np.linalg.inv(D) @ (D + 1.2 * U) / (1.2 * 0.8)
+        r = np.linspace(1.0, 2.0, n)
+        np.testing.assert_allclose(np.asarray(M(jnp.asarray(r))),
+                                   np.linalg.solve(Md, r), rtol=1e-12)
+        # M must be symmetric for symmetric A (CG requirement)
+        Minv = np.column_stack([np.asarray(M(jnp.eye(n)[i]))
+                                for i in range(n)])
+        assert np.abs(Minv - Minv.T).max() < 1e-12
+
     def test_ssor_transpose_symmetric(self):
         """For symmetric A, M_SSOR is symmetric: M.t == M apply."""
         from lssp_tpu import pc as pc_mod

@@ -88,6 +88,29 @@ class TestNonsymmetric:
         nr = _solve_and_check(self.A, self.b, "rgmres", "iluk", restart=30)
         assert abs(nf - nr) <= 3
 
+    def test_lu_pc_transpose_methods(self):
+        """Regression: transpose methods with pc="lu" must use the real
+        M^-T (an exact right PC converges LSQR/CGNR in ~1 iteration)."""
+        for m in ("lsqr", "cgnr", "bicg", "qmr"):
+            x, info = solve(self.A, self.b, method=m, pc="lu")
+            assert int(info.nits) <= 3, m
+            res = float(np.linalg.norm(
+                np.asarray(self.b) - self.A.to_scipy() @ np.asarray(x)))
+            assert res < 1e-6, m
+
+    def test_lifecycle_transpose_injection(self):
+        """Regression: the Solver lifecycle must auto-build M^-T for
+        transpose methods like solve() does."""
+        from lssp_tpu.solvers.facade import Solver
+        s = Solver(method="bicg", pc="iluk",
+                   pc_options=PCOptions(ilu_sweeps=0)).assemble(self.A, self.b)
+        s.solve()
+        assert bool(s.info.converged)
+
+    def test_unsupported_transpose_pc_raises(self):
+        with pytest.raises(ValueError, match="no transpose apply"):
+            solve(self.A, self.b, method="bicg", pc="amg")
+
     def test_warm_start(self):
         opts = SolverOptions(maxit=3000)
         x1, _ = solve(self.A, self.b, method="bicg", pc="iluk", options=opts)
