@@ -150,11 +150,16 @@ class Solver:
     def assemble(self, A, b=None, x0=None, reorder: str = "auto"):
         """Convert the matrix, build the PC (factorization cost lives here —
         reference lssp_solver_assemble → lssp_pc_assemble, lssp.cxx:142-189)."""
+        from lssp_tpu.utils.log import Timer
         if (self.pc_type == "saamg" and self.pc_options is not None
                 and self.pc_options.saamg_grid is not None
                 and reorder == "auto"):
             reorder = None   # grid-aware aggregation needs original ordering
-        self.A_host, self.A_dev, self.perm = _prepare_matrix(A, reorder=reorder)
+        # timing prints mirror the reference: assemble at verb>1
+        # (lssp.cxx:162-184), pc assemble at verb>0 (pc.cxx:83-236)
+        with Timer("solver: assemble (matrix conversion)", level=2):
+            self.A_host, self.A_dev, self.perm = _prepare_matrix(
+                A, reorder=reorder)
         if self.method.lower() in ("direct", "splu") and \
                 self.pc_type in (None, "none"):
             self.pc_type = "lu"
@@ -163,7 +168,8 @@ class Solver:
             if self.method.lower() in ("bicg", "qmr", "cgnr", "cgn", "lsqr"):
                 pc_options = dataclasses.replace(pc_options or PCOptions(),
                                                  transpose=True)
-            self.M = pc_mod.setup(self.A_host, self.pc_type, pc_options)
+            with Timer(f"pc: assemble ({self.pc_type})", level=1):
+                self.M = pc_mod.setup(self.A_host, self.pc_type, pc_options)
         if b is not None:
             self.b = jnp.asarray(b)
         if x0 is not None:
