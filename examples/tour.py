@@ -4,7 +4,11 @@ mixed-precision refinement, and checkpoint/resume.
 
 Run: python examples/tour.py  (CPU or TPU)
 """
+import os
+import sys
 import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import numpy as np
