@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lssp_tpu.sparse.types import CSR, BSR, ELL, DIA
+from lssp_tpu.sparse.types import CSR, BSR, ELL, DIA, BDIA
 
 
 def csr_row_ids(A: CSR) -> np.ndarray:
@@ -73,12 +73,48 @@ def _spmv_bsr(A: BSR, x, block_rows=None):
     return yb.reshape(A.shape[0])
 
 
+def _spmv_bdia(A: BDIA, x):
+    """Block-diagonal SpMV: per block diagonal, one batched (bs×bs)@(bs,)
+    einsum on shifted block columns — MXU, no gathers."""
+    nb = A.nrowb
+    bs = A.blocksize
+    offs = A.offsets
+    lo = max(0, -min(offs)) if offs else 0
+    hi = max(0, max(offs)) if offs else 0
+    xb = x.reshape(nb, bs)
+    xp = jnp.pad(xb, ((lo, hi), (0, 0)))
+    dtype = jnp.result_type(A.blocks.dtype, x.dtype)
+    y = jnp.zeros((nb, bs), dtype=dtype)
+    for d, off in enumerate(offs):
+        xs = jax.lax.dynamic_slice(xp, (lo + off, 0), (nb, bs))
+        y = y + jnp.einsum("nij,nj->ni", A.blocks[d], xs)
+    return y.reshape(A.shape[0])
+
+
+def _spmv_bdia_t(A: BDIA, x):
+    nb = A.nrowb
+    bs = A.blocksize
+    offs = A.offsets
+    lo = max(0, -min(offs)) if offs else 0
+    hi = max(0, max(offs)) if offs else 0
+    xb = x.reshape(nb, bs)
+    dtype = jnp.result_type(A.blocks.dtype, x.dtype)
+    y = jnp.zeros((nb, bs), dtype=dtype)
+    for d, off in enumerate(offs):
+        z = jnp.einsum("nij,ni->nj", A.blocks[d], xb)   # blockᵀ·x per row
+        zp = jnp.pad(z, ((hi, lo), (0, 0)))
+        y = y + jax.lax.dynamic_slice(zp, (hi - off, 0), (nb, bs))
+    return y.reshape(A.shape[1])
+
+
 def spmv(A, x):
     """y = A @ x for any container format."""
     if isinstance(A, DIA):
         return _spmv_dia(A, x)
     if isinstance(A, ELL):
         return _spmv_ell(A, x)
+    if isinstance(A, BDIA):
+        return _spmv_bdia(A, x)
     if isinstance(A, BSR):
         return _spmv_bsr(A, x)
     if isinstance(A, CSR):
@@ -142,6 +178,8 @@ def spmv_t(A, x):
         return _spmv_dia_t(A, x)
     if isinstance(A, ELL):
         return _spmv_ell_t(A, x)
+    if isinstance(A, BDIA):
+        return _spmv_bdia_t(A, x)
     if isinstance(A, BSR):
         return _spmv_bsr_t(A, x)
     if isinstance(A, CSR):

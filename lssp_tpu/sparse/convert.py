@@ -136,6 +136,27 @@ def csr_to_dia(A: CSR, max_diags: int = 64) -> DIA:
     return DIA(tuple(int(o) for o in offs), data, A.shape)
 
 
+def bsr_to_bdia(A: "BSR", max_diags: int = 32, fill: float = 2.0):
+    """BSR→block-diagonal storage (block-banded matrices).  Raises
+    ``ValueError`` when the block-diagonal count or padding waste is too
+    large — callers keep the gather-based BSR path then."""
+    from lssp_tpu.sparse.types import BDIA
+    nb = A.nrowb
+    bs = A.blocksize
+    ip = np.asarray(A.indptr).astype(np.int64)
+    rows = np.repeat(np.arange(nb, dtype=np.int64), ip[1:] - ip[:-1])
+    cols = np.asarray(A.indices).astype(np.int64)
+    offs = np.unique(cols - rows)
+    if len(offs) > max_diags:
+        raise ValueError(f"{len(offs)} block diagonals > {max_diags}")
+    if len(offs) * nb > fill * max(A.nnzb, 1):
+        raise ValueError("block-diagonal padding waste too large")
+    blocks = np.zeros((len(offs), nb, bs, bs), dtype=A.blocks.dtype)
+    d_idx = np.searchsorted(offs, cols - rows)
+    blocks[d_idx, rows] = np.asarray(A.blocks)
+    return BDIA(tuple(int(o) for o in offs), blocks, A.shape, bs)
+
+
 def to_device_format(A: CSR, max_diags: int = 32, dia_fill: float = 2.0):
     """Pick the TPU execution format for a CSR matrix.
 

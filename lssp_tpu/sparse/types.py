@@ -241,8 +241,44 @@ class DIA:
         return out
 
 
+@dataclasses.dataclass(frozen=True)
+class BDIA:
+    """Block-diagonal storage — the TPU execution format for block-banded
+    matrices (e.g. elasticity BSR after RCM).
+
+    ``blocks[d, i] = A_block[i, i + offsets[d]]`` (row-aligned, like DIA but
+    at block granularity): the SpMV is one batched (bs×bs)@(bs,) einsum per
+    block diagonal on shifted block columns — MXU work with zero gathers,
+    unlike the BSR path's block-row gather.  Out-of-range blocks are 0.
+    """
+
+    offsets: Tuple[int, ...]    # static; in BLOCK units
+    blocks: Any                 # (ndiag, nrowb, bs, bs)
+    shape: Tuple[int, int]      # scalar shape
+    blocksize: int
+
+    @property
+    def nrowb(self) -> int:
+        return self.shape[0] // self.blocksize
+
+    @property
+    def dtype(self):
+        return self.blocks.dtype
+
+    def todense(self) -> np.ndarray:
+        nb = self.nrowb
+        bs = self.blocksize
+        out = np.zeros(self.shape, dtype=self.dtype)
+        blk = np.asarray(self.blocks)
+        for d, off in enumerate(self.offsets):
+            for i in range(max(0, -off), min(nb, nb - off)):
+                out[i*bs:(i+1)*bs, (i+off)*bs:(i+off+1)*bs] = blk[d, i]
+        return out
+
+
 _register(COO, ("row", "col", "data"), ("shape",))
 _register(CSR, ("indptr", "indices", "data"), ("shape",))
 _register(BSR, ("indptr", "indices", "blocks"), ("shape", "blocksize"))
 _register(ELL, ("cols", "data"), ("shape",))
 _register(DIA, ("data",), ("offsets", "shape"))
+_register(BDIA, ("blocks",), ("offsets", "shape", "blocksize"))

@@ -179,3 +179,42 @@ class TestNeumannTriSolve:
         assert bool(info.converged)
         res = np.linalg.norm(b - A.to_scipy() @ np.asarray(x))
         assert res <= 1.1e-7 * 32
+
+
+class TestBDIA:
+    """Block-diagonal execution format (ops/spmv.py: _spmv_bdia) — the
+    gather-free BSR path for block-banded matrices."""
+
+    def test_spmv_matches_scipy(self, rng):
+        import lssp_tpu
+        from lssp_tpu.sparse.convert import csr_to_bsr, bsr_to_bdia
+        from lssp_tpu.ops.spmv import spmv, spmv_t
+        A = lssp_tpu.sparse.elasticity_2d(12)
+        B = csr_to_bsr(A, 2)
+        D = bsr_to_bdia(B, max_diags=64, fill=4.0)
+        x = rng.standard_normal(A.shape[0])
+        np.testing.assert_allclose(np.asarray(spmv(D, jnp.asarray(x))),
+                                   A.to_scipy() @ x, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(spmv_t(D, jnp.asarray(x))),
+                                   A.to_scipy().T @ x, rtol=1e-12)
+        assert D.todense().shape == A.shape
+        np.testing.assert_allclose(D.todense(), A.todense(), rtol=1e-14)
+
+    def test_unbanded_raises(self):
+        import scipy.sparse as sp
+        from lssp_tpu.sparse.types import BSR
+        from lssp_tpu.sparse.convert import bsr_to_bdia
+        m = sp.random(64, 64, density=0.15, random_state=1,
+                      format="csr").tobsr(blocksize=(4, 4))
+        with pytest.raises(ValueError):
+            bsr_to_bdia(BSR.from_scipy(m), max_diags=4, fill=1.1)
+
+    def test_facade_prefers_scalar_dia(self):
+        import lssp_tpu
+        from lssp_tpu.sparse.convert import csr_to_bsr
+        from lssp_tpu.sparse.types import DIA
+        from lssp_tpu.solvers.facade import _prepare_matrix
+        A = lssp_tpu.sparse.elasticity_2d(16)
+        B = csr_to_bsr(A, 2)
+        csr, dev, perm = _prepare_matrix(B)
+        assert isinstance(dev, DIA)      # measured fastest path on TPU
