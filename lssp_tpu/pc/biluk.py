@@ -89,8 +89,10 @@ def bilu0_factor_bsr(T: BSR):
     return blocks, inv
 
 
-def biluk_factor_bsr(A: BSR, level: int = 1):
-    """Returns (L_sched, Dinv, U_sched) device-ready pieces."""
+def biluk_factor_bsr(A: BSR, level: int = 1, raw: bool = False):
+    """Returns (L_sched, Dinv, U_sched) device-ready pieces, or with
+    ``raw=True`` the strict-factor CSR-of-blocks triples
+    ((lp, lc, lb), Dinv, (up, uc, ub)) for the caller to pack."""
     T = _block_symbolic(A, level)
     blocks, inv = bilu0_factor_bsr(T)
     nrowb, bs = T.nrowb, T.blocksize
@@ -112,12 +114,15 @@ def biluk_factor_bsr(A: BSR, level: int = 1):
     lp, lc, lb = strict(idx < rows)
     # Û blocks are premultiplied by inv(A_ii) (pc-biluk.cxx:162)
     up, uc, ub = strict(idx > rows, transform=lambda r, blk: inv[r] @ blk)
+    if raw:
+        return (lp, lc, lb), inv, (up, uc, ub)
     sched_l = block_level_schedule(lp, lc, lb, nrowb, bs, lower=True)
     sched_u = block_level_schedule(up, uc, ub, nrowb, bs, lower=False)
     return sched_l, inv, sched_u
 
 
-def bilut_factor_bsr(A: BSR, tol: float = 1e-3, p: int = -1):
+def bilut_factor_bsr(A: BSR, tol: float = 1e-3, p: int = -1,
+                     raw: bool = False):
     """Block ILUT: dual-threshold incomplete factorization at block
     granularity (the reference's BILUT capability via ITSOL's ``vbilutC``,
     /root/reference/src/pc-bilut.cxx:12-112, with uniform blocks).
@@ -209,6 +214,8 @@ def bilut_factor_bsr(A: BSR, tol: float = 1e-3, p: int = -1):
     lp, lc, lb = pack(Lrows)
     up, uc, ub = pack(Urows, transform=lambda r, blk: Linv[r] @ blk
                       if len(blk) else blk)
+    if raw:
+        return (lp, lc, lb), Linv, (up, uc, ub)
     sched_l = block_level_schedule(lp, lc, lb, nrowb, bs, lower=True)
     sched_u = block_level_schedule(up, uc, ub, nrowb, bs, lower=False)
     return sched_l, Linv, sched_u
@@ -219,6 +226,58 @@ def _bilu_apply(state, r):
     y = block_trisweep(sched_l, r)
     z = block_diag_apply(dinv, y)
     return block_trisweep(sched_u, z)
+
+
+def _bilu_neumann_apply(sweeps, state, r):
+    """Chow-style iterative block-triangular solves: the unit-block factors
+    L̂ = I + L_strict and Û = I + Û_strict invert as truncated Neumann
+    series, each sweep one gather-free BDIA block SpMV — the block analog
+    of the scalar path in ops/trisolve.py (default on TPU)."""
+    from lssp_tpu.ops.spmv import spmv
+    Lb, dinv, Ub = state
+    y = r
+    for _ in range(sweeps):
+        y = r - spmv(Lb, y)
+    z = block_diag_apply(dinv, y)
+    w = z
+    for _ in range(sweeps):
+        w = z - spmv(Ub, w)
+    return w
+
+
+def _pack_bilu_pc(factors, name, sweeps):
+    """Assemble the block-ILU Preconditioner from raw strict factors:
+    Neumann sweeps over BDIA factors (TPU default) when the factors are
+    block-banded, exact block-level scheduling otherwise."""
+    import functools
+
+    (lp, lc, lb), inv, (up, uc, ub) = factors
+    nrowb = len(lp) - 1
+    bs = inv.shape[1]
+    if sweeps is None:
+        import jax
+        sweeps = 6 if jax.default_backend() == "tpu" else 0
+    if sweeps > 0:
+        from lssp_tpu.sparse.convert import bsr_to_bdia
+        n = nrowb * bs
+        try:
+            Lb = bsr_to_bdia(BSR(lp, lc, lb, (n, n), bs),
+                             max_diags=48, fill=3.0)
+            Ub = bsr_to_bdia(BSR(up, uc, ub, (n, n), bs),
+                             max_diags=48, fill=3.0)
+            import jax.numpy as jnp
+            state = (Lb, jnp.asarray(inv), Ub)
+            return Preconditioner(
+                functools.partial(_bilu_neumann_apply, sweeps),
+                state=state, name=f"{name}-n{sweeps}")
+        except ValueError:
+            pass                       # not block-banded — exact schedules
+    sched_l = block_level_schedule(lp, lc, lb, nrowb, bs, lower=True)
+    sched_u = block_level_schedule(up, uc, ub, nrowb, bs, lower=False)
+    import jax.numpy as jnp
+    return Preconditioner(_bilu_apply,
+                          state=(sched_l, jnp.asarray(inv), sched_u),
+                          name=name)
 
 
 def _to_bsr(A, opts):
@@ -240,9 +299,9 @@ def setup_biluk(A, opts):
     """Reference lssp_pc_biluk_assemble (pc-biluk.cxx:418-431):
     bs = n / num_blocks; requires num_blocks (or an explicit block_size)."""
     B = _to_bsr(A, opts)
-    sched_l, inv, sched_u = biluk_factor_bsr(B, level=opts.iluk_level)
-    return Preconditioner(_bilu_apply, state=(sched_l, inv, sched_u),
-                          name=f"biluk({opts.iluk_level})")
+    factors = biluk_factor_bsr(B, level=opts.iluk_level, raw=True)
+    return _pack_bilu_pc(factors, f"biluk({opts.iluk_level})",
+                         opts.ilu_sweeps)
 
 
 @register_pc("bilut")
@@ -250,10 +309,8 @@ def setup_bilut(A, opts):
     """Block ILUT (the reference's ITSOL BILUT adapter capability,
     pc-bilut.cxx:12-112)."""
     B = _to_bsr(A, opts)
-    sched_l, inv, sched_u = bilut_factor_bsr(B, tol=opts.ilut_tol,
-                                             p=opts.ilut_p)
-    return Preconditioner(_bilu_apply, state=(sched_l, inv, sched_u),
-                          name="bilut")
+    factors = bilut_factor_bsr(B, tol=opts.ilut_tol, p=opts.ilut_p, raw=True)
+    return _pack_bilu_pc(factors, "bilut", opts.ilu_sweeps)
 
 
 # --- variable-block ILU (the reference's ITSOL VBILUK/VBILUT adapters,
