@@ -86,6 +86,8 @@ class PCOptions:
     iluk_level: Optional[int] = None      # ILU(k) fill level
     ilut_tol: Optional[float] = None      # ILUT drop tolerance
     ilut_p: Optional[int] = None          # ILUT max fill per row (-1 = auto)
+    ilutp_permtol: float = 0.1            # ILUTP pivot threshold (swap when
+                                          # |diag| < permtol * max upper)
     num_blocks: Optional[int] = None      # block count for block-ILU
     block_size: Optional[int] = None      # uniform block size for BSR paths
     block_sizes: Any = None               # variable block sizes (vbiluk /

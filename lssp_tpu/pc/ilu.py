@@ -75,6 +75,39 @@ def setup_ilu0(A, opts):
                        transpose=opts.transpose)
 
 
+def _ilutp_apply(state, r):
+    import jax.numpy as jnp
+    sl, su, iperm = state
+    y = ilu_apply(sl, su, r)
+    return y[iperm]                      # undo the column pivoting
+
+
+@register_pc("ilutp")
+def setup_ilutp(A, opts):
+    """ILUT with column pivoting (LIS ``ilutp`` capability) — robust on
+    matrices with small/zero diagonals.  Factors L·U ≈ A[:, perm]."""
+    import jax.numpy as jnp
+    from lssp_tpu.pc.ilu_host import ilutp_factor
+    L, U, perm = ilutp_factor(A, tol=opts.ilut_tol, p=opts.ilut_p,
+                              permtol=opts.ilutp_permtol)
+    import numpy as np
+    iperm = np.argsort(perm)
+    dtype = np.asarray(A.data).dtype
+    sl = level_schedule(CSRcast(L, dtype), lower=True)
+    su = level_schedule(CSRcast(U, dtype), lower=False)
+    return Preconditioner(_ilutp_apply,
+                          state=(sl, su, jnp.asarray(iperm, jnp.int32)),
+                          name="ilutp")
+
+
+def CSRcast(T, dtype):
+    import dataclasses
+    import numpy as np
+    if np.asarray(T.data).dtype == dtype:
+        return T
+    return dataclasses.replace(T, data=np.asarray(T.data).astype(dtype))
+
+
 @register_pc("ilut")
 def setup_ilut(A, opts):
     L, U = ilut_factor(A, tol=opts.ilut_tol, p=opts.ilut_p,

@@ -109,3 +109,11 @@ def setup_ras(A, opts):
 
 
 register_pc("schwarz")(setup_ras)
+
+
+@register_pc("bjacobi")
+def setup_bjacobi(A, opts):
+    """Block-Jacobi with ILU local solves (the PETSc adapter's BJACOBI
+    capability, solver-petsc.cxx:23-32) = RAS with zero overlap."""
+    import dataclasses
+    return setup_ras(A, dataclasses.replace(opts, schwarz_overlap=0))

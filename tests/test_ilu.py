@@ -116,3 +116,41 @@ class TestILUT:
         n1 = sum(F.nnz for F in ilut_factor(A, tol=1e-1, p=10))
         n2 = sum(F.nnz for F in ilut_factor(A, tol=1e-8, p=10))
         assert n2 >= n1
+
+
+class TestILUTP:
+    """ILUT with column pivoting (LIS ilutp capability,
+    solver-lis.cxx:8-41)."""
+
+    def test_no_drop_exact(self):
+        """With tol=0 and unlimited fill, ILUTP is an exact pivoted LU:
+        L·U = A[:, perm]."""
+        import scipy.sparse as sp
+        from lssp_tpu.pc.ilu_host import ilutp_factor
+        from lssp_tpu.sparse.types import CSR
+        m = sp.random(40, 40, density=0.25, random_state=3, format="csr")
+        m = (m + sp.eye(40) * 0.01).tocsr()
+        L, U, perm = ilutp_factor(CSR.from_scipy(m), tol=0.0, p=10**6,
+                                  permtol=0.5)
+        LU = (L.todense() + np.eye(40)) @ U.todense()
+        np.testing.assert_allclose(LU, m.toarray()[:, perm],
+                                   rtol=1e-10, atol=1e-12)
+        assert (perm != np.arange(40)).any()       # pivoting engaged
+
+    def test_robust_on_tiny_diagonal(self):
+        """Near-zero diagonals: ILUTP pivots instead of clamping and beats
+        plain ILUT."""
+        import scipy.sparse as sp
+        import jax.numpy as jnp
+        from lssp_tpu import solve, SolverOptions
+        from lssp_tpu.sparse.types import CSR
+        d = np.r_[np.full(50, 1e-14), np.ones(78)]
+        m = (sp.diags(d) + 0.5 * sp.diags(np.ones(127), 1)
+             + 0.3 * sp.diags(np.ones(127), -1)).tocsr()
+        A = CSR.from_scipy(m)
+        b = jnp.ones(128, dtype=jnp.float64)
+        x, info = solve(A, b, method="gmres", pc="ilutp",
+                        options=SolverOptions(maxit=200))
+        res = float(np.linalg.norm(np.asarray(b) - m @ np.asarray(x)))
+        assert bool(info.converged) and res < 1e-6
+        assert int(info.nits) <= 5
