@@ -98,6 +98,9 @@ class PCOptions:
                                           # CPU); 0 = force exact; k>0 = k
                                           # iterative SpMV sweeps
     omega: float = 1.0                    # damping (Jacobi/smoothers)
+    poly_degree: int = 8                  # polynomial-PC Chebyshev degree
+    poly_ratio: float = 30.0              # covered spectrum: [lmax/ratio,
+                                          # 1.05*lmax] (SPD)
     lu_order: str = "rcm"                 # direct-LU fill-reducing ordering
                                           # ("rcm" | None)
     lu_pivot_tol: float = 0.1             # diagonal-preference threshold for

@@ -15,7 +15,8 @@ from lssp_tpu.pc import amg as _amg          # registers amg
 from lssp_tpu.pc import lu as _lu            # registers lu (direct)
 from lssp_tpu.pc import relax as _relax      # registers ssor/sor/gs
 from lssp_tpu.pc import arms as _arms        # registers arms
-from lssp_tpu.pc import schwarz as _schwarz  # registers ras/schwarz
+from lssp_tpu.pc import schwarz as _schwarz  # registers ras/schwarz/bjacobi
+from lssp_tpu.pc import poly as _poly        # registers poly/chebyshev
 
 __all__ = ["Preconditioner", "setup", "PC_REGISTRY",
            "iluk_symbolic", "ilu0_numeric", "iluk_factor", "ilut_factor"]

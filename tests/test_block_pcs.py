@@ -221,3 +221,35 @@ class TestRAS:
         x, info = solve(A, b, method="gmres", pc="ras",
                         pc_options=PCOptions(num_blocks=7, schwarz_overlap=4))
         assert bool(info.converged)
+
+
+class TestPolyPC:
+    """Chebyshev polynomial preconditioner (pure-SpMV apply)."""
+
+    def test_accelerates_cg(self):
+        A = laplacian_2d(64)
+        b = jnp.ones(A.shape[0], dtype=jnp.float64)
+        x, info = solve(A, b, method="cg", pc="poly",
+                        pc_options=PCOptions(poly_degree=8))
+        x0, i0 = solve(A, b, method="cg", pc="none")
+        res = float(np.linalg.norm(np.asarray(b) - A.to_scipy() @ np.asarray(x)))
+        assert bool(info.converged) and res < 1e-4
+        assert int(info.nits) < 0.3 * int(i0.nits)
+
+    def test_degree_monotone(self):
+        A = laplacian_2d(48)
+        b = jnp.ones(A.shape[0], dtype=jnp.float64)
+        nits = []
+        for d in (4, 16):
+            _, info = solve(A, b, method="cg", pc="poly",
+                            pc_options=PCOptions(poly_degree=d))
+            nits.append(int(info.nits))
+        assert nits[1] < nits[0]
+
+    def test_symmetric_transpose(self):
+        from lssp_tpu import pc as pc_mod
+        A = laplacian_2d(16)
+        M = pc_mod.setup(A, "poly", PCOptions(poly_degree=6))
+        r = jnp.asarray(np.linspace(1.0, 2.0, 256))
+        np.testing.assert_allclose(np.asarray(M.t(r)), np.asarray(M(r)),
+                                   rtol=1e-12)
