@@ -17,10 +17,13 @@ if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "")
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=8")
 
+# the platform must be chosen before the backend initializes — a
+# config.update after first backend use is a no-op
+if "JAX_PLATFORMS" not in os.environ and "TPU_WORKER_ID" not in os.environ:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
 import jax
 
-if jax.default_backend() != "tpu":
-    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", jax.default_backend() != "tpu")
 
 import jax.numpy as jnp

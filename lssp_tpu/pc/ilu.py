@@ -75,29 +75,42 @@ def setup_ilu0(A, opts):
                        transpose=opts.transpose)
 
 
-def _ilutp_apply(state, r):
-    import jax.numpy as jnp
-    sl, su, iperm = state
-    y = ilu_apply(sl, su, r)
-    return y[iperm]                      # undo the column pivoting
+def _ilutp_apply(inner_fn, state, r):
+    inner_state, iperm, perm = state
+    return inner_fn(inner_state, r)[iperm]   # undo the column pivoting
+
+
+def _ilutp_apply_t(inner_t_fn, state, r):
+    # M⁻¹ = G·U⁻¹L⁻¹ with (Gy)[c] = y[iperm[c]] ⇒ M⁻ᵀ = L⁻ᵀU⁻ᵀ·Gᵀ,
+    # Gᵀr = r[perm]
+    inner_state, iperm, perm = state
+    return inner_t_fn(inner_state, r[perm])
 
 
 @register_pc("ilutp")
 def setup_ilutp(A, opts):
     """ILUT with column pivoting (LIS ``ilutp`` capability) — robust on
-    matrices with small/zero diagonals.  Factors L·U ≈ A[:, perm]."""
+    matrices with small/zero diagonals.  Factors L·U ≈ A[:, perm];
+    the permuted factors ride the standard ILU apply machinery (exact
+    level scheduling or TPU Neumann sweeps via ``ilu_sweeps``), with the
+    permutation undone in the apply."""
+    import functools
     import jax.numpy as jnp
+    import numpy as np
     from lssp_tpu.pc.ilu_host import ilutp_factor
     L, U, perm = ilutp_factor(A, tol=opts.ilut_tol, p=opts.ilut_p,
                               permtol=opts.ilutp_permtol)
-    import numpy as np
     iperm = np.argsort(perm)
     dtype = np.asarray(A.data).dtype
-    sl = level_schedule(CSRcast(L, dtype), lower=True)
-    su = level_schedule(CSRcast(U, dtype), lower=False)
-    return Preconditioner(_ilutp_apply,
-                          state=(sl, su, jnp.asarray(iperm, jnp.int32)),
-                          name="ilutp")
+    inner = make_ilu_pc(CSRcast(L, dtype), CSRcast(U, dtype), "ilutp-inner",
+                        opts.ilu_sweeps, transpose=opts.transpose)
+    state = (inner.state, jnp.asarray(iperm, jnp.int32),
+             jnp.asarray(perm, jnp.int32))
+    return Preconditioner(
+        functools.partial(_ilutp_apply, inner.apply_fn), state=state,
+        name=f"ilutp[{inner.name}]",
+        apply_t_fn=(functools.partial(_ilutp_apply_t, inner.apply_t_fn)
+                    if inner.apply_t_fn is not None else None))
 
 
 def CSRcast(T, dtype):

@@ -354,7 +354,7 @@ def ilutp_factor(A: CSR, tol: float = None, p: int = None,
     ip = np.asarray(A.indptr).astype(np.int64)
     idx = np.asarray(A.indices).astype(np.int64)
     dat = np.asarray(A.data).astype(np.float64)
-    if p is None or p < 0:
+    if p is None or p <= 0:
         p = max(1, int(np.ceil(A.nnz / max(1, n))))
 
     perm = np.arange(n, dtype=np.int64)       # position -> original column
@@ -367,8 +367,9 @@ def ilutp_factor(A: CSR, tol: float = None, p: int = None,
     for i in range(n):
         s, e = ip[i], ip[i + 1]
         w = {int(c): float(v) for c, v in zip(idx[s:e], dat[s:e])}
+        orig = set(w)                         # original pattern: never
         rnorm = float(np.mean(np.abs(dat[s:e]))) if e > s else 1.0
-        droptol = tol * rnorm
+        droptol = tol * rnorm                 # tolerance-gated (fills only)
 
         pending = [int(iperm[c]) for c in w if iperm[c] < i]
         heapq.heapify(pending)
@@ -382,7 +383,7 @@ def ilutp_factor(A: CSR, tol: float = None, p: int = None,
             if c_k not in w:
                 continue
             lik = w[c_k] / Udiag[k]
-            if abs(lik) < droptol:
+            if abs(lik) < droptol and c_k not in orig:
                 del w[c_k]
                 continue
             w[c_k] = lik
@@ -423,7 +424,8 @@ def ilutp_factor(A: CSR, tol: float = None, p: int = None,
                 else -Defaults.ZERO_DIAG_VALUE
         upart = [(c, v) for c, v in w.items() if iperm[c] > i]
         upart.sort(key=lambda kv: -abs(kv[1]))
-        upart = [(c, v) for c, v in upart[:p] if abs(v) >= droptol]
+        upart = [(c, v) for c, v in upart[:p]
+                 if abs(v) >= droptol or c in orig]
 
         Lrows.append((np.array([k for k, _ in sorted(lpart)], np.int64),
                       np.array([v for _, v in sorted(lpart)])))

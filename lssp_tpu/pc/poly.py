@@ -37,12 +37,13 @@ def _power_lmax(A: CSR, iters: int = 20) -> float:
     return 1.1 * lam
 
 
-def _poly_apply(degree, lb, ub, state, r):
+def _poly_apply(degree, lb, ub, state, r, transpose=False):
     """z = p(A) r via the Chebyshev iteration for A z = r with x0 = 0
     (equivalently: z is the degree-``degree`` Chebyshev polynomial in A
-    applied to r over [lb, ub])."""
+    applied to r over [lb, ub]).  ``transpose`` runs p(Aᵀ) = p(A)ᵀ."""
     import jax.numpy as jnp
-    from lssp_tpu.ops.spmv import spmv
+    from lssp_tpu.ops.spmv import spmv as _fwd, spmv_t as _tr
+    spmv = _tr if transpose else _fwd
     Adev = state
     theta = (ub + lb) / 2.0
     delta = (ub - lb) / 2.0
@@ -62,6 +63,7 @@ def _poly_apply(degree, lb, ub, state, r):
 
 @register_pc("poly")
 def setup_poly(A, opts):
+    import jax
     from lssp_tpu.sparse.convert import to_device_format
     if opts.poly_degree < 1:
         raise ValueError(f"poly PC requires poly_degree >= 1, "
@@ -69,11 +71,20 @@ def setup_poly(A, opts):
     lmax = _power_lmax(A)
     ub = 1.05 * lmax
     lb = ub / max(opts.poly_ratio, 1.0 + 1e-6)
-    Adev = to_device_format(A)
-    apply_fn = functools.partial(_poly_apply, int(opts.poly_degree), lb, ub)
+    # same execution-format thresholds as the solver's own matrix (the
+    # facade uses wide DIA limits on TPU) — otherwise a 33+-diagonal banded
+    # matrix would silently fall back to gather ELL inside the PC only
+    if jax.default_backend() == "tpu":
+        Adev = to_device_format(A, max_diags=256, dia_fill=50.0)
+    else:
+        Adev = to_device_format(A)
+    d = int(opts.poly_degree)
+    apply_fn = functools.partial(_poly_apply, d, lb, ub)
+    # p(A)ᵀ = p(Aᵀ): the transpose apply runs the same recurrence on spmv_t
+    apply_t = functools.partial(_poly_apply, d, lb, ub, transpose=True)
     return Preconditioner(apply_fn, state=Adev,
                           name=f"poly(d={opts.poly_degree})",
-                          apply_t_fn=apply_fn)     # symmetric for SPD A
+                          apply_t_fn=apply_t)
 
 
 register_pc("chebyshev")(setup_poly)

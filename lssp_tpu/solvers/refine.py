@@ -45,7 +45,14 @@ def solve_ir(A, b, x0=None, method: str = "gmres",
     from lssp_tpu import pc as pc_mod
 
     opts = (options or SolverOptions()).resolved()
-    A_host, _, perm = _prepare_matrix(A, reorder=reorder)
+    from lssp_tpu.sparse.types import BSR
+    if isinstance(A, BSR):
+        # skip _prepare_matrix: it would eagerly build a device format we
+        # immediately discard (both precisions are rebuilt below)
+        from lssp_tpu.sparse.convert import bsr_to_csr
+        A_host, perm = bsr_to_csr(A), None
+    else:
+        A_host, _, perm = _prepare_matrix(A, reorder=reorder)
     # build both precisions of the execution format from the (possibly
     # reordered) host matrix
     from lssp_tpu.sparse.convert import to_device_format
