@@ -62,7 +62,7 @@ def idrs(A, b, x0=None, M=None, opts=None, dot=vdot):
         res = jnp.where(go, res_new, res)
         it = jnp.where(go, k + 1, it)
         hist = history_update(opts, hist, k + 1, res)
-        Mg = jnp.where(go, Mg.at[:, k].set(jnp.sum(P * dR[k][None, :], axis=1)), Mg)
+        Mg = jnp.where(go, Mg.at[:, k].set(jax.vmap(lambda p: dot(p, dR[k]))(P)), Mg)
         stopped = stopped | (res <= tol)
         return (x, r, dX, dR, Mg, om_k, res, it, stopped, hist)
 
@@ -74,7 +74,7 @@ def idrs(A, b, x0=None, M=None, opts=None, dot=vdot):
     x, r, dX, dR, Mg, om, res, it, stopped, hist = jax.lax.fori_loop(
         0, s, warm, state)
 
-    m_vec = jnp.sum(P * r[None, :], axis=1)
+    m_vec = jax.vmap(lambda p: dot(p, r))(P)
 
     def cond(carry):
         it, x, r, dX, dR, Mg, m_vec, om, oldest, res, hist = carry
@@ -108,7 +108,7 @@ def idrs(A, b, x0=None, M=None, opts=None, dot=vdot):
         it = it + 1
         res = jnp.sqrt(dot(r, r))
         hist = history_update(opts, hist, it, res)
-        h_vec = jnp.sum(P * dr[None, :], axis=1)
+        h_vec = jax.vmap(lambda p: dot(p, dr))(P)
         m_vec = m_vec + h_vec
         Mg = Mg.at[:, oldest].set(h_vec)
         oldest = jnp.mod(oldest + 1, s)

@@ -155,3 +155,24 @@ class TestDistSAAMG:
         assert x.shape == (900,)
         res = float(np.linalg.norm(np.asarray(b) - A.to_scipy() @ np.asarray(x)))
         assert bool(info.converged) and res < 1e-4
+
+
+class TestDistMethodMatrix:
+    """Every transpose-free Krylov method runs unchanged under shard_map
+    (the dist layer injects op + psum dot; regression for the IDR shadow
+    products, which must route through the distributed dot)."""
+
+    @pytest.mark.parametrize("method", ["bicgstabl", "tfqmr", "qmrcgstab",
+                                        "idrs", "lgmres", "minres"])
+    def test_method_distributed(self, method):
+        import lssp_tpu as lt
+        from lssp_tpu.parallel.dist_solve import dist_solve, make_mesh
+        sym = method in ("minres",)
+        A = (lt.sparse.laplacian_2d(32) if sym
+             else lt.sparse.convection_diffusion_2d(32, beta=10.0))
+        b = jnp.ones(1024, dtype=jnp.float64)
+        x, info = dist_solve(A, b, method=method, pc="bjilu",
+                             mesh=make_mesh(8),
+                             options=lt.SolverOptions(maxit=2000, restart=30))
+        res = float(np.linalg.norm(np.asarray(b) - A.to_scipy() @ np.asarray(x)))
+        assert bool(info.converged) and res < 1e-4, (method, res)
