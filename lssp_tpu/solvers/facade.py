@@ -38,6 +38,17 @@ def _jitted_closed(fn, A_op):
     return jax.jit(functools.partial(fn, A_op), static_argnames=("opts",))
 
 
+def _memoize_prepared(A, reorder, out):
+    try:
+        cache = getattr(A, "_prepared_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(A, "_prepared_cache", cache)
+        cache[(reorder, jax.default_backend())] = out
+    except Exception:
+        pass                       # non-dataclass containers: skip caching
+
+
 def _prepare_matrix(A, reorder="auto"):
     """Host CSR → TPU execution format; COO → CSR first; device formats and
     callables pass through.
@@ -47,6 +58,13 @@ def _prepare_matrix(A, reorder="auto"):
     not already diagonal-structured (TPU has no hardware gather — see
     lssp_tpu/sparse/reorder.py).  Returns (host_csr, device_fmt, perm).
     """
+    # repeated solve() calls with the same container must not re-convert and
+    # re-upload the matrix (336 MB through the tunnel at 16.8M rows ≈ 13 s
+    # per call); the prepared triple is memoized on the container itself
+    cache = getattr(A, "_prepared_cache", None)
+    backend = jax.default_backend()
+    if cache is not None and cache.get((reorder, backend)) is not None:
+        return cache[(reorder, backend)]
     if isinstance(A, COO):
         A = coo_to_csr(A)
     if isinstance(A, BSR):
@@ -71,8 +89,11 @@ def _prepare_matrix(A, reorder="auto"):
                 # raw BSR is not jit-safe as a traced argument (its SpMV
                 # needs host-side row expansion) — gather ELL is
                 dev = csr_to_ell(csr)
-        return csr, dev, None
+        out = (csr, jax.device_put(dev), None)
+        _memoize_prepared(A, reorder, out)
+        return out
     if isinstance(A, CSR):
+        A0 = A
         A = sort_columns(A)
         perm = None
         on_tpu = jax.default_backend() == "tpu"
@@ -84,7 +105,9 @@ def _prepare_matrix(A, reorder="auto"):
             dev = to_device_format(A, max_diags=256, dia_fill=50.0)
         else:
             dev = to_device_format(A)
-        return A, dev, perm
+        out = (A, jax.device_put(dev), perm)
+        _memoize_prepared(A0, reorder, out)
+        return out
     return None, A, None
 
 
