@@ -84,8 +84,13 @@ def setup(A, pc_type: str = "none", opts: PCOptions = None) -> Preconditioner:
     M = PC_REGISTRY[key](A, opts)
     # commit the state to the device once: host-numpy leaves passed as jit
     # arguments would otherwise be re-transferred on EVERY solve call
-    # (measured 2.4x per-solve overhead at 1M rows, far worse at 16M+)
-    return jax.device_put(M)
+    # (measured 2.4x per-solve overhead at 1M rows, far worse at 16M+).
+    # Leaf-guarded: user PCs may carry arbitrary host objects in their state.
+    def _put(leaf):
+        if hasattr(leaf, "shape") and hasattr(leaf, "dtype"):
+            return jax.device_put(leaf)
+        return leaf
+    return jax.tree_util.tree_map(_put, M)
 
 
 # --- trivial PCs -----------------------------------------------------------

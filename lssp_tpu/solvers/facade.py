@@ -38,18 +38,36 @@ def _jitted_closed(fn, A_op):
     return jax.jit(functools.partial(fn, A_op), static_argnames=("opts",))
 
 
+def _fingerprint(A):
+    """Cheap content fingerprint so in-place mutation of a container's
+    buffers invalidates the prepared-format cache (best effort: samples up
+    to ~64k entries of data+indices; full hashing of 100s of MB would cost
+    more than it saves)."""
+    try:
+        d = np.asarray(A.data)
+        stride = max(1, d.size // 65536)
+        parts = [d.shape, d.dtype.str, hash(d[::stride].tobytes())]
+        idx = getattr(A, "indices", None)
+        if idx is not None:
+            i = np.asarray(idx)
+            parts.append(hash(i[::max(1, i.size // 65536)].tobytes()))
+        return tuple(parts)
+    except Exception:
+        return None
+
+
 def _memoize_prepared(A, reorder, out):
     try:
         cache = getattr(A, "_prepared_cache", None)
         if cache is None:
             cache = {}
             object.__setattr__(A, "_prepared_cache", cache)
-        cache[(reorder, jax.default_backend())] = out
+        cache[(reorder, jax.default_backend())] = (_fingerprint(A), out)
     except Exception:
         pass                       # non-dataclass containers: skip caching
 
 
-def _prepare_matrix(A, reorder="auto"):
+def _prepare_matrix(A, reorder="auto", build_device=True):
     """Host CSR → TPU execution format; COO → CSR first; device formats and
     callables pass through.
 
@@ -57,14 +75,20 @@ def _prepare_matrix(A, reorder="auto"):
     None disables, "auto" applies it on the TPU backend when the matrix is
     not already diagonal-structured (TPU has no hardware gather — see
     lssp_tpu/sparse/reorder.py).  Returns (host_csr, device_fmt, perm).
+    ``build_device=False`` skips (and does not cache) the device execution
+    format — for callers like solve_ir that rebuild their own precisions.
     """
     # repeated solve() calls with the same container must not re-convert and
     # re-upload the matrix (336 MB through the tunnel at 16.8M rows ≈ 13 s
-    # per call); the prepared triple is memoized on the container itself
+    # per call); the prepared triple is memoized on the container itself,
+    # invalidated by a content fingerprint when buffers are mutated in place
+    A_orig = A
     cache = getattr(A, "_prepared_cache", None)
     backend = jax.default_backend()
-    if cache is not None and cache.get((reorder, backend)) is not None:
-        return cache[(reorder, backend)]
+    if build_device and cache is not None:
+        hit = cache.get((reorder, backend))
+        if hit is not None and hit[0] == _fingerprint(A):
+            return hit[1]
     if isinstance(A, COO):
         A = coo_to_csr(A)
     if isinstance(A, BSR):
@@ -78,6 +102,8 @@ def _prepare_matrix(A, reorder="auto"):
         from lssp_tpu.sparse.convert import (
             bsr_to_csr, bsr_to_bdia, csr_to_dia, csr_to_ell)
         csr = bsr_to_csr(A)
+        if not build_device:
+            return csr, None, None
         try:
             dev = csr_to_dia(csr, max_diags=64)
             if len(dev.offsets) * csr.shape[0] > 3.0 * max(csr.nnz, 1):
@@ -89,11 +115,12 @@ def _prepare_matrix(A, reorder="auto"):
                 # raw BSR is not jit-safe as a traced argument (its SpMV
                 # needs host-side row expansion) — gather ELL is
                 dev = csr_to_ell(csr)
+        if not build_device:
+            return csr, None, None
         out = (csr, jax.device_put(dev), None)
-        _memoize_prepared(A, reorder, out)
+        _memoize_prepared(A_orig, reorder, out)
         return out
     if isinstance(A, CSR):
-        A0 = A
         A = sort_columns(A)
         perm = None
         on_tpu = jax.default_backend() == "tpu"
@@ -101,12 +128,14 @@ def _prepare_matrix(A, reorder="auto"):
             A2, perm = maybe_rcm(A)
             if perm is not None:
                 A = A2
+        if not build_device:
+            return A, None, perm
         if on_tpu:
             dev = to_device_format(A, max_diags=256, dia_fill=50.0)
         else:
             dev = to_device_format(A)
         out = (A, jax.device_put(dev), perm)
-        _memoize_prepared(A0, reorder, out)
+        _memoize_prepared(A_orig, reorder, out)
         return out
     return None, A, None
 

@@ -45,14 +45,9 @@ def solve_ir(A, b, x0=None, method: str = "gmres",
     from lssp_tpu import pc as pc_mod
 
     opts = (options or SolverOptions()).resolved()
-    from lssp_tpu.sparse.types import BSR
-    if isinstance(A, BSR):
-        # skip _prepare_matrix: it would eagerly build a device format we
-        # immediately discard (both precisions are rebuilt below)
-        from lssp_tpu.sparse.convert import bsr_to_csr
-        A_host, perm = bsr_to_csr(A), None
-    else:
-        A_host, _, perm = _prepare_matrix(A, reorder=reorder)
+    # build_device=False: both precisions are rebuilt below, so the facade
+    # must not construct (or pin in its cache) an unused device format
+    A_host, _, perm = _prepare_matrix(A, reorder=reorder, build_device=False)
     # build both precisions of the execution format from the (possibly
     # reordered) host matrix
     from lssp_tpu.sparse.convert import to_device_format

@@ -162,12 +162,15 @@ class TestDistMethodMatrix:
     (the dist layer injects op + psum dot; regression for the IDR shadow
     products, which must route through the distributed dot)."""
 
-    @pytest.mark.parametrize("method", ["bicgstabl", "tfqmr", "qmrcgstab",
-                                        "idrs", "lgmres", "minres"])
+    @pytest.mark.parametrize("method", [
+        "cg", "gmres", "rgmres", "fgmres", "bicgstab", "bicgstabl",
+        "bicgsafe", "cgs", "gpbicg", "cr", "crs", "bicrstab", "bicrsafe",
+        "gpbicr", "qmrcgstab", "tfqmr", "orthomin", "idrs", "lgmres",
+        "minres"])
     def test_method_distributed(self, method):
         import lssp_tpu as lt
         from lssp_tpu.parallel.dist_solve import dist_solve, make_mesh
-        sym = method in ("minres",)
+        sym = method in ("minres", "cg", "cr")
         A = (lt.sparse.laplacian_2d(32) if sym
              else lt.sparse.convection_diffusion_2d(32, beta=10.0))
         b = jnp.ones(1024, dtype=jnp.float64)
