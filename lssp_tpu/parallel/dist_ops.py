@@ -52,6 +52,64 @@ def make_dist_spmv(M: DistELL, axis: str):
     return op
 
 
+def make_dist_spmv_t(M: DistELL, axis: str):
+    """Return op_t(x_local) -> (Aᵀx)_local — the reverse of the halo
+    exchange: each shard accumulates its rows' contributions into the
+    extended vector [halo_l | local | halo_r] with a segment sum, keeps the
+    local part, and ships the halo accumulations to the owning neighbours
+    (the mirror image of the forward ppermute shifts).  All-gather mode
+    reduces the per-shard full-length accumulations with a psum_scatter.
+    """
+    import numpy as np
+
+    P = M.nshards
+    h = M.halo
+    R = M.rows_per_shard
+
+    if M.mode == "halo":
+        def op_t(cols, data, x):
+            prod = (data * x[:, None]).ravel()
+            z_ext = jax.ops.segment_sum(prod, cols.ravel(),
+                                        num_segments=R + 2 * h)
+            y = z_ext[h:h + R]
+            if h > 0:
+                left = [(i, (i - 1) % P) for i in range(P)]
+                right = [(i, (i + 1) % P) for i in range(P)]
+                # my left-halo accumulation belongs to my LEFT neighbour's
+                # last h rows; my right-halo to my RIGHT neighbour's first h
+                from_right = lax.ppermute(z_ext[:h], axis, left)
+                from_left = lax.ppermute(z_ext[-h:], axis, right)
+                pidx = lax.axis_index(axis)
+                from_right = jnp.where(pidx == P - 1,
+                                       jnp.zeros_like(from_right), from_right)
+                from_left = jnp.where(pidx == 0,
+                                      jnp.zeros_like(from_left), from_left)
+                y = y.at[-h:].add(from_right).at[:h].add(from_left)
+            return y
+    else:
+        def op_t(cols, data, x):
+            prod = (data * x[:, None]).ravel()
+            z_full = jax.ops.segment_sum(prod, cols.ravel(),
+                                         num_segments=M.n)
+            return lax.psum_scatter(z_full, axis, scatter_dimension=0,
+                                    tiled=True)
+
+    return op_t
+
+
+class OpWithTranspose:
+    """A matrix-free operator carrying its transpose — recognised by
+    lssp_tpu.solvers.base.operator_t, so transpose-based Krylov methods
+    (BiCG/QMR/CGNR/LSQR) work on callables that provide one."""
+
+    def __init__(self, op, op_t):
+        self._op = op
+        self.t_op = op_t
+
+    def __call__(self, x):
+        return self._op(x)
+
+
 def make_psum_dot(axis: str):
     """Distributed ⟨x,y⟩: local dot + psum over the mesh axis.
 

@@ -25,7 +25,8 @@ from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 from lssp_tpu.config import SolverOptions, PCOptions
 from lssp_tpu.ops.trisolve import TriSchedule, level_schedule, ilu_apply
 from lssp_tpu.parallel.partition import DistELL, partition_csr
-from lssp_tpu.parallel.dist_ops import make_dist_spmv, make_psum_dot
+from lssp_tpu.parallel.dist_ops import (make_dist_spmv, make_dist_spmv_t,
+                                        make_psum_dot)
 from lssp_tpu.pc.ilu_host import iluk_factor, ilut_factor
 from lssp_tpu.sparse.types import CSR
 from lssp_tpu.sparse.utils import diagonal
@@ -193,12 +194,23 @@ def dist_solve(A: CSR, b, x0=None, method: str = "cg",
 
     spmv_impl = make_dist_spmv(M, AXIS)
     pdot = make_psum_dot(AXIS)
+    transpose_method = method.lower() in ("bicg", "qmr", "cgnr", "cgn",
+                                          "lsqr")
+    if transpose_method and pc not in (None, "none", "jacobi"):
+        raise ValueError(
+            f"distributed {method} supports pc in (none, jacobi) — the "
+            "shard-local PCs have no distributed transpose apply yet")
+    spmv_t_impl = (make_dist_spmv_t(M, AXIS) if transpose_method else None)
 
     def body(cols, data, b_sh, x0_sh, pc_state_sh):
         # shard_map passes (1, ...)-shaped slices; drop the shard axis
         cols_l, data_l = cols[0], data[0]
         pc_state_l = jax.tree_util.tree_map(lambda a: a[0], pc_state_sh)
         op = lambda x: spmv_impl(cols_l, data_l, x)
+        if transpose_method:
+            from lssp_tpu.parallel.dist_ops import OpWithTranspose
+            op = OpWithTranspose(op,
+                                 lambda x: spmv_t_impl(cols_l, data_l, x))
         pc_apply = _shard_pc_apply(kind, pc_state_l, R)
         x, info = fn(op, b_sh[0], x0_sh[0], pc_apply, opts=opts, dot=pdot)
         return x[None], info

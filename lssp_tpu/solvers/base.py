@@ -69,11 +69,16 @@ def operator(A) -> Callable:
 
 
 def operator_t(A) -> Callable:
-    """Wrap a matrix container as x ↦ Aᵀ@x (for BiCG/QMR/CGNR/LSQR)."""
+    """Wrap a matrix container as x ↦ Aᵀ@x (for BiCG/QMR/CGNR/LSQR).
+    Callables may carry their transpose as a ``t_op`` attribute (see
+    lssp_tpu.parallel.dist_ops.OpWithTranspose)."""
     if callable(A) and not hasattr(A, "shape"):
-        raise TypeError("transpose-based solvers need a matrix container; "
-                        "wrap your callable pair as (A, At) or use a "
-                        "transpose-free method")
+        t_op = getattr(A, "t_op", None)
+        if t_op is not None:
+            return t_op
+        raise TypeError("transpose-based solvers need a matrix container "
+                        "or an operator with a .t_op transpose attribute; "
+                        "otherwise use a transpose-free method")
     from lssp_tpu.ops.spmv import spmv_t
     return lambda v: spmv_t(A, v)
 

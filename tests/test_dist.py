@@ -179,3 +179,53 @@ class TestDistMethodMatrix:
                              options=lt.SolverOptions(maxit=2000, restart=30))
         res = float(np.linalg.norm(np.asarray(b) - A.to_scipy() @ np.asarray(x)))
         assert bool(info.converged) and res < 1e-4, (method, res)
+
+
+class TestDistTranspose:
+    """Distributed transpose SpMV (reverse halo exchange / psum_scatter) and
+    the transpose-based Krylov methods under shard_map."""
+
+    @pytest.mark.parametrize("gen,mode", [
+        (lambda: __import__("lssp_tpu").sparse.convection_diffusion_2d(
+            32, beta=10.0), "halo"),
+        (lambda: __import__("lssp_tpu").sparse.generators.random_sparse(
+            1024, nnz_per_row=6, seed=2), "allgather"),
+    ])
+    def test_spmv_t_exact(self, gen, mode, rng):
+        import jax
+        from jax.sharding import PartitionSpec as P
+        from lssp_tpu.parallel.partition import partition_csr
+        from lssp_tpu.parallel.dist_ops import make_dist_spmv_t
+        from lssp_tpu.parallel.dist_solve import make_mesh
+        A = gen()
+        M = partition_csr(A, 8)
+        assert M.mode == mode
+        opt = make_dist_spmv_t(M, "shards")
+        x = rng.standard_normal(1024)
+        f = jax.shard_map(
+            lambda c, d, v: opt(c[0], d[0], v[0])[None], mesh=make_mesh(8),
+            in_specs=(P("shards"), P("shards"), P("shards")),
+            out_specs=P("shards"), check_vma=False)
+        y = np.asarray(f(M.cols, M.data,
+                         jnp.asarray(x.reshape(8, -1)))).reshape(-1)
+        np.testing.assert_allclose(y, A.to_scipy().T @ x, rtol=1e-12)
+
+    @pytest.mark.parametrize("method", ["bicg", "qmr", "cgnr", "lsqr"])
+    def test_transpose_methods_distributed(self, method):
+        import lssp_tpu as lt
+        from lssp_tpu.parallel.dist_solve import dist_solve, make_mesh
+        A = lt.sparse.convection_diffusion_2d(32, beta=10.0)
+        b = jnp.ones(1024, dtype=jnp.float64)
+        x, info = dist_solve(A, b, method=method, pc="jacobi",
+                             mesh=make_mesh(8),
+                             options=lt.SolverOptions(maxit=3000))
+        res = float(np.linalg.norm(np.asarray(b) - A.to_scipy() @ np.asarray(x)))
+        assert bool(info.converged) and res < 1e-4
+
+    def test_unsupported_pc_raises(self):
+        import lssp_tpu as lt
+        from lssp_tpu.parallel.dist_solve import dist_solve, make_mesh
+        A = lt.sparse.laplacian_2d(32)
+        b = jnp.ones(1024, dtype=jnp.float64)
+        with pytest.raises(ValueError, match="transpose"):
+            dist_solve(A, b, method="bicg", pc="bjilu", mesh=make_mesh(8))
