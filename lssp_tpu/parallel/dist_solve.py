@@ -119,8 +119,10 @@ def _build_dist_pc(A: CSR, pc_type, pc_opts: PCOptions, Pn: int, R: int):
                           dtype=np.asarray(A.data).dtype)
         return "saamg", h
     if pc_type in ("bjilu", "iluk", "ilu0", "ilut"):
-        # block-Jacobi ILU: factor each shard's diagonal block independently
-        sls, sus = [], []
+        # block-Jacobi ILU: factor each shard's diagonal block independently;
+        # the transposed schedules make M^-T shard-local too (BiCG/QMR)
+        from lssp_tpu.sparse.utils import transpose as _tr
+        sls, sus, slts, suts = [], [], [], []
         for p in range(Pn):
             blk = _extract_diag_block(A, p * R, (p + 1) * R)
             if pc_type == "ilut":
@@ -130,7 +132,10 @@ def _build_dist_pc(A: CSR, pc_type, pc_opts: PCOptions, Pn: int, R: int):
                 L, U = iluk_factor(blk, level=lev)
             sls.append(level_schedule(L, lower=True))
             sus.append(level_schedule(U, lower=False))
-        return "ilu", (_stack_schedules(sls, R), _stack_schedules(sus, R))
+            suts.append(level_schedule(_tr(U), lower=True))
+            slts.append(level_schedule(_tr(L), lower=False))
+        return "ilu", (_stack_schedules(sls, R), _stack_schedules(sus, R),
+                       _stack_schedules(suts, R), _stack_schedules(slts, R))
     raise ValueError(f"unsupported distributed pc {pc_type!r}")
 
 
@@ -141,10 +146,18 @@ def _shard_pc_apply(kind, state, R):
         inv = state
         return lambda r: inv * r
     if kind == "ilu":
-        (lr, lc, lv, lid), (ur, uc, uv, uid) = state
+        (lr, lc, lv, lid), (ur, uc, uv, uid), ut, lt_ = state
         sl = TriSchedule(rows=lr, cols=lc, vals=lv, invdiag=lid, n=R)
         su = TriSchedule(rows=ur, cols=uc, vals=uv, invdiag=uid, n=R)
-        return lambda r: ilu_apply(sl, su, r)
+        sut = TriSchedule(rows=ut[0], cols=ut[1], vals=ut[2], invdiag=ut[3],
+                          n=R)
+        slt = TriSchedule(rows=lt_[0], cols=lt_[1], vals=lt_[2],
+                          invdiag=lt_[3], n=R)
+        fn = lambda r: ilu_apply(sl, su, r)
+        # attach M^-T (pc_transpose picks up the .t attribute)
+        from lssp_tpu.ops.trisolve import ilu_apply_t
+        fn.t = lambda r: ilu_apply_t(sut, slt, r)
+        return fn
     if kind == "amg":
         from lssp_tpu.parallel.dist_amg import dist_vcycle
         return lambda r: dist_vcycle(state, r, AXIS)
@@ -196,10 +209,11 @@ def dist_solve(A: CSR, b, x0=None, method: str = "cg",
     pdot = make_psum_dot(AXIS)
     transpose_method = method.lower() in ("bicg", "qmr", "cgnr", "cgn",
                                           "lsqr")
-    if transpose_method and pc not in (None, "none", "jacobi"):
+    if transpose_method and pc not in (None, "none", "jacobi", "bjilu",
+                                       "iluk", "ilu0", "ilut"):
         raise ValueError(
-            f"distributed {method} supports pc in (none, jacobi) — the "
-            "shard-local PCs have no distributed transpose apply yet")
+            f"distributed {method} supports pc in (none, jacobi, bjilu/"
+            "ilu*) — amg/saamg have no distributed transpose apply")
     spmv_t_impl = (make_dist_spmv_t(M, AXIS) if transpose_method else None)
 
     def body(cols, data, b_sh, x0_sh, pc_state_sh):

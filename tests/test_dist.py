@@ -211,12 +211,13 @@ class TestDistTranspose:
         np.testing.assert_allclose(y, A.to_scipy().T @ x, rtol=1e-12)
 
     @pytest.mark.parametrize("method", ["bicg", "qmr", "cgnr", "lsqr"])
-    def test_transpose_methods_distributed(self, method):
+    @pytest.mark.parametrize("pc", ["jacobi", "bjilu"])
+    def test_transpose_methods_distributed(self, method, pc):
         import lssp_tpu as lt
         from lssp_tpu.parallel.dist_solve import dist_solve, make_mesh
         A = lt.sparse.convection_diffusion_2d(32, beta=10.0)
         b = jnp.ones(1024, dtype=jnp.float64)
-        x, info = dist_solve(A, b, method=method, pc="jacobi",
+        x, info = dist_solve(A, b, method=method, pc=pc,
                              mesh=make_mesh(8),
                              options=lt.SolverOptions(maxit=3000))
         res = float(np.linalg.norm(np.asarray(b) - A.to_scipy() @ np.asarray(x)))
@@ -228,4 +229,4 @@ class TestDistTranspose:
         A = lt.sparse.laplacian_2d(32)
         b = jnp.ones(1024, dtype=jnp.float64)
         with pytest.raises(ValueError, match="transpose"):
-            dist_solve(A, b, method="bicg", pc="bjilu", mesh=make_mesh(8))
+            dist_solve(A, b, method="bicg", pc="saamg", mesh=make_mesh(8))
