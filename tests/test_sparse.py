@@ -127,8 +127,8 @@ class TestGenerators:
         d = laplacian_2d(5).todense()
         ref = (sp.kron(sp.eye(5), sp.diags([np.full(4, -1), np.full(5, 4.0),
                                             np.full(4, -1)], [-1, 0, 1]))
-               + sp.kron(sp.diags([np.full(4, -1), np.full(4, -1)], [-1, 1]),
-                         sp.eye(5))).toarray()
+               + sp.kron(sp.diags([np.full(4, -1.0), np.full(4, -1.0)],
+                                  [-1, 1]), sp.eye(5))).toarray()
         assert np.allclose(d, ref)
 
     def test_laplacian_3d(self):
