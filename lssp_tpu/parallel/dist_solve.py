@@ -85,9 +85,11 @@ def _stack_schedules(scheds, R):
     return rows, cols, vals, invd
 
 
-def _build_dist_pc(A: CSR, pc_type, pc_opts: PCOptions, Pn: int, R: int):
+def _build_dist_pc(A: CSR, pc_type, pc_opts: PCOptions, Pn: int, R: int,
+                   transpose: bool = False):
     """Returns (kind, state_pytree) where state leaves have leading shard
-    axis; kind selects the inside-shard_map apply."""
+    axis; kind selects the inside-shard_map apply.  ``transpose`` also
+    builds the shard-local M⁻ᵀ schedules (bicg/qmr/cgnr/lsqr)."""
     if pc_type in (None, "none"):
         return "none", ()
     if pc_type == "jacobi":
@@ -120,8 +122,8 @@ def _build_dist_pc(A: CSR, pc_type, pc_opts: PCOptions, Pn: int, R: int):
         return "saamg", h
     if pc_type in ("bjilu", "iluk", "ilu0", "ilut"):
         # block-Jacobi ILU: factor each shard's diagonal block independently;
-        # the transposed schedules make M^-T shard-local too (BiCG/QMR)
-        from lssp_tpu.sparse.utils import transpose as _tr
+        # transposed schedules (shard-local M^-T, BiCG/QMR) only when asked
+        from lssp_tpu.ops.trisolve import ilu_transpose_schedules
         sls, sus, slts, suts = [], [], [], []
         for p in range(Pn):
             blk = _extract_diag_block(A, p * R, (p + 1) * R)
@@ -132,10 +134,15 @@ def _build_dist_pc(A: CSR, pc_type, pc_opts: PCOptions, Pn: int, R: int):
                 L, U = iluk_factor(blk, level=lev)
             sls.append(level_schedule(L, lower=True))
             sus.append(level_schedule(U, lower=False))
-            suts.append(level_schedule(_tr(U), lower=True))
-            slts.append(level_schedule(_tr(L), lower=False))
-        return "ilu", (_stack_schedules(sls, R), _stack_schedules(sus, R),
-                       _stack_schedules(suts, R), _stack_schedules(slts, R))
+            if transpose:
+                sut, slt = ilu_transpose_schedules(L, U)
+                suts.append(sut)
+                slts.append(slt)
+        state = (_stack_schedules(sls, R), _stack_schedules(sus, R))
+        if transpose:
+            state = state + (_stack_schedules(suts, R),
+                             _stack_schedules(slts, R))
+        return "ilu", state
     raise ValueError(f"unsupported distributed pc {pc_type!r}")
 
 
@@ -146,17 +153,19 @@ def _shard_pc_apply(kind, state, R):
         inv = state
         return lambda r: inv * r
     if kind == "ilu":
-        (lr, lc, lv, lid), (ur, uc, uv, uid), ut, lt_ = state
+        (lr, lc, lv, lid), (ur, uc, uv, uid) = state[:2]
         sl = TriSchedule(rows=lr, cols=lc, vals=lv, invdiag=lid, n=R)
         su = TriSchedule(rows=ur, cols=uc, vals=uv, invdiag=uid, n=R)
-        sut = TriSchedule(rows=ut[0], cols=ut[1], vals=ut[2], invdiag=ut[3],
-                          n=R)
-        slt = TriSchedule(rows=lt_[0], cols=lt_[1], vals=lt_[2],
-                          invdiag=lt_[3], n=R)
         fn = lambda r: ilu_apply(sl, su, r)
-        # attach M^-T (pc_transpose picks up the .t attribute)
-        from lssp_tpu.ops.trisolve import ilu_apply_t
-        fn.t = lambda r: ilu_apply_t(sut, slt, r)
+        if len(state) == 4:
+            ut, lt_ = state[2], state[3]
+            sut = TriSchedule(rows=ut[0], cols=ut[1], vals=ut[2],
+                              invdiag=ut[3], n=R)
+            slt = TriSchedule(rows=lt_[0], cols=lt_[1], vals=lt_[2],
+                              invdiag=lt_[3], n=R)
+            # attach M^-T (pc_transpose picks up the .t attribute)
+            from lssp_tpu.ops.trisolve import ilu_apply_t
+            fn.t = lambda r: ilu_apply_t(sut, slt, r)
         return fn
     if kind == "amg":
         from lssp_tpu.parallel.dist_amg import dist_vcycle
@@ -174,6 +183,13 @@ def dist_solve(A: CSR, b, x0=None, method: str = "cg",
     """Distributed Ax=b over a 1-D mesh.  Returns (x (n,), SolveInfo)."""
     opts = (options or SolverOptions()).resolved()
     pc_opts = (pc_options or PCOptions()).resolved()
+    transpose_method = method.lower() in ("bicg", "qmr", "cgnr", "cgn",
+                                          "lsqr")
+    if transpose_method and pc not in (None, "none", "jacobi", "bjilu",
+                                       "iluk", "ilu0", "ilut"):
+        raise ValueError(
+            f"distributed {method} supports pc in (none, jacobi, bjilu/"
+            "ilu*) — amg/saamg have no distributed transpose apply")
     if mesh is None:
         mesh = make_mesh()
     Pn = mesh.devices.size
@@ -198,7 +214,8 @@ def dist_solve(A: CSR, b, x0=None, method: str = "cg",
     n = A.shape[0]
     R = n // Pn
     M = partition_csr(A, Pn)
-    kind, pc_state = _build_dist_pc(A, pc, pc_opts, Pn, R)
+    kind, pc_state = _build_dist_pc(A, pc, pc_opts, Pn, R,
+                                    transpose=transpose_method)
     fn = get_solver(method)
 
     b2 = jnp.asarray(np.asarray(b).reshape(Pn, R))
@@ -207,13 +224,6 @@ def dist_solve(A: CSR, b, x0=None, method: str = "cg",
 
     spmv_impl = make_dist_spmv(M, AXIS)
     pdot = make_psum_dot(AXIS)
-    transpose_method = method.lower() in ("bicg", "qmr", "cgnr", "cgn",
-                                          "lsqr")
-    if transpose_method and pc not in (None, "none", "jacobi", "bjilu",
-                                       "iluk", "ilu0", "ilut"):
-        raise ValueError(
-            f"distributed {method} supports pc in (none, jacobi, bjilu/"
-            "ilu*) — amg/saamg have no distributed transpose apply")
     spmv_t_impl = (make_dist_spmv_t(M, AXIS) if transpose_method else None)
 
     def body(cols, data, b_sh, x0_sh, pc_state_sh):
