@@ -306,15 +306,21 @@ def sa_vcycle(h: SAHierarchy, b, x=None):
 # preconditioner registration
 # --------------------------------------------------------------------------
 
-def _saamg_apply(state, r):
-    return sa_vcycle(state, r)
+def _saamg_apply(cycles, state, r):
+    x = None
+    for _ in range(cycles):
+        x = sa_vcycle(state, r, x)
+    return x
 
 
 def setup_saamg_pc(A: CSR, opts):
+    import functools
     from lssp_tpu.pc.base import Preconditioner
     h = sa_setup(A, g=opts.saamg_aggregate, max_levels=opts.amg_max_levels,
                  coarse_size=opts.amg_coarse_size,
                  smoother=opts.amg_smoother
                  if opts.amg_smoother != "l1jacobi" else "jacobi",
                  degree=opts.amg_presmooth, grid=opts.saamg_grid)
-    return Preconditioner(_saamg_apply, state=h, name="saamg")
+    cycles = max(1, int(opts.amg_cycles))
+    return Preconditioner(functools.partial(_saamg_apply, cycles),
+                          state=h, name=f"saamg(x{cycles})")

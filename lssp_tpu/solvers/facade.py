@@ -217,6 +217,21 @@ class Solver:
     def set_bgsl(self, v):   self.options = dataclasses.replace(self.options, bgsl=v);   return self
     def set_idrs(self, v):   self.options = dataclasses.replace(self.options, idrs=v);   return self
 
+    def reset_type(self, method: str):
+        """Switch the Krylov method, keeping the assembled matrix
+        (reference lssp_solver_reset_type, lssp.cxx:426-433).  Switching to
+        a transpose-based method rebuilds the PC with the M⁻ᵀ apply
+        installed (unless it was already set up with transpose=True)."""
+        self.method = method
+        if (self.assembled and self.M is not None
+                and self.pc_type not in (None, "none")
+                and method.lower() in ("bicg", "qmr", "cgnr", "cgn", "lsqr")
+                and not (self.pc_options and self.pc_options.transpose)):
+            pc_options = dataclasses.replace(self.pc_options or PCOptions(),
+                                             transpose=True)
+            self.M = pc_mod.setup(self.A_host, self.pc_type, pc_options)
+        return self
+
     def assemble(self, A, b=None, x0=None, reorder: str = "auto"):
         """Convert the matrix, build the PC (factorization cost lives here —
         reference lssp_solver_assemble → lssp_pc_assemble, lssp.cxx:142-189)."""
