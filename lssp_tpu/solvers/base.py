@@ -130,8 +130,11 @@ def history_init(opts, r0norm):
 def history_update(opts, hist, it, res, r0norm=None, bnorm=None):
     """Record the residual trace and, at verbosity >= 1, emit the
     reference's per-iteration line (abs res / rel res / res-over-||b||,
-    /root/reference/src/solver-cg.cxx:108-112) via jax.debug.print."""
-    if opts.verbosity >= 1:
+    /root/reference/src/solver-cg.cxx:108-112) via jax.debug.print.
+    On backends without host callbacks the print is skipped here and the
+    facade emits the trace host-side instead (history_print_host)."""
+    from lssp_tpu.utils.log import device_print_supported
+    if opts.verbosity >= 1 and device_print_supported():
         if r0norm is not None and bnorm is not None:
             jax.debug.print(
                 "itr: {it:5d}, abs res: {res:.6e}, rel res: {rel:.6e}, "
@@ -143,3 +146,28 @@ def history_update(opts, hist, it, res, r0norm=None, bnorm=None):
     if not opts.record_history:
         return hist
     return hist.at[it].set(res)
+
+
+def history_print_host(info: "SolveInfo") -> None:
+    """Host-side fallback for the per-iteration trace: print the recorded
+    residual history in the reference's line format after the solve
+    completes.  Used when the backend cannot run jax.debug.print (remote
+    PJRT plugins without host callbacks)."""
+    import numpy as np
+    from lssp_tpu.utils.log import log as _log_line
+
+    if info.history is None:
+        return
+    h = np.asarray(info.history)
+    if h.ndim != 1 or h.size < 2:
+        return
+    tiny = float(np.finfo(h.dtype).tiny)
+    r0 = max(float(info.r0norm), tiny)
+    bn = max(float(info.bnorm), tiny)
+    last = min(int(info.nits), h.size - 1)
+    for it in range(1, last + 1):
+        res = float(h[it])
+        if np.isnan(res):
+            continue
+        _log_line(f"itr: {it:5d}, abs res: {res:.6e}, "
+                 f"rel res: {res / r0:.6e}, rbn: {res / bn:.6e}", level=1)

@@ -23,7 +23,8 @@ from lssp_tpu.sparse.types import CSR, BSR, ELL, DIA, COO
 from lssp_tpu.sparse.convert import to_device_format, coo_to_csr
 from lssp_tpu.sparse.reorder import maybe_rcm
 from lssp_tpu.sparse.utils import sort_columns
-from lssp_tpu.solvers.base import SolveInfo
+from lssp_tpu.solvers.base import SolveInfo, history_print_host
+from lssp_tpu.utils.log import device_print_supported
 from lssp_tpu.solvers.registry import get_solver
 from lssp_tpu import pc as pc_mod
 
@@ -152,6 +153,11 @@ def solve(A, b, x0=None, method: str = "gmres", pc: Optional[str] = "none",
     ``M`` a prebuilt Preconditioner / callable.
     """
     opts = (options or SolverOptions()).resolved()
+    # backends without host callbacks can't run jax.debug.print: record the
+    # residual trace instead and print it host-side after the solve
+    host_trace = opts.verbosity >= 1 and not device_print_supported()
+    if host_trace and not opts.record_history:
+        opts = dataclasses.replace(opts, record_history=True)
     if (pc == "saamg" and pc_options is not None
             and pc_options.saamg_grid is not None and reorder == "auto"):
         reorder = None   # grid-aware aggregation needs the original ordering
@@ -185,6 +191,8 @@ def solve(A, b, x0=None, method: str = "gmres", pc: Optional[str] = "none",
         inv = np.empty_like(perm)
         inv[perm] = np.arange(len(perm))
         x = x[inv]
+    if host_trace:
+        history_print_host(info)
     return x, info
 
 
@@ -279,6 +287,10 @@ class Solver:
         if x0 is not None:
             self.x = jnp.asarray(x0)
         opts = self.options.resolved()
+        host_trace = (opts.verbosity >= 1
+                      and not device_print_supported())
+        if host_trace and not opts.record_history:
+            opts = dataclasses.replace(opts, record_history=True)
         fn = get_solver(self.method)
         x0v = self.x if self.x is not None else jnp.zeros_like(self.b)
         b, perm = self.b, getattr(self, "perm", None)
@@ -291,6 +303,8 @@ class Solver:
             inv[perm] = np.arange(len(perm))
             x = x[inv]
         self.x, self.info = x, info
+        if host_trace:
+            history_print_host(info)
         return x
 
     # -- getters (lssp_solver_get_residual/_nits, lssp.cxx:520-528) --

@@ -50,3 +50,33 @@ class Timer:
         if self.name:
             log(f"{self.name}: {self.elapsed:.6f} s", self.level)
         return False
+
+
+_device_print_ok: Optional[bool] = None
+
+
+def device_print_supported() -> bool:
+    """Whether the default JAX backend can run device-side host callbacks
+    (``jax.debug.print``).  Some remote-attach PJRT plugins cannot
+    (UNIMPLEMENTED: host send/recv callbacks); per-iteration solver prints
+    then fall back to a host-side trace printed after the solve (see
+    lssp_tpu.solvers.base.history_print_host).  Probed once per process."""
+    global _device_print_ok
+    if _device_print_ok is not None:
+        return _device_print_ok
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        @jax.jit
+        def _probe(x):
+            jax.debug.callback(lambda v: None, x)
+            return x + 1.0
+
+        # fetching the scalar forces completion even through remote-attach
+        # tunnels where block_until_ready does not block
+        float(_probe(jnp.zeros((), jnp.float32)))
+        _device_print_ok = True
+    except Exception:
+        _device_print_ok = False
+    return _device_print_ok

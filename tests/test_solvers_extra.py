@@ -179,3 +179,48 @@ class TestTranspose:
         M = pc_mod.setup(A, "iluk", PCOptions(iluk_level=1))
         with pytest.raises(ValueError, match="transpose"):
             M.t(jnp.ones(64))
+
+
+class TestHostTraceFallback:
+    """Backends without host callbacks (remote PJRT tunnels) cannot run
+    jax.debug.print; verbosity>=1 must fall back to a host-printed trace
+    instead of crashing."""
+
+    def test_verbose_solve_prints_host_trace(self, capsys, monkeypatch):
+        import importlib
+        ulog = importlib.import_module("lssp_tpu.utils.log")
+        monkeypatch.setattr(ulog, "_device_print_ok", False)
+        A = laplacian_2d(12)
+        b = np.ones(A.shape[0])
+        x, info = solve(A, b, method="cg", pc="jacobi",
+                        options=SolverOptions(verbosity=1, maxit=40))
+        out = capsys.readouterr().out
+        lines = [l for l in out.splitlines() if l.startswith("itr:")]
+        assert len(lines) == int(info.nits)
+        # reference line format: abs res / rel res / res-over-||b||
+        assert "abs res:" in lines[0] and "rbn:" in lines[0]
+        last = float(lines[-1].split("abs res:")[1].split(",")[0])
+        assert last == pytest.approx(float(info.residual), rel=1e-5)
+
+    def test_verbose_lifecycle_solver(self, capsys, monkeypatch):
+        import importlib
+        ulog = importlib.import_module("lssp_tpu.utils.log")
+        from lssp_tpu.solvers.facade import Solver
+        monkeypatch.setattr(ulog, "_device_print_ok", False)
+        A = laplacian_2d(12)
+        b = np.ones(A.shape[0])
+        s = Solver("bicgstab", pc="ilu0",
+                   options=SolverOptions(verbosity=1, maxit=40))
+        s.assemble(A)
+        s.solve(b)
+        lines = [l for l in capsys.readouterr().out.splitlines()
+                 if l.startswith("itr:")]
+        assert len(lines) >= 1
+
+    def test_probe_memoized(self, monkeypatch):
+        import importlib
+        ulog = importlib.import_module("lssp_tpu.utils.log")
+        monkeypatch.setattr(ulog, "_device_print_ok", None)
+        first = ulog.device_print_supported()
+        assert first is True          # CPU backend supports callbacks
+        assert ulog._device_print_ok is True
