@@ -97,6 +97,13 @@ def solve_ir(A, b, x0=None, method: str = "gmres",
         total_inner += int(info.nits)
         res = float(jnp.linalg.norm(residual64(x)))
         outer += 1
+        if opts.verbosity >= 1:
+            # host-side (works on every backend, incl. those where the
+            # inner solver's device-side prints are unavailable)
+            from lssp_tpu.utils.log import log as _log_line
+            _log_line(f"ir outer: {outer:3d}, inner its: {int(info.nits):4d}, "
+                      f"true res: {res:.6e}, rel res: "
+                      f"{res / max(r0, np.finfo(np.float64).tiny):.6e}")
 
     if perm is not None:
         inv = np.empty_like(perm)
