@@ -73,9 +73,14 @@ def device_print_supported() -> bool:
             jax.debug.callback(lambda v: None, x)
             return x + 1.0
 
-        # fetching the scalar forces completion even through remote-attach
-        # tunnels where block_until_ready does not block
-        float(_probe(jnp.zeros((), jnp.float32)))
+        # ensure_compile_time_eval: the first call often happens while
+        # TRACING a solver (history_update) — without it the probe's own
+        # callback would be staged into the caller's program, baking in the
+        # very op being probed for.  Fetching the scalar forces completion
+        # even through remote-attach tunnels where block_until_ready does
+        # not block.
+        with jax.ensure_compile_time_eval():
+            float(_probe(jnp.zeros((), jnp.float32)))
         _device_print_ok = True
     except Exception:
         _device_print_ok = False

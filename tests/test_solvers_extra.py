@@ -224,3 +224,20 @@ class TestHostTraceFallback:
         first = ulog.device_print_supported()
         assert first is True          # CPU backend supports callbacks
         assert ulog._device_print_ok is True
+
+    def test_probe_under_trace(self, monkeypatch):
+        # first touch of device_print_supported() often happens while
+        # TRACING a solver; the probe must evaluate eagerly there (not
+        # stage its own callback into the caller's program) and cache the
+        # correct verdict
+        import importlib
+        ulog = importlib.import_module("lssp_tpu.utils.log")
+        monkeypatch.setattr(ulog, "_device_print_ok", None)
+
+        @jax.jit
+        def traced(x):
+            assert ulog.device_print_supported() is True
+            return x + 1.0
+
+        assert float(traced(jnp.float32(1.0))) == 2.0
+        assert ulog._device_print_ok is True
