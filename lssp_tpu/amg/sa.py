@@ -320,7 +320,8 @@ def setup_saamg_pc(A: CSR, opts):
                  coarse_size=opts.amg_coarse_size,
                  smoother=opts.amg_smoother
                  if opts.amg_smoother != "l1jacobi" else "jacobi",
-                 degree=opts.amg_presmooth, grid=opts.saamg_grid)
+                 degree=max(opts.amg_presmooth, opts.amg_postsmooth, 1),
+                 grid=opts.saamg_grid)
     cycles = max(1, int(opts.amg_cycles))
     return Preconditioner(functools.partial(_saamg_apply, cycles),
                           state=h, name=f"saamg(x{cycles})")

@@ -115,6 +115,9 @@ def _build_dist_pc(A: CSR, pc_type, pc_opts: PCOptions, Pn: int, R: int,
         from lssp_tpu.parallel.dist_sa import build_dist_sa
         h = build_dist_sa(A, Pn, g=pc_opts.saamg_aggregate,
                           max_levels=pc_opts.amg_max_levels,
+                          coarse_size=pc_opts.amg_coarse_size,
+                          smoother=pc_opts.amg_smoother
+                          if pc_opts.amg_smoother != "l1jacobi" else "jacobi",
                           smooth_levels=2,
                           degree=max(pc_opts.amg_presmooth,
                                      pc_opts.amg_postsmooth, 1),
@@ -146,7 +149,7 @@ def _build_dist_pc(A: CSR, pc_type, pc_opts: PCOptions, Pn: int, R: int,
     raise ValueError(f"unsupported distributed pc {pc_type!r}")
 
 
-def _shard_pc_apply(kind, state, R):
+def _shard_pc_apply(kind, state, R, op=None, cycles=1):
     if kind == "none":
         return lambda r: r
     if kind == "jacobi":
@@ -172,7 +175,18 @@ def _shard_pc_apply(kind, state, R):
         return lambda r: dist_vcycle(state, r, AXIS)
     if kind == "saamg":
         from lssp_tpu.parallel.dist_sa import dist_sa_vcycle
-        return lambda r: dist_sa_vcycle(state, r, AXIS)
+        if cycles <= 1:
+            return lambda r: dist_sa_vcycle(state, r, AXIS)
+
+        def apply_sa(r):
+            # further cycles refine on the residual via the distributed
+            # operator (same net effect as the single-device _saamg_apply's
+            # warm-started sa_vcycle)
+            z = dist_sa_vcycle(state, r, AXIS)
+            for _ in range(cycles - 1):
+                z = z + dist_sa_vcycle(state, r - op(z), AXIS)
+            return z
+        return apply_sa
     raise ValueError(kind)
 
 
@@ -199,7 +213,10 @@ def dist_solve(A: CSR, b, x0=None, method: str = "cg",
         # shard-local rows are whole aggregates (see parallel/dist_sa.py)
         from lssp_tpu.parallel.dist_sa import planned_padded_size
         from lssp_tpu.amg.sa import _pad_identity
+        # must use the same knobs as _build_dist_pc's build_dist_sa call, or
+        # the planned hierarchy depth (and thus the padded size) disagrees
         n0 = planned_padded_size(n_orig, Pn, g=pc_opts.saamg_aggregate,
+                                 coarse_size=pc_opts.amg_coarse_size,
                                  max_levels=pc_opts.amg_max_levels)
         if n0 != n_orig:
             A = CSR.from_scipy(_pad_identity(A.to_scipy().tocsr(),
@@ -235,7 +252,8 @@ def dist_solve(A: CSR, b, x0=None, method: str = "cg",
             from lssp_tpu.parallel.dist_ops import OpWithTranspose
             op = OpWithTranspose(op,
                                  lambda x: spmv_t_impl(cols_l, data_l, x))
-        pc_apply = _shard_pc_apply(kind, pc_state_l, R)
+        pc_apply = _shard_pc_apply(kind, pc_state_l, R, op=op,
+                                   cycles=max(1, int(pc_opts.amg_cycles)))
         x, info = fn(op, b_sh[0], x0_sh[0], pc_apply, opts=opts, dot=pdot)
         return x[None], info
 

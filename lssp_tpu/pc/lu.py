@@ -29,18 +29,16 @@ def _lu_apply_t(state, r):
     """M⁻ᵀ for M x = (U⁻¹L⁻¹ (x[perm_in]))[perm_out]:
     z = (Lᵀ)⁻¹(Uᵀ)⁻¹ applied with the permutations transposed
     (gather by perm_out on input, perm_in on output)."""
-    if len(state) < 6:
+    if len(state) < 8:
         raise ValueError("LU transpose apply requires "
                          "PCOptions(transpose=True) at setup")
-    _, _, perm_in, perm_out, sut, slt = state
+    # inverse permutations are precomputed at setup: this apply runs once
+    # per Krylov iteration inside a jitted while_loop, and a device argsort
+    # per application would dominate the triangular sweeps on TPU
+    _, _, _, _, sut, slt, inv_out, inv_in = state
     from lssp_tpu.ops.trisolve import ilu_apply_t
-    y = ilu_apply_t(sut, slt, r[_inv(perm_out)])
-    return y[_inv(perm_in)]
-
-
-def _inv(perm):
-    # inverse permutation as a gather index array (device-side)
-    return jnp.argsort(perm)
+    y = ilu_apply_t(sut, slt, r[inv_out])
+    return y[inv_in]
 
 
 @register_pc("lu")
@@ -54,6 +52,8 @@ def setup_lu(A, opts):
     state = (sl, su, jnp.asarray(f.perm_in), jnp.asarray(f.perm_out))
     if opts.transpose:
         from lssp_tpu.ops.trisolve import ilu_transpose_schedules
-        state = state + ilu_transpose_schedules(L, U)
+        state = state + ilu_transpose_schedules(L, U) + (
+            jnp.asarray(np.argsort(f.perm_out)),
+            jnp.asarray(np.argsort(f.perm_in)))
     return Preconditioner(_lu_apply, state=state, name="lu",
                           apply_t_fn=_lu_apply_t)

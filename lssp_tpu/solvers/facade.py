@@ -34,9 +34,45 @@ def _jitted(fn):
     return jax.jit(fn, static_argnames=("opts",))
 
 
-@functools.cache
+# closure caches are bounded: every fresh lambda is a distinct key, so an
+# unbounded cache would pin each operator closure and its compiled
+# executable for the process lifetime
+@functools.lru_cache(maxsize=64)
 def _jitted_closed(fn, A_op):
     return jax.jit(functools.partial(fn, A_op), static_argnames=("opts",))
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_closed_m(fn, M_op):
+    def g(A, b, x0, opts):
+        return fn(A, b, x0, M_op, opts=opts)
+    return jax.jit(g, static_argnames=("opts",))
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_closed_am(fn, A_op, M_op):
+    def g(b, x0, opts):
+        return fn(A_op, b, x0, M_op, opts=opts)
+    return jax.jit(g, static_argnames=("opts",))
+
+
+def _dispatch_solve(fn, A_dev, b, x0, M, opts):
+    """Route bare callables (operator A and/or preconditioner M) into jit
+    closures: a plain Python function is not a pytree of arrays, so it
+    cannot be a traced argument.  Preconditioner objects and matrix
+    containers ARE pytrees and pass through as arguments (so repeated
+    solves with fresh instances of the same structure reuse one compile)."""
+    from lssp_tpu.pc.base import Preconditioner
+    a_bare = callable(A_dev) and not hasattr(A_dev, "shape")
+    m_bare = (M is not None and callable(M)
+              and not isinstance(M, Preconditioner))
+    if a_bare and m_bare:
+        return _jitted_closed_am(fn, A_dev, M)(b, x0, opts=opts)
+    if a_bare:
+        return _jitted_closed(fn, A_dev)(b, x0, M, opts=opts)
+    if m_bare:
+        return _jitted_closed_m(fn, M)(A_dev, b, x0, opts=opts)
+    return _jitted(fn)(A_dev, b, x0, M, opts=opts)
 
 
 def _fingerprint(A):
@@ -45,12 +81,15 @@ def _fingerprint(A):
     to ~64k entries of data+indices; full hashing of 100s of MB would cost
     more than it saves)."""
     try:
-        d = np.asarray(A.data)
+        vals = getattr(A, "data", None)
+        if vals is None:
+            vals = getattr(A, "blocks", None)     # BSR stores block values
+        d = np.asarray(vals).ravel()
         stride = max(1, d.size // 65536)
         parts = [d.shape, d.dtype.str, hash(d[::stride].tobytes())]
         idx = getattr(A, "indices", None)
         if idx is not None:
-            i = np.asarray(idx)
+            i = np.asarray(idx).ravel()
             parts.append(hash(i[::max(1, i.size // 65536)].tobytes()))
         return tuple(parts)
     except Exception:
@@ -88,7 +127,10 @@ def _prepare_matrix(A, reorder="auto", build_device=True):
     backend = jax.default_backend()
     if build_device and cache is not None:
         hit = cache.get((reorder, backend))
-        if hit is not None and hit[0] == _fingerprint(A):
+        # a None fingerprint means "content not hashable" — never a match
+        # (None == None must not validate a stale entry)
+        if hit is not None and hit[0] is not None \
+                and hit[0] == _fingerprint(A):
             return hit[1]
     if isinstance(A, COO):
         A = coo_to_csr(A)
@@ -116,8 +158,6 @@ def _prepare_matrix(A, reorder="auto", build_device=True):
                 # raw BSR is not jit-safe as a traced argument (its SpMV
                 # needs host-side row expansion) — gather ELL is
                 dev = csr_to_ell(csr)
-        if not build_device:
-            return csr, None, None
         out = (csr, jax.device_put(dev), None)
         _memoize_prepared(A_orig, reorder, out)
         return out
@@ -180,13 +220,7 @@ def solve(A, b, x0=None, method: str = "gmres", pc: Optional[str] = "none",
     if perm is not None:
         b = b[perm]
         x0 = x0[perm]
-    if callable(A_dev) and not hasattr(A_dev, "shape"):
-        # a bare operator is not a pytree of arrays — close over it instead
-        # of passing it through jit as a traced argument (cached per
-        # (solver, operator) pair so repeated solves reuse the compilation)
-        x, info = _jitted_closed(fn, A_dev)(b, x0, M, opts=opts)
-    else:
-        x, info = _jitted(fn)(A_dev, b, x0, M, opts=opts)
+    x, info = _dispatch_solve(fn, A_dev, b, x0, M, opts)
     if perm is not None:
         inv = np.empty_like(perm)
         inv[perm] = np.arange(len(perm))
@@ -297,7 +331,7 @@ class Solver:
         if perm is not None:
             b = b[perm]
             x0v = x0v[perm]
-        x, info = _jitted(fn)(self.A_dev, b, x0v, self.M, opts=opts)
+        x, info = _dispatch_solve(fn, self.A_dev, b, x0v, self.M, opts)
         if perm is not None:
             inv = np.empty_like(perm)
             inv[perm] = np.arange(len(perm))

@@ -101,18 +101,21 @@ def minres(A, b, x0=None, M=None, opts=None, dot=vdot):
         return out[0], out[1], out[15]
 
     def outer_cond(carry):
-        it, x, res, inner_tol, hist = carry
-        return (it < opts.maxit) & (res > tol)
+        it, x, res, inner_tol, hist, stalled = carry
+        return (it < opts.maxit) & (res > tol) & ~stalled
 
     def outer_body(carry):
-        it, x, res, inner_tol, hist = carry
-        it, x, hist = lanczos(x, it, inner_tol, hist)
+        it, x, res, inner_tol, hist, stalled = carry
+        it_n, x, hist = lanczos(x, it, inner_tol, hist)
         rt = b - op(x)
         res = jnp.sqrt(dot(rt, rt))
-        return (it, x, res, inner_tol * 0.1, hist)
+        # Lanczos breakdown at entry (beta1 <= breakdown) returns with the
+        # iteration count unchanged; without this guard the restart loop
+        # spins forever on e.g. an exactly-deflated residual
+        return (it_n, x, res, inner_tol * 0.1, hist, it_n == it)
 
-    init = (jnp.int32(0), x, r0norm, tol, hist)
-    it, x, res, inner_tol, hist = jax.lax.while_loop(
+    init = (jnp.int32(0), x, r0norm, tol, hist, jnp.bool_(False))
+    it, x, res, inner_tol, hist, _ = jax.lax.while_loop(
         outer_cond, outer_body, init)
     return x, SolveInfo(nits=it, residual=res, converged=res <= tol,
                         r0norm=r0norm, bnorm=bnorm,

@@ -241,3 +241,68 @@ class TestHostTraceFallback:
 
         assert float(traced(jnp.float32(1.0))) == 2.0
         assert ulog._device_print_ok is True
+
+
+class TestReviewRegressions:
+    """Fixes from the 347809d..HEAD review pass."""
+
+    def test_minres_breakdown_terminates(self):
+        # indefinite matrix + jacobi (negative diagonal entries) makes the
+        # preconditioned Lanczos norm vanish at entry; the restart loop
+        # must exit instead of spinning forever
+        import scipy.sparse as sp
+        A0 = laplacian_2d(8)
+        S = (sp.csr_matrix((np.asarray(A0.data), np.asarray(A0.indices),
+                            np.asarray(A0.indptr)), shape=A0.shape)
+             - 5.0 * sp.eye(A0.shape[0])).tocsr()
+        A = CSR(data=S.data, indices=S.indices, indptr=S.indptr,
+                shape=S.shape)
+        b = np.ones(A.shape[0])
+        x, info = solve(A, b, method="minres", pc="jacobi",
+                        options=SolverOptions(maxit=50))
+        assert not bool(info.converged)
+
+    def test_minres_unpreconditioned_unaffected(self):
+        A = laplacian_2d(16)
+        b = np.ones(A.shape[0])
+        x, info = solve(A, b, method="minres")
+        assert bool(info.converged)
+
+    def test_callable_preconditioner(self):
+        A = laplacian_2d(16)
+        b = np.ones(A.shape[0])
+        dj = jnp.full(A.shape[0], 0.25)
+        x, info = solve(A, b, method="cg", M=lambda r: dj * r)
+        assert bool(info.converged)
+        from lssp_tpu.sparse.convert import to_device_format
+        from lssp_tpu.ops.spmv import spmv
+        Adev = to_device_format(A)
+        x2, info2 = solve(lambda v: spmv(Adev, v), b, method="cg",
+                          M=lambda r: dj * r)
+        assert bool(info2.converged)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x2), atol=1e-10)
+
+    def test_bsr_inplace_mutation_invalidates_cache(self):
+        from lssp_tpu.sparse.convert import csr_to_bsr
+        import scipy.sparse as sp
+        A = laplacian_2d(16)
+        B = csr_to_bsr(A, 2)
+        b = np.ones(A.shape[0])
+        solve(B, b, method="cg")
+        np.asarray(B.blocks).__imul__(2.0)
+        x2, _ = solve(B, b, method="cg")
+        S2 = sp.csr_matrix((np.asarray(A.data) * 2.0, np.asarray(A.indices),
+                            np.asarray(A.indptr)), shape=A.shape)
+        assert np.linalg.norm(b - S2 @ np.asarray(x2)) < 1e-4
+
+    def test_saamg_postsmooth_only(self):
+        # amg_presmooth=0, amg_postsmooth=2 must still smooth (degree was
+        # taken from presmooth alone, giving an unsmoothed V-cycle)
+        A = laplacian_2d(32)
+        b = np.ones(A.shape[0])
+        x, info = solve(A, b, method="cg", pc="saamg",
+                        options=SolverOptions(maxit=100),
+                        pc_options=PCOptions(amg_presmooth=0,
+                                             amg_postsmooth=2))
+        assert bool(info.converged)
+        assert int(info.nits) < 40
