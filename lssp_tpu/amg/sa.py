@@ -316,11 +316,13 @@ def _saamg_apply(cycles, state, r):
 def setup_saamg_pc(A: CSR, opts):
     import functools
     from lssp_tpu.pc.base import Preconditioner
+    from lssp_tpu.config import smoother_degree
     h = sa_setup(A, g=opts.saamg_aggregate, max_levels=opts.amg_max_levels,
                  coarse_size=opts.amg_coarse_size,
                  smoother=opts.amg_smoother
                  if opts.amg_smoother != "l1jacobi" else "jacobi",
-                 degree=max(opts.amg_presmooth, opts.amg_postsmooth, 1),
+                 degree=smoother_degree(opts.amg_presmooth,
+                                        opts.amg_postsmooth),
                  grid=opts.saamg_grid)
     cycles = max(1, int(opts.amg_cycles))
     return Preconditioner(functools.partial(_saamg_apply, cycles),

@@ -143,3 +143,14 @@ class PCOptions:
             ilut_tol=_resolve(self.ilut_tol, d.ILUT_TOL),
             ilut_p=self.ilut_p if self.ilut_p is not None else d.ILUT_P,
         )
+
+
+def smoother_degree(pre: int, post: int) -> int:
+    """Map the reference's separate pre-/post-smoothing counts onto the
+    symmetric-degree V-cycle kernels (which smooth the same number of times
+    on both sides of coarse correction): preserve total smoothing work,
+    degree = ceil((pre + post) / 2).  An explicit 0/0 disables smoothing."""
+    pre, post = int(pre), int(post)
+    if pre <= 0 and post <= 0:
+        return 0
+    return max(1, (pre + post + 1) // 2)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 
-from lssp_tpu.config import SolverOptions, PCOptions
+from lssp_tpu.config import SolverOptions, PCOptions, smoother_degree
 from lssp_tpu.ops.trisolve import TriSchedule, level_schedule, ilu_apply
 from lssp_tpu.parallel.partition import DistELL, partition_csr
 from lssp_tpu.parallel.dist_ops import (make_dist_spmv, make_dist_spmv_t,
@@ -108,8 +108,9 @@ def _build_dist_pc(A: CSR, pc_type, pc_opts: PCOptions, Pn: int, R: int,
                          smooth_interp=pc_opts.amg_smooth_interp,
                          trunc=pc_opts.amg_trunc)
         h = build_dist_amg(hier, Pn, dtype=np.asarray(A.data).dtype,
-                           degree=max(pc_opts.amg_presmooth,
-                                      pc_opts.amg_postsmooth, 1))
+                           degree=smoother_degree(
+                               pc_opts.amg_presmooth,
+                               pc_opts.amg_postsmooth))
         return "amg", h
     if pc_type == "saamg":
         from lssp_tpu.parallel.dist_sa import build_dist_sa
@@ -119,8 +120,9 @@ def _build_dist_pc(A: CSR, pc_type, pc_opts: PCOptions, Pn: int, R: int,
                           smoother=pc_opts.amg_smoother
                           if pc_opts.amg_smoother != "l1jacobi" else "jacobi",
                           smooth_levels=2,
-                          degree=max(pc_opts.amg_presmooth,
-                                     pc_opts.amg_postsmooth, 1),
+                          degree=smoother_degree(
+                              pc_opts.amg_presmooth,
+                              pc_opts.amg_postsmooth),
                           dtype=np.asarray(A.data).dtype)
         return "saamg", h
     if pc_type in ("bjilu", "iluk", "ilu0", "ilut"):
@@ -170,23 +172,23 @@ def _shard_pc_apply(kind, state, R, op=None, cycles=1):
             from lssp_tpu.ops.trisolve import ilu_apply_t
             fn.t = lambda r: ilu_apply_t(sut, slt, r)
         return fn
-    if kind == "amg":
-        from lssp_tpu.parallel.dist_amg import dist_vcycle
-        return lambda r: dist_vcycle(state, r, AXIS)
-    if kind == "saamg":
-        from lssp_tpu.parallel.dist_sa import dist_sa_vcycle
+    if kind in ("amg", "saamg"):
+        if kind == "amg":
+            from lssp_tpu.parallel.dist_amg import dist_vcycle as vcycle
+        else:
+            from lssp_tpu.parallel.dist_sa import dist_sa_vcycle as vcycle
         if cycles <= 1:
-            return lambda r: dist_sa_vcycle(state, r, AXIS)
+            return lambda r: vcycle(state, r, AXIS)
 
-        def apply_sa(r):
+        def apply_mg(r):
             # further cycles refine on the residual via the distributed
-            # operator (same net effect as the single-device _saamg_apply's
-            # warm-started sa_vcycle)
-            z = dist_sa_vcycle(state, r, AXIS)
+            # operator (same net effect as the single-device warm-started
+            # V-cycle in _saamg_apply / pc/amg.py)
+            z = vcycle(state, r, AXIS)
             for _ in range(cycles - 1):
-                z = z + dist_sa_vcycle(state, r - op(z), AXIS)
+                z = z + vcycle(state, r - op(z), AXIS)
             return z
-        return apply_sa
+        return apply_mg
     raise ValueError(kind)
 
 
@@ -197,6 +199,14 @@ def dist_solve(A: CSR, b, x0=None, method: str = "cg",
     """Distributed Ax=b over a 1-D mesh.  Returns (x (n,), SolveInfo)."""
     opts = (options or SolverOptions()).resolved()
     pc_opts = (pc_options or PCOptions()).resolved()
+    # backends without host callbacks can't run jax.debug.print inside the
+    # shard_map'd iteration: record the (shard-replicated) residual trace
+    # and print it host-side after the solve, as the facade does
+    from lssp_tpu.utils.log import device_print_supported
+    host_trace = opts.verbosity >= 1 and not device_print_supported()
+    user_history = opts.record_history
+    if host_trace and not opts.record_history:
+        opts = dataclasses.replace(opts, record_history=True)
     transpose_method = method.lower() in ("bicg", "qmr", "cgnr", "cgn",
                                           "lsqr")
     if transpose_method and pc not in (None, "none", "jacobi", "bjilu",
@@ -261,9 +271,14 @@ def dist_solve(A: CSR, b, x0=None, method: str = "cg",
                 jax.tree_util.tree_map(lambda _: P(AXIS), pc_state))
     out_specs = (P(AXIS), jax.tree_util.tree_map(lambda _: P(), SolveInfo(
         nits=0, residual=0.0, converged=False, r0norm=0.0, bnorm=0.0,
-        history=None)))
+        history=0.0 if opts.record_history else None)))
 
     mapped = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
                            out_specs=out_specs, check_vma=False)
     x_sh, info = jax.jit(mapped)(M.cols, M.data, b2, x02, pc_state)
+    if host_trace:
+        from lssp_tpu.solvers.base import history_print_host
+        history_print_host(info)
+        if not user_history:
+            info = dataclasses.replace(info, history=None)
     return jnp.reshape(x_sh, (n,))[:n_orig], info

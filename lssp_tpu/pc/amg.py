@@ -8,6 +8,7 @@ import numpy as np
 
 from lssp_tpu.amg.setup import amg_setup
 from lssp_tpu.amg.cycle import build_device_amg, vcycle
+from lssp_tpu.config import smoother_degree
 from lssp_tpu.pc.base import Preconditioner, register_pc
 
 
@@ -23,7 +24,7 @@ def setup_amg(A, opts):
                      trunc=opts.amg_trunc)
     h = build_device_amg(
         hier, dtype=np.asarray(A.data).dtype, smoother=opts.amg_smoother,
-        degree=max(opts.amg_presmooth, opts.amg_postsmooth, 1),
+        degree=smoother_degree(opts.amg_presmooth, opts.amg_postsmooth),
         cycles=opts.amg_cycles)
     return Preconditioner(_amg_apply, state=h, name="amg")
 

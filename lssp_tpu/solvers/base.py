@@ -169,5 +169,8 @@ def history_print_host(info: "SolveInfo") -> None:
         res = float(h[it])
         if np.isnan(res):
             continue
+        # level=0: SolverOptions.verbosity already authorized this trace —
+        # the device jax.debug.print path is not gated by the global log
+        # verbosity either, and the two must behave identically
         _log_line(f"itr: {it:5d}, abs res: {res:.6e}, "
-                 f"rel res: {res / r0:.6e}, rbn: {res / bn:.6e}", level=1)
+                 f"rel res: {res / r0:.6e}, rbn: {res / bn:.6e}", level=0)

@@ -34,25 +34,17 @@ def _jitted(fn):
     return jax.jit(fn, static_argnames=("opts",))
 
 
-# closure caches are bounded: every fresh lambda is a distinct key, so an
+# the closure cache is bounded: every fresh lambda is a distinct key, so an
 # unbounded cache would pin each operator closure and its compiled
 # executable for the process lifetime
 @functools.lru_cache(maxsize=64)
-def _jitted_closed(fn, A_op):
-    return jax.jit(functools.partial(fn, A_op), static_argnames=("opts",))
-
-
-@functools.lru_cache(maxsize=64)
-def _jitted_closed_m(fn, M_op):
-    def g(A, b, x0, opts):
-        return fn(A, b, x0, M_op, opts=opts)
-    return jax.jit(g, static_argnames=("opts",))
-
-
-@functools.lru_cache(maxsize=64)
-def _jitted_closed_am(fn, A_op, M_op):
-    def g(b, x0, opts):
-        return fn(A_op, b, x0, M_op, opts=opts)
+def _jitted_closed(fn, A_op, M_op):
+    """jit of ``fn`` with the bare-callable operands (either or both of
+    A/M) closed over; a closed-over operand's positional slot receives
+    None at call time."""
+    def g(A, b, x0, M, opts):
+        return fn(A if A_op is None else A_op, b, x0,
+                  M if M_op is None else M_op, opts=opts)
     return jax.jit(g, static_argnames=("opts",))
 
 
@@ -66,13 +58,11 @@ def _dispatch_solve(fn, A_dev, b, x0, M, opts):
     a_bare = callable(A_dev) and not hasattr(A_dev, "shape")
     m_bare = (M is not None and callable(M)
               and not isinstance(M, Preconditioner))
-    if a_bare and m_bare:
-        return _jitted_closed_am(fn, A_dev, M)(b, x0, opts=opts)
-    if a_bare:
-        return _jitted_closed(fn, A_dev)(b, x0, M, opts=opts)
-    if m_bare:
-        return _jitted_closed_m(fn, M)(A_dev, b, x0, opts=opts)
-    return _jitted(fn)(A_dev, b, x0, M, opts=opts)
+    if not (a_bare or m_bare):
+        return _jitted(fn)(A_dev, b, x0, M, opts=opts)
+    return _jitted_closed(fn, A_dev if a_bare else None,
+                          M if m_bare else None)(
+        None if a_bare else A_dev, b, x0, None if m_bare else M, opts=opts)
 
 
 def _fingerprint(A):
@@ -196,6 +186,7 @@ def solve(A, b, x0=None, method: str = "gmres", pc: Optional[str] = "none",
     # backends without host callbacks can't run jax.debug.print: record the
     # residual trace instead and print it host-side after the solve
     host_trace = opts.verbosity >= 1 and not device_print_supported()
+    user_history = opts.record_history
     if host_trace and not opts.record_history:
         opts = dataclasses.replace(opts, record_history=True)
     if (pc == "saamg" and pc_options is not None
@@ -227,6 +218,10 @@ def solve(A, b, x0=None, method: str = "gmres", pc: Optional[str] = "none",
         x = x[inv]
     if host_trace:
         history_print_host(info)
+        if not user_history:
+            # the trace buffer was forced on for printing only — the
+            # caller's SolveInfo contract (history=None) is preserved
+            info = dataclasses.replace(info, history=None)
     return x, info
 
 
@@ -323,6 +318,7 @@ class Solver:
         opts = self.options.resolved()
         host_trace = (opts.verbosity >= 1
                       and not device_print_supported())
+        user_history = opts.record_history
         if host_trace and not opts.record_history:
             opts = dataclasses.replace(opts, record_history=True)
         fn = get_solver(self.method)
@@ -336,9 +332,11 @@ class Solver:
             inv = np.empty_like(perm)
             inv[perm] = np.arange(len(perm))
             x = x[inv]
-        self.x, self.info = x, info
         if host_trace:
             history_print_host(info)
+            if not user_history:
+                info = dataclasses.replace(info, history=None)
+        self.x, self.info = x, info
         return x
 
     # -- getters (lssp_solver_get_residual/_nits, lssp.cxx:520-528) --

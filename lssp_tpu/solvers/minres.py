@@ -98,7 +98,7 @@ def minres(A, b, x0=None, M=None, opts=None, dot=vdot):
                 jnp.array(-1.0, dtype), jnp.zeros((), dtype),
                 jnp.bool_(True), hist)
         out = jax.lax.while_loop(cond, body, init)
-        return out[0], out[1], out[15]
+        return out[0], out[1], out[15], beta1
 
     def outer_cond(carry):
         it, x, res, inner_tol, hist, stalled = carry
@@ -106,13 +106,16 @@ def minres(A, b, x0=None, M=None, opts=None, dot=vdot):
 
     def outer_body(carry):
         it, x, res, inner_tol, hist, stalled = carry
-        it_n, x, hist = lanczos(x, it, inner_tol, hist)
+        it_n, x, hist, beta1 = lanczos(x, it, inner_tol, hist)
         rt = b - op(x)
         res = jnp.sqrt(dot(rt, rt))
-        # Lanczos breakdown at entry (beta1 <= breakdown) returns with the
-        # iteration count unchanged; without this guard the restart loop
-        # spins forever on e.g. an exactly-deflated residual
-        return (it_n, x, res, inner_tol * 0.1, hist, it_n == it)
+        # A zero-progress pass with TRUE Lanczos breakdown (the entry
+        # M-norm beta1 vanished) can never make progress — exit instead of
+        # spinning forever.  A zero-progress pass whose beta1 merely sits
+        # below inner_tol (badly scaled systems) is recoverable: the
+        # restart loop tightens inner_tol and retries.
+        return (it_n, x, res, inner_tol * 0.1, hist,
+                (it_n == it) & (beta1 <= opts.breakdown))
 
     init = (jnp.int32(0), x, r0norm, tol, hist, jnp.bool_(False))
     it, x, res, inner_tol, hist, _ = jax.lax.while_loop(

@@ -103,7 +103,8 @@ def solve_ir(A, b, x0=None, method: str = "gmres",
             from lssp_tpu.utils.log import log as _log_line
             _log_line(f"ir outer: {outer:3d}, inner its: {int(info.nits):4d}, "
                       f"true res: {res:.6e}, rel res: "
-                      f"{res / max(r0, np.finfo(np.float64).tiny):.6e}")
+                      f"{res / max(r0, np.finfo(np.float64).tiny):.6e}",
+                      level=0)
 
     if perm is not None:
         inv = np.empty_like(perm)

@@ -230,3 +230,37 @@ class TestDistTranspose:
         b = jnp.ones(1024, dtype=jnp.float64)
         with pytest.raises(ValueError, match="transpose"):
             dist_solve(A, b, method="bicg", pc="saamg", mesh=make_mesh(8))
+
+
+class TestDistPCOptions:
+    """Distributed PCs honor the same PCOptions knobs as single-device."""
+
+    def test_dist_amg_cycles(self):
+        import lssp_tpu as lt
+        from lssp_tpu.parallel.dist_solve import dist_solve, make_mesh
+        A = lt.sparse.laplacian_2d(32)
+        b = jnp.ones(A.shape[0], dtype=jnp.float64)
+        _, i1 = dist_solve(A, b, method="cg", pc="amg", mesh=make_mesh(8),
+                           options=lt.SolverOptions(maxit=100),
+                           pc_options=lt.PCOptions(amg_cycles=1))
+        _, i2 = dist_solve(A, b, method="cg", pc="amg", mesh=make_mesh(8),
+                           options=lt.SolverOptions(maxit=100),
+                           pc_options=lt.PCOptions(amg_cycles=2))
+        assert bool(i1.converged) and bool(i2.converged)
+        assert int(i2.nits) < int(i1.nits)
+
+    def test_dist_host_trace_fallback(self, capsys, monkeypatch):
+        import importlib
+        import lssp_tpu as lt
+        from lssp_tpu.parallel.dist_solve import dist_solve, make_mesh
+        ulog = importlib.import_module("lssp_tpu.utils.log")
+        monkeypatch.setattr(ulog, "_device_print_ok", False)
+        A = lt.sparse.laplacian_2d(16)
+        b = jnp.ones(A.shape[0], dtype=jnp.float64)
+        x, info = dist_solve(A, b, method="cg", pc="jacobi",
+                             mesh=make_mesh(8),
+                             options=lt.SolverOptions(maxit=30, verbosity=1))
+        lines = [l for l in capsys.readouterr().out.splitlines()
+                 if l.startswith("itr:")]
+        assert len(lines) == int(info.nits)
+        assert info.history is None      # forced buffer stripped

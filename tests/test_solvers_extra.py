@@ -306,3 +306,35 @@ class TestReviewRegressions:
                                              amg_postsmooth=2))
         assert bool(info.converged)
         assert int(info.nits) < 40
+
+    def test_minres_scaled_spd_recovers(self):
+        # beta1 below the inner tolerance at entry is NOT breakdown: the
+        # restart loop must tighten inner_tol and converge (the first
+        # stall guard conflated the two and gave up instantly)
+        import scipy.sparse as sp
+        S = sp.diags(np.full(64, 1e18)).tocsr()
+        A = CSR(data=S.data, indices=S.indices, indptr=S.indptr,
+                shape=S.shape)
+        b = np.ones(64)
+        x, info = solve(A, b, method="minres", pc="jacobi", reorder=None)
+        assert bool(info.converged)
+        assert np.linalg.norm(b - S @ np.asarray(x)) < 1e-6
+
+    def test_smoother_degree_mapping(self):
+        from lssp_tpu.config import smoother_degree
+        assert smoother_degree(0, 0) == 0      # explicit off stays off
+        assert smoother_degree(1, 1) == 1      # defaults unchanged
+        assert smoother_degree(0, 2) == 1      # total work preserved
+        assert smoother_degree(1, 3) == 2
+        assert smoother_degree(2, 2) == 2
+
+    def test_callable_m_with_solver_lifecycle(self):
+        from lssp_tpu.solvers.facade import Solver
+        A = laplacian_2d(16)
+        b = np.ones(A.shape[0])
+        dj = jnp.full(A.shape[0], 0.25)
+        s = Solver("cg")
+        s.assemble(A)
+        s.M = lambda r: dj * r
+        x = s.solve(b)
+        assert s.residual < 1e-5
