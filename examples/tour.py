@@ -49,7 +49,9 @@ def main():
     print(f"  inner-nits={int(info.nits)}  res={residual(S, x, bs):.2e}")
 
     print("== checkpoint / resume ==")
-    path = tempfile.mktemp(suffix=".ckpt")
+    # checkpointed_solve needs a path that may not exist yet, so a private
+    # fresh directory (not racy mktemp) is the right shape
+    path = os.path.join(tempfile.mkdtemp(prefix="lssp_tour_"), "run.ckpt")
     x, info = checkpointed_solve(S, bs, path, every=20, method="cg",
                                  pc="iluk", max_rounds=1)
     print(f"  interrupted at nits={int(info.nits)} (converged={bool(info.converged)})")

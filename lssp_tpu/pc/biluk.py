@@ -357,14 +357,13 @@ def _vb_embed_matrix(A: CSR, blk_sizes):
             bs, n_pad, emb)
 
 
-def _vbilu_apply(n_pad, state, r):
-    sched_l, dinv, sched_u, emb = state
+def _vbilu_apply(n_pad, inner_fn, state, r):
+    """Embed r into the padded uniform-block space, run the uniform block
+    solve (Neumann or exact, whatever _pack_bilu_pc chose), gather back."""
+    inner_state, emb = state
     import jax.numpy as jnp
     rp = jnp.zeros(n_pad, dtype=r.dtype).at[emb].set(r)
-    y = block_trisweep(sched_l, rp)
-    z = block_diag_apply(dinv, y)
-    z = block_trisweep(sched_u, z)
-    return z[emb]
+    return inner_fn(inner_state, rp)[emb]
 
 
 def _setup_vbilu(A, opts, variant):
@@ -374,16 +373,20 @@ def _setup_vbilu(A, opts, variant):
     Ap, bs, n_pad, emb = _vb_embed_matrix(A, opts.block_sizes)
     B = csr_to_bsr(Ap, bs)
     if variant == "vbiluk":
-        sched_l, inv, sched_u = biluk_factor_bsr(B, level=opts.iluk_level)
+        factors = biluk_factor_bsr(B, level=opts.iluk_level, raw=True)
     else:
-        sched_l, inv, sched_u = bilut_factor_bsr(B, tol=opts.ilut_tol,
-                                                 p=opts.ilut_p)
+        factors = bilut_factor_bsr(B, tol=opts.ilut_tol, p=opts.ilut_p,
+                                   raw=True)
+    # route through _pack_bilu_pc like biluk/bilut so PCOptions.ilu_sweeps
+    # and the TPU Neumann-sweep default apply uniformly to variable blocks
+    inner = _pack_bilu_pc(factors, variant, opts.ilu_sweeps)
     import functools
     import jax.numpy as jnp
-    state = (sched_l, inv, sched_u, jnp.asarray(emb, jnp.int32))
+    state = (inner.state, jnp.asarray(emb, jnp.int32))
     # n_pad is a static shape — bind it into the apply fn, not the pytree
-    return Preconditioner(functools.partial(_vbilu_apply, n_pad),
-                          state=state, name=variant)
+    return Preconditioner(functools.partial(_vbilu_apply, n_pad,
+                                            inner.apply_fn),
+                          state=state, name=inner.name)
 
 
 @register_pc("vbiluk")

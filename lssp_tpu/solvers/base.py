@@ -86,15 +86,21 @@ def operator_t(A) -> Callable:
 def pc_transpose(M) -> Callable:
     """Return the Mᵀ-apply for a preconditioner.
 
-    A ``Preconditioner`` with an ``apply_t_fn`` uses it (exact, e.g. the ILU
-    family); otherwise the forward apply is reused — exact for symmetric PCs
-    (none/Jacobi/symmetric-smoother AMG)."""
+    A ``Preconditioner`` (or any callable) with a ``t`` attribute uses it —
+    ``Preconditioner.t`` itself raises when no transpose apply was installed.
+    A bare callable WITHOUT ``t`` raises too: silently reusing the forward
+    apply would corrupt the two-sided recurrences of BiCG/QMR/CGNR/LSQR for
+    any nonsymmetric M (a symmetric callable can declare itself so with
+    ``M.t = M``)."""
     if M is None:
         return identity_pc
     t = getattr(M, "t", None)
     if t is not None:
         return t
-    return M
+    raise TypeError(
+        "transpose-based solvers need a preconditioner with an M^-T apply; "
+        "this callable M has no .t attribute — attach one (M.t = M if M is "
+        "symmetric) or use a transpose-free method (gmres/bicgstab/...)")
 
 
 def stopping_tol(r0norm, bnorm, opts):

@@ -66,21 +66,22 @@ def _dispatch_solve(fn, A_dev, b, x0, M, opts):
 
 
 def _fingerprint(A):
-    """Cheap content fingerprint so in-place mutation of a container's
-    buffers invalidates the prepared-format cache (best effort: samples up
-    to ~64k entries of data+indices; full hashing of 100s of MB would cost
-    more than it saves)."""
+    """Full-content fingerprint (crc32 over the value/index buffers) so ANY
+    in-place mutation of a container's buffers invalidates the
+    prepared-format cache.  crc32 streams at ~1 GB/s on host memory —
+    negligible next to the format conversion + device upload it guards
+    (sampling-based hashing missed mutations outside the sampled stride and
+    silently validated a stale device matrix)."""
+    import zlib
     try:
         vals = getattr(A, "data", None)
         if vals is None:
             vals = getattr(A, "blocks", None)     # BSR stores block values
-        d = np.asarray(vals).ravel()
-        stride = max(1, d.size // 65536)
-        parts = [d.shape, d.dtype.str, hash(d[::stride].tobytes())]
+        d = np.ascontiguousarray(np.asarray(vals))
+        parts = [d.shape, d.dtype.str, zlib.crc32(d)]
         idx = getattr(A, "indices", None)
         if idx is not None:
-            i = np.asarray(idx).ravel()
-            parts.append(hash(i[::max(1, i.size // 65536)].tobytes()))
+            parts.append(zlib.crc32(np.ascontiguousarray(np.asarray(idx))))
         return tuple(parts)
     except Exception:
         return None

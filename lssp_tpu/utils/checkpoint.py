@@ -8,18 +8,32 @@ durable: Krylov state is tiny (x), so a checkpoint is the solution vector
 plus metadata; preconditioner state (ILU/LU factors, level schedules, AMG
 hierarchies, ARMS levels) is a pytree of arrays and round-trips losslessly.
 
-Uses plain ``pickle`` with device arrays converted to numpy — every
-``apply_fn`` in the framework is a module-level function (or a
-``functools.partial`` of one), so Preconditioner objects serialize by
-reference without any custom machinery.
+File format: an 8-byte magic (``LSSPCKPT``), a format-version word, a crc32
+of the payload, then a ``pickle`` of the payload with device arrays
+converted to numpy — every ``apply_fn`` in the framework is a module-level
+function (or a ``functools.partial`` of one), so Preconditioner objects
+serialize by reference without any custom machinery.  The version gate and
+checksum make a truncated/corrupted or format-bumped file fail loudly
+instead of resuming from garbage.
+
+.. warning:: **Trust boundary.** The payload is pickle: loading executes
+   arbitrary code embedded in the file.  Only load checkpoints you wrote —
+   never from untrusted storage or network paths.  (``checkpointed_solve``
+   auto-loads any existing file at ``path``; point it at a directory you
+   control.)
 """
 from __future__ import annotations
 
 import pickle
+import struct
+import zlib
 from typing import Any, Optional
 
 import jax
 import numpy as np
+
+_MAGIC = b"LSSPCKPT"
+FORMAT_VERSION = 1
 
 
 def _to_host(tree):
@@ -42,16 +56,37 @@ def save_checkpoint(path: str, x=None, M=None, info=None, **extra) -> None:
                "M": _to_host(M) if M is not None else None,
                "info": _to_host(info) if info is not None else None,
                "extra": _to_host(extra)}
+    body = pickle.dumps(payload, protocol=pickle.HIGHEST_PROTOCOL)
     with open(path, "wb") as f:
-        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+        f.write(_MAGIC)
+        f.write(struct.pack("<II", FORMAT_VERSION, zlib.crc32(body)))
+        f.write(body)
 
 
 def load_checkpoint(path: str, device: bool = True) -> dict:
     """Read a checkpoint written by ``save_checkpoint``.  Returns a dict
     with keys ``x``, ``M``, ``info`` and the extras; arrays are moved back
-    to the default device unless ``device=False``."""
+    to the default device unless ``device=False``.
+
+    Raises ``ValueError`` on a missing magic header, a format-version
+    mismatch, or a checksum failure — see the module docstring for the
+    pickle trust boundary (only load files you wrote)."""
     with open(path, "rb") as f:
-        payload = pickle.load(f)
+        head = f.read(len(_MAGIC) + 8)
+        if len(head) < len(_MAGIC) + 8 or not head.startswith(_MAGIC):
+            raise ValueError(
+                f"{path!r} is not an lssp_tpu checkpoint (bad magic)")
+        version, crc = struct.unpack("<II", head[len(_MAGIC):])
+        if version != FORMAT_VERSION:
+            raise ValueError(
+                f"checkpoint {path!r} has format version {version}, this "
+                f"build reads version {FORMAT_VERSION} — re-create it")
+        body = f.read()
+        if zlib.crc32(body) != crc:
+            raise ValueError(
+                f"checkpoint {path!r} failed its integrity check "
+                "(truncated or corrupted); refusing to load")
+        payload = pickle.loads(body)
     out = dict(payload.pop("extra", {}))
     out.update(payload)
     if device:

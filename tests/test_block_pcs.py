@@ -253,3 +253,25 @@ class TestPolyPC:
         r = jnp.asarray(np.linspace(1.0, 2.0, 256))
         np.testing.assert_allclose(np.asarray(M.t(r)), np.asarray(M(r)),
                                    rtol=1e-12)
+
+
+def test_vbilu_honors_ilu_sweeps():
+    """vbiluk/vbilut route through _pack_bilu_pc so PCOptions.ilu_sweeps and
+    the TPU Neumann default apply uniformly (round-1 advisor finding)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from lssp_tpu import sparse, solve, PCOptions
+    from lssp_tpu.pc import setup
+
+    A = sparse.laplacian_2d(8)        # n=64, banded → BDIA-able factors
+    n = A.shape[0]
+    sizes = [2] * (n // 2)
+    M_ex = setup(A, "vbiluk", PCOptions(block_sizes=sizes, ilu_sweeps=0))
+    # strict block factors are nilpotent: sweeps >= nrowb makes the
+    # truncated Neumann series EXACT, so the two paths must agree tightly
+    M_nm = setup(A, "vbiluk", PCOptions(block_sizes=sizes, ilu_sweeps=32))
+    assert not M_ex.name.endswith("-n32")
+    assert M_nm.name.endswith("-n32")
+    r = jnp.asarray(np.random.default_rng(0).standard_normal(n))
+    np.testing.assert_allclose(np.asarray(M_nm(r)), np.asarray(M_ex(r)),
+                               rtol=1e-10, atol=1e-12)

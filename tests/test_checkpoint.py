@@ -58,3 +58,35 @@ def test_checkpointed_solve_interrupted(tmp_path):
     assert bool(info2.converged)
     res = float(np.linalg.norm(np.asarray(b) - A.to_scipy() @ np.asarray(x2)))
     assert res < 1e-5
+
+
+def test_corrupt_checkpoint_rejected(tmp_path):
+    """crc/magic/version gates (round-1 advisor: bare pickle had no
+    integrity or version check)."""
+    import pytest
+    from lssp_tpu.utils.checkpoint import (save_checkpoint, load_checkpoint,
+                                           _MAGIC)
+    import jax.numpy as jnp
+    p = tmp_path / "c.ckpt"
+    save_checkpoint(str(p), x=jnp.ones(4))
+    raw = p.read_bytes()
+
+    (tmp_path / "bad_magic.ckpt").write_bytes(b"NOTACKPT" + raw[8:])
+    with pytest.raises(ValueError, match="magic"):
+        load_checkpoint(str(tmp_path / "bad_magic.ckpt"))
+
+    (tmp_path / "trunc.ckpt").write_bytes(raw[:-3])
+    with pytest.raises(ValueError, match="integrity"):
+        load_checkpoint(str(tmp_path / "trunc.ckpt"))
+
+    flipped = bytearray(raw)
+    flipped[-1] ^= 0xFF
+    (tmp_path / "flip.ckpt").write_bytes(bytes(flipped))
+    with pytest.raises(ValueError, match="integrity"):
+        load_checkpoint(str(tmp_path / "flip.ckpt"))
+
+    bumped = bytearray(raw)
+    bumped[len(_MAGIC)] = 99
+    (tmp_path / "ver.ckpt").write_bytes(bytes(bumped))
+    with pytest.raises(ValueError, match="version"):
+        load_checkpoint(str(tmp_path / "ver.ckpt"))

@@ -338,3 +338,31 @@ class TestReviewRegressions:
         s.M = lambda r: dj * r
         x = s.solve(b)
         assert s.residual < 1e-5
+
+
+class TestBareCallablePCTranspose:
+    """A bare-callable M without a transpose apply must be rejected by the
+    transpose-based methods (round-1 advisor: silently reusing the forward
+    apply corrupts the two-sided recurrences for nonsymmetric M)."""
+
+    def test_bicg_bare_callable_raises(self):
+        import pytest
+        import jax.numpy as jnp
+        import lssp_tpu as lt
+        A = lt.sparse.convection_diffusion_2d(8, beta=5.0)
+        b = jnp.ones(A.shape[0], dtype=jnp.float64)
+        with pytest.raises(TypeError, match="transpose"):
+            lt.solve(A, b, method="bicg", M=lambda r: r)
+
+    def test_bicg_callable_with_t_works(self):
+        import numpy as np
+        import jax.numpy as jnp
+        import lssp_tpu as lt
+        A = lt.sparse.convection_diffusion_2d(8, beta=5.0)
+        b = jnp.ones(A.shape[0], dtype=jnp.float64)
+        M = lambda r: 0.5 * r
+        M.t = M                      # declare symmetric
+        x, info = lt.solve(A, b, method="bicg", M=M)
+        assert bool(info.converged)
+        res = np.linalg.norm(np.asarray(b) - A.to_scipy() @ np.asarray(x))
+        assert res < 1e-5
