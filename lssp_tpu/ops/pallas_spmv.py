@@ -46,9 +46,14 @@ def _pick_tile(n: int, halo: int, ndiag: int, itemsize: int) -> int:
     return min(max(t, _DMA_ALIGN), _round_up(n, _DMA_ALIGN))
 
 
-@functools.partial(jax.jit, static_argnames=("offsets", "interpret"))
-def _dia_spmv_pallas(data, x, offsets, interpret=False):
-    n = x.shape[0]
+@functools.partial(jax.jit, static_argnames=("offsets", "interpret",
+                                             "prepadded"))
+def _dia_spmv_pallas(data, x, offsets, interpret=False, prepadded=False):
+    """``prepadded=True``: ``x`` already carries its ``lo`` left and ``hi``
+    right halo elements (length n + lo + hi) — the distributed per-shard
+    case, where the halos arrive via ppermute exchange instead of zero
+    padding.  ``data`` is always (ndiag, n)."""
+    n = data.shape[1]
     ndiag = data.shape[0]
     lo = max(0, -min(offsets)) if offsets else 0
     hi = max(0, max(offsets)) if offsets else 0
@@ -58,7 +63,10 @@ def _dia_spmv_pallas(data, x, offsets, interpret=False):
     pad_n = (-n) % T
     W = _round_up(T + lo + hi, _DMA_ALIGN)   # DMA window, tile-aligned
     # x padded so every tile's [i·T, i·T + W) window stays in bounds
-    xp = jnp.pad(x.astype(dtype), (lo, (W - lo - T) + pad_n))
+    if prepadded:
+        xp = jnp.pad(x.astype(dtype), (0, (W - lo - hi - T) + pad_n))
+    else:
+        xp = jnp.pad(x.astype(dtype), (lo, (W - lo - T) + pad_n))
     dp = jnp.pad(data.astype(dtype), ((0, 0), (0, pad_n)))
     nb = (n + pad_n) // T
 
@@ -96,3 +104,11 @@ def _dia_spmv_pallas(data, x, offsets, interpret=False):
 def dia_spmv_pallas(A: DIA, x, interpret: bool = False):
     """y = A@x via the Pallas stencil kernel."""
     return _dia_spmv_pallas(A.data, x, A.offsets, interpret=interpret)
+
+
+def dia_spmv_pallas_ext(data, x_ext, offsets, interpret: bool = False):
+    """Per-shard distributed DIA SpMV: ``x_ext = [halo_lo | x | halo_hi]``
+    (length n + lo + hi, halos filled by the ICI exchange); returns the (n,)
+    local product.  Same kernel, same roofline bandwidth."""
+    return _dia_spmv_pallas(data, x_ext, offsets, interpret=interpret,
+                            prepadded=True)

@@ -12,15 +12,86 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from lssp_tpu.parallel.partition import DistELL
+from lssp_tpu.parallel.partition import DistELL, DistDIA
 
 
-def make_dist_spmv(M: DistELL, axis: str):
-    """Return op(x_local) -> y_local for a row-partitioned matrix.
+def _dia_local_spmv(data, x_ext, offsets, lo, R):
+    """Per-shard DIA product over the extended vector: Pallas stencil kernel
+    on TPU (roofline streaming), XLA shifted slices elsewhere."""
+    dtype = jnp.result_type(data.dtype, x_ext.dtype)
+    if (jax.default_backend() == "tpu"
+            and dtype in (jnp.float32, jnp.bfloat16) and R >= 4096):
+        from lssp_tpu.ops.pallas_spmv import dia_spmv_pallas_ext
+        return dia_spmv_pallas_ext(data, x_ext, offsets)
+    y = jnp.zeros(R, dtype=dtype)
+    for d, off in enumerate(offsets):
+        y = y + data[d] * lax.dynamic_slice(x_ext, (lo + off,), (R,))
+    return y
 
-    ``x_local``: (R,) this shard's slice.  The returned closure must be
-    called inside shard_map over ``axis``.
+
+def _make_dia_spmv(M: DistDIA, axis: str):
+    P = M.nshards
+    lo, hi = M.lo, M.hi
+    offsets = M.offsets
+    R = M.rows_per_shard
+
+    def op(data, x):
+        # Halo exchange: my last lo values go right (arrive as the
+        # neighbour's left halo), my first hi values go left.  No edge
+        # masking anywhere — ring wrap-around garbage is only ever
+        # multiplied by stored zeros (see DistDIA docstring).
+        parts = []
+        if lo > 0:
+            right = [(i, (i + 1) % P) for i in range(P)]
+            parts.append(lax.ppermute(x[-lo:], axis, right))
+        parts.append(x)
+        if hi > 0:
+            left = [(i, (i - 1) % P) for i in range(P)]
+            parts.append(lax.ppermute(x[:hi], axis, left))
+        x_ext = jnp.concatenate(parts) if len(parts) > 1 else x
+        return _dia_local_spmv(data, x_ext, offsets, lo, R)
+
+    return op
+
+
+def _make_dia_spmv_t(M: DistDIA, axis: str):
+    """Transpose: accumulate shifted streams into the extended vector, keep
+    the local part, ship the halo accumulations to the owning neighbours."""
+    P = M.nshards
+    lo, hi = M.lo, M.hi
+    offsets = M.offsets
+    R = M.rows_per_shard
+
+    def op_t(data, x):
+        dtype = jnp.result_type(data.dtype, x.dtype)
+        z_ext = jnp.zeros(lo + R + hi, dtype=dtype)
+        for d, off in enumerate(offsets):
+            # rows r contribute data[d,r]·x[r] to column r+off, i.e. the
+            # contiguous z_ext slice [lo+off, lo+off+R) — a static slice add
+            z_ext = z_ext.at[lo + off:lo + off + R].add(data[d] * x)
+        y = z_ext[lo:lo + R]
+        if lo > 0:
+            # z_ext[:lo] belongs to the LEFT neighbour's last lo rows
+            left = [(i, (i - 1) % P) for i in range(P)]
+            y = y.at[-lo:].add(lax.ppermute(z_ext[:lo], axis, left))
+        if hi > 0:
+            right = [(i, (i + 1) % P) for i in range(P)]
+            y = y.at[:hi].add(lax.ppermute(z_ext[-hi:], axis, right))
+        # no masking: shard 0's left-halo / shard P-1's right-halo
+        # accumulations are sums of stored zeros, so the ring wrap adds 0
+        return y
+
+    return op_t
+
+
+def make_dist_spmv(M, axis: str):
+    """Return op(*mat_leaves_local, x_local) -> y_local for a
+    row-partitioned matrix (DistDIA: op(data, x); DistELL: op(cols, data,
+    x)).  The returned closure must be called inside shard_map over
+    ``axis`` with this shard's slice of each array leaf.
     """
+    if isinstance(M, DistDIA):
+        return _make_dia_spmv(M, axis)
     P = M.nshards
     h = M.halo
 
@@ -52,8 +123,8 @@ def make_dist_spmv(M: DistELL, axis: str):
     return op
 
 
-def make_dist_spmv_t(M: DistELL, axis: str):
-    """Return op_t(x_local) -> (Aᵀx)_local — the reverse of the halo
+def make_dist_spmv_t(M, axis: str):
+    """Return op_t(*mat_leaves_local, x_local) -> (Aᵀx)_local — the reverse of the halo
     exchange: each shard accumulates its rows' contributions into the
     extended vector [halo_l | local | halo_r] with a segment sum, keeps the
     local part, and ships the halo accumulations to the owning neighbours
@@ -62,6 +133,8 @@ def make_dist_spmv_t(M: DistELL, axis: str):
     """
     import numpy as np
 
+    if isinstance(M, DistDIA):
+        return _make_dia_spmv_t(M, axis)
     P = M.nshards
     h = M.halo
     R = M.rows_per_shard

@@ -24,7 +24,8 @@ from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 
 from lssp_tpu.config import SolverOptions, PCOptions, smoother_degree
 from lssp_tpu.ops.trisolve import TriSchedule, level_schedule, ilu_apply
-from lssp_tpu.parallel.partition import DistELL, partition_csr
+from lssp_tpu.parallel.partition import (DistELL, DistDIA, partition_csr,
+                                         partition_matrix)
 from lssp_tpu.parallel.dist_ops import (make_dist_spmv, make_dist_spmv_t,
                                         make_psum_dot)
 from lssp_tpu.pc.ilu_host import iluk_factor, ilut_factor
@@ -153,10 +154,14 @@ def _build_dist_pc(A: CSR, pc_type, pc_opts: PCOptions, Pn: int, R: int,
 
 def _shard_pc_apply(kind, state, R, op=None, cycles=1):
     if kind == "none":
-        return lambda r: r
+        fn = lambda r: r
+        fn.t = fn                     # identity is symmetric
+        return fn
     if kind == "jacobi":
         inv = state
-        return lambda r: inv * r
+        fn = lambda r: inv * r
+        fn.t = fn                     # diagonal scaling is symmetric
+        return fn
     if kind == "ilu":
         (lr, lc, lv, lid), (ur, uc, uv, uid) = state[:2]
         sl = TriSchedule(rows=lr, cols=lc, vals=lv, invdiag=lid, n=R)
@@ -195,8 +200,15 @@ def _shard_pc_apply(kind, state, R, op=None, cycles=1):
 def dist_solve(A: CSR, b, x0=None, method: str = "cg",
                pc: Optional[str] = "none", mesh: Optional[Mesh] = None,
                options: Optional[SolverOptions] = None,
-               pc_options: Optional[PCOptions] = None):
-    """Distributed Ax=b over a 1-D mesh.  Returns (x (n,), SolveInfo)."""
+               pc_options: Optional[PCOptions] = None, fmt: str = "auto"):
+    """Distributed Ax=b over a 1-D mesh.  Returns (x (n,), SolveInfo).
+
+    ``fmt`` selects the distributed execution format: "auto" prefers
+    gather-free DIA streaming (banded matrices — the TPU-fast path), falling
+    back to padded-ELL halo exchange, then all-gather; "dia"/"halo"/
+    "allgather" force one.  ``n`` need not divide the device count — rows
+    are padded with identity equations (zero rhs) to the next multiple.
+    """
     opts = (options or SolverOptions()).resolved()
     pc_opts = (pc_options or PCOptions()).resolved()
     # backends without host callbacks can't run jax.debug.print inside the
@@ -238,9 +250,22 @@ def dist_solve(A: CSR, b, x0=None, method: str = "cg",
                 x0 = jnp.concatenate([jnp.asarray(x0),
                                       jnp.zeros(n0 - n_orig,
                                                 dtype=jnp.asarray(x0).dtype)])
+    elif A.shape[0] % Pn:
+        # general n: append identity equations (unit diagonal, zero rhs) up
+        # to the next multiple of the device count — the padded components
+        # start at 0 and stay 0 through every Krylov recurrence
+        from lssp_tpu.amg.sa import _pad_identity
+        npad = (-A.shape[0]) % Pn
+        A = CSR.from_scipy(_pad_identity(A.to_scipy().tocsr(), npad))
+        b = jnp.concatenate([jnp.asarray(b),
+                             jnp.zeros(npad, dtype=jnp.asarray(b).dtype)])
+        if x0 is not None:
+            x0 = jnp.concatenate([jnp.asarray(x0),
+                                  jnp.zeros(npad,
+                                            dtype=jnp.asarray(x0).dtype)])
     n = A.shape[0]
     R = n // Pn
-    M = partition_csr(A, Pn)
+    M = partition_matrix(A, Pn, fmt=fmt)
     kind, pc_state = _build_dist_pc(A, pc, pc_opts, Pn, R,
                                     transpose=transpose_method)
     fn = get_solver(method)
@@ -252,30 +277,34 @@ def dist_solve(A: CSR, b, x0=None, method: str = "cg",
     spmv_impl = make_dist_spmv(M, AXIS)
     pdot = make_psum_dot(AXIS)
     spmv_t_impl = (make_dist_spmv_t(M, AXIS) if transpose_method else None)
+    mat_leaves, _ = jax.tree_util.tree_flatten(M)
+    nleaf = len(mat_leaves)
 
-    def body(cols, data, b_sh, x0_sh, pc_state_sh):
+    def body(*args):
         # shard_map passes (1, ...)-shaped slices; drop the shard axis
-        cols_l, data_l = cols[0], data[0]
+        mat_l = [a[0] for a in args[:nleaf]]
+        b_sh, x0_sh, pc_state_sh = args[nleaf:]
         pc_state_l = jax.tree_util.tree_map(lambda a: a[0], pc_state_sh)
-        op = lambda x: spmv_impl(cols_l, data_l, x)
+        op = lambda x: spmv_impl(*mat_l, x)
         if transpose_method:
             from lssp_tpu.parallel.dist_ops import OpWithTranspose
             op = OpWithTranspose(op,
-                                 lambda x: spmv_t_impl(cols_l, data_l, x))
+                                 lambda x: spmv_t_impl(*mat_l, x))
         pc_apply = _shard_pc_apply(kind, pc_state_l, R, op=op,
                                    cycles=max(1, int(pc_opts.amg_cycles)))
         x, info = fn(op, b_sh[0], x0_sh[0], pc_apply, opts=opts, dot=pdot)
         return x[None], info
 
-    in_specs = (P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-                jax.tree_util.tree_map(lambda _: P(AXIS), pc_state))
+    in_specs = tuple(P(AXIS) for _ in range(nleaf)) + (
+        P(AXIS), P(AXIS),
+        jax.tree_util.tree_map(lambda _: P(AXIS), pc_state))
     out_specs = (P(AXIS), jax.tree_util.tree_map(lambda _: P(), SolveInfo(
         nits=0, residual=0.0, converged=False, r0norm=0.0, bnorm=0.0,
         history=0.0 if opts.record_history else None)))
 
     mapped = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
                            out_specs=out_specs, check_vma=False)
-    x_sh, info = jax.jit(mapped)(M.cols, M.data, b2, x02, pc_state)
+    x_sh, info = jax.jit(mapped)(*mat_leaves, b2, x02, pc_state)
     if host_trace:
         from lssp_tpu.solvers.base import history_print_host
         history_print_host(info)

@@ -46,8 +46,101 @@ jax.tree_util.register_pytree_node(
                            mode=aux[3]))
 
 
+@dataclasses.dataclass(frozen=True)
+class DistDIA:
+    """Row-partitioned DIA — the gather-free distributed execution format.
+
+    ``data[p, d, r] = A[p·R + r, p·R + r + offsets[d]]`` (row-aligned, same
+    convention as sparse.types.DIA).  Each shard's product is pure shifted
+    streaming over ``x_ext = [halo_lo(lo) | x_local(R) | halo_hi(hi)]``; the
+    halos arrive via two neighbour ``ppermute`` shifts.  Out-of-range
+    diagonal slots store 0, so no edge masking is needed anywhere — ring
+    wrap-around garbage in the halos is always multiplied by a stored zero.
+
+    Replaces the ELL-gather distributed path (~1 GB/s on TPU) with the
+    Pallas DIA stencil kernel per shard (~620 GB/s measured single-chip) —
+    the distributed contract of /root/reference/src/mvops.cxx:5-39 at
+    roofline bandwidth.
+    """
+
+    data: Any                  # (P, ndiag, R)
+    offsets: Tuple[int, ...]   # static, sorted
+    n: int                     # global rows (static)
+    nshards: int               # P (static)
+
+    @property
+    def rows_per_shard(self) -> int:
+        return self.n // self.nshards
+
+    @property
+    def lo(self) -> int:
+        return max(0, -min(self.offsets)) if self.offsets else 0
+
+    @property
+    def hi(self) -> int:
+        return max(0, max(self.offsets)) if self.offsets else 0
+
+
+jax.tree_util.register_pytree_node(
+    DistDIA,
+    lambda m: ((m.data,), (m.offsets, m.n, m.nshards)),
+    lambda aux, l: DistDIA(l[0], offsets=aux[0], n=aux[1], nshards=aux[2]))
+
+
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
+
+
+def partition_csr_dia(A: CSR, nshards: int, max_diags: int = 256,
+                      dia_fill: float = 50.0) -> DistDIA:
+    """Partition a banded matrix into per-shard DIA blocks.
+
+    Raises ``ValueError`` when the matrix is not diagonal-structured enough
+    (too many distinct diagonals, excessive padding waste, or a band reach
+    beyond one neighbouring shard) — callers fall back to the ELL partition.
+    """
+    n, m = A.shape
+    if n != m:
+        raise ValueError("only square matrices supported")
+    if n % nshards:
+        raise ValueError(f"n={n} not divisible by nshards={nshards}")
+    R = n // nshards
+    ip = np.asarray(A.indptr).astype(np.int64)
+    idx = np.asarray(A.indices).astype(np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), ip[1:] - ip[:-1])
+    offs = np.unique(idx - rows)
+    if len(offs) > max_diags:
+        raise ValueError(f"{len(offs)} diagonals > max_diags={max_diags}")
+    if len(offs) * n > dia_fill * max(A.nnz, 1):
+        raise ValueError("DIA padding waste too large")
+    lo = max(0, -int(offs.min(initial=0)))
+    hi = max(0, int(offs.max(initial=0)))
+    if lo > R or hi > R:
+        raise ValueError(
+            f"band reach ({lo},{hi}) exceeds shard size R={R}: halo would "
+            "span more than one neighbour")
+    data = np.zeros((len(offs), n), dtype=np.asarray(A.data).dtype)
+    d_idx = np.searchsorted(offs, idx - rows)
+    data[d_idx, rows] = np.asarray(A.data)
+    # (ndiag, n) → (P, ndiag, R): shard p takes columns [p·R, (p+1)·R)
+    data = np.swapaxes(data.reshape(len(offs), nshards, R), 0, 1)
+    return DistDIA(data=np.ascontiguousarray(data),
+                   offsets=tuple(int(o) for o in offs), n=n, nshards=nshards)
+
+
+def partition_matrix(A: CSR, nshards: int, fmt: str = "auto"):
+    """Pick the distributed execution format: DIA streaming when the matrix
+    is banded (the TPU-fast path), padded-ELL halo/all-gather otherwise."""
+    if fmt in ("auto", "dia"):
+        try:
+            return partition_csr_dia(A, nshards)
+        except ValueError:
+            if fmt == "dia":
+                raise
+    if fmt in ("auto", "ell", "halo", "allgather"):
+        mode = fmt if fmt in ("halo", "allgather") else "auto"
+        return partition_csr(A, nshards, mode=mode)
+    raise ValueError(f"unknown distributed format {fmt!r}")
 
 
 def partition_csr(A: CSR, nshards: int, mode: str = "auto",

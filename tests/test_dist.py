@@ -264,3 +264,108 @@ class TestDistPCOptions:
                  if l.startswith("itr:")]
         assert len(lines) == int(info.nits)
         assert info.history is None      # forced buffer stripped
+
+
+class TestDistDIA:
+    """Gather-free distributed DIA path (VERDICT r1 item #1): per-shard
+    shifted-stream SpMV with neighbour ppermute halo exchange must match the
+    single-device product and solves exactly."""
+
+    def test_partition_matrix_picks_dia_for_banded(self):
+        from lssp_tpu.parallel.partition import partition_matrix, DistDIA
+        A = laplacian_2d(16)
+        M = partition_matrix(A, 8)
+        assert isinstance(M, DistDIA)
+        assert M.offsets == (-16, -1, 0, 1, 16)
+        assert M.lo == 16 and M.hi == 16
+
+    def test_partition_matrix_falls_back_for_random(self):
+        from lssp_tpu.parallel.partition import partition_matrix, DistELL
+        A = random_sparse(64, 6, seed=0)
+        M = partition_matrix(A, 8)
+        assert isinstance(M, DistELL)
+
+    def test_dia_reach_beyond_neighbour_raises(self):
+        from lssp_tpu.parallel.partition import partition_csr_dia
+        import scipy.sparse as sp
+        n = 256
+        S = sp.diags([np.ones(n - 40), 2 * np.ones(n), np.ones(n - 40)],
+                     [-40, 0, 40], format="csr")
+        with pytest.raises(ValueError, match="reach"):
+            partition_csr_dia(CSR.from_scipy(S), 8)   # R=32 < 40
+
+    @pytest.mark.parametrize("gen", [
+        lambda: laplacian_2d(16),
+        lambda: __import__("lssp_tpu").sparse.convection_diffusion_2d(
+            32, beta=10.0),
+    ])
+    def test_dist_dia_spmv_exact(self, gen, mesh8, rng):
+        from jax.sharding import PartitionSpec as P
+        from lssp_tpu.parallel.partition import partition_csr_dia
+        A = gen()
+        n = A.shape[0]
+        M = partition_csr_dia(A, 8)
+        x = rng.standard_normal(n)
+        op = make_dist_spmv(M, "shards")
+        f = jax.shard_map(lambda d, v: op(d[0], v[0])[None], mesh=mesh8,
+                          in_specs=(P("shards"), P("shards")),
+                          out_specs=P("shards"), check_vma=False)
+        y = np.asarray(f(jnp.asarray(M.data),
+                         jnp.asarray(x.reshape(8, -1)))).reshape(-1)
+        np.testing.assert_allclose(y, A.to_scipy() @ x, rtol=1e-13)
+
+    def test_dist_dia_spmv_t_exact(self, mesh8, rng):
+        from jax.sharding import PartitionSpec as P
+        from lssp_tpu.parallel.partition import partition_csr_dia
+        from lssp_tpu.parallel.dist_ops import make_dist_spmv_t
+        import lssp_tpu as lt
+        A = lt.sparse.convection_diffusion_2d(32, beta=10.0)
+        n = A.shape[0]
+        M = partition_csr_dia(A, 8)
+        x = rng.standard_normal(n)
+        op = make_dist_spmv_t(M, "shards")
+        f = jax.shard_map(lambda d, v: op(d[0], v[0])[None], mesh=mesh8,
+                          in_specs=(P("shards"), P("shards")),
+                          out_specs=P("shards"), check_vma=False)
+        y = np.asarray(f(jnp.asarray(M.data),
+                         jnp.asarray(x.reshape(8, -1)))).reshape(-1)
+        np.testing.assert_allclose(y, A.to_scipy().T @ x, rtol=1e-13)
+
+    @pytest.mark.parametrize("method,pc", [
+        ("cg", "none"), ("gmres", "jacobi"), ("bicgstab", "bjilu"),
+        ("qmr", "bjilu"),
+    ])
+    def test_dia_solve_matches_single_device(self, method, pc, mesh8):
+        A = laplacian_2d(16)
+        b = jnp.ones(256, dtype=jnp.float64)
+        xd, infod = dist_solve(A, b, method=method, pc=pc, mesh=mesh8,
+                               fmt="dia")
+        xs, infos = solve(A, b, method=method,
+                          pc={"bjilu": None}.get(pc, pc))
+        assert bool(infod.converged)
+        res = np.linalg.norm(b - A.to_scipy() @ np.asarray(xd))
+        assert res <= 1.2e-7 * 16
+
+
+class TestGeneralN:
+    """n % nshards != 0 is padded with identity equations (VERDICT r1 #8)."""
+
+    @pytest.mark.parametrize("method,pc", [
+        ("cg", "bjilu"), ("gmres", "jacobi"),
+    ])
+    def test_prime_n(self, method, pc, mesh8):
+        A = laplacian_2d(15)            # n=225, 225 % 8 = 1
+        n = A.shape[0]
+        b = jnp.ones(n, dtype=jnp.float64)
+        x, info = dist_solve(A, b, method=method, pc=pc, mesh=mesh8)
+        assert bool(info.converged)
+        assert x.shape == (n,)
+        res = np.linalg.norm(b - A.to_scipy() @ np.asarray(x))
+        assert res <= 1.2e-7 * 15
+
+    def test_padded_matches_unpadded_counts(self, mesh8):
+        A = laplacian_2d(15)
+        b = jnp.ones(A.shape[0], dtype=jnp.float64)
+        _, infod = dist_solve(A, b, method="cg", mesh=mesh8)
+        _, infos = solve(A, b, method="cg")
+        assert abs(int(infod.nits) - int(infos.nits)) <= 2
