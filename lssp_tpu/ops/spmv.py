@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lssp_tpu.sparse.types import CSR, BSR, ELL, DIA, BDIA
+from lssp_tpu.sparse.types import CSR, BSR, ELL, DIA, BDIA, HYB
 
 
 def csr_row_ids(A: CSR) -> np.ndarray:
@@ -107,10 +107,18 @@ def _spmv_bdia_t(A: BDIA, x):
     return y.reshape(A.shape[1])
 
 
+def _spmv_hyb(A: HYB, x):
+    """Band part streams as DIA; the small remainder gathers as ELL — the
+    gather cost scales with the remainder count, not the matrix."""
+    return _spmv_dia(A.dia, x) + _spmv_ell(A.ell, x)
+
+
 def spmv(A, x):
     """y = A @ x for any container format."""
     if isinstance(A, DIA):
         return _spmv_dia(A, x)
+    if isinstance(A, HYB):
+        return _spmv_hyb(A, x)
     if isinstance(A, ELL):
         return _spmv_ell(A, x)
     if isinstance(A, BDIA):
@@ -176,6 +184,8 @@ def spmv_t(A, x):
     """y = Aᵀ @ x for any container format."""
     if isinstance(A, DIA):
         return _spmv_dia_t(A, x)
+    if isinstance(A, HYB):
+        return _spmv_dia_t(A.dia, x) + _spmv_ell_t(A.ell, x)
     if isinstance(A, ELL):
         return _spmv_ell_t(A, x)
     if isinstance(A, BDIA):

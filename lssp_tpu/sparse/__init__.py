@@ -10,12 +10,13 @@ TPU-execution formats that the serial reference has no analog of):
              we keep row-major because jnp/einsum batched GEMM is row-major)
 - ``ELL``  — padded ELLPACK, the TPU gather-SpMV execution format
 - ``DIA``  — diagonal storage, the TPU stencil-matrix execution format
+- ``HYB``  — band + remainder hybrid for nearly-banded general matrices
 """
 
-from lssp_tpu.sparse.types import COO, CSR, BSR, ELL, DIA
+from lssp_tpu.sparse.types import COO, CSR, BSR, ELL, DIA, HYB
 from lssp_tpu.sparse.convert import (
     coo_to_csr, csr_to_coo, csr_to_bsr, bsr_to_csr, csr_to_ell, csr_to_dia,
-    to_device_format,
+    csr_to_hyb, to_device_format,
 )
 from lssp_tpu.sparse.utils import (
     sort_columns, is_sorted, transpose, adjust_zero_diag, block_diag_extract,
@@ -28,9 +29,9 @@ from lssp_tpu.sparse.generators import (
 from lssp_tpu.sparse.io import read_matrix_market, write_matrix_market
 
 __all__ = [
-    "COO", "CSR", "BSR", "ELL", "DIA",
+    "COO", "CSR", "BSR", "ELL", "DIA", "HYB",
     "coo_to_csr", "csr_to_coo", "csr_to_bsr", "bsr_to_csr", "csr_to_ell",
-    "csr_to_dia", "to_device_format",
+    "csr_to_dia", "csr_to_hyb", "to_device_format",
     "sort_columns", "is_sorted", "transpose", "adjust_zero_diag",
     "block_diag_extract", "diagonal", "split_lu", "split_ldu",
     "laplacian_2d", "laplacian_3d", "convection_diffusion_2d",

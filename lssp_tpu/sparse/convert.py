@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from lssp_tpu.sparse.types import COO, CSR, BSR, ELL, DIA
+from lssp_tpu.sparse.types import COO, CSR, BSR, ELL, DIA, HYB
 
 
 def _round_up(x: int, m: int) -> int:
@@ -157,11 +157,60 @@ def bsr_to_bdia(A: "BSR", max_diags: int = 32, fill: float = 2.0):
     return BDIA(tuple(int(o) for o in offs), blocks, A.shape, bs)
 
 
-def to_device_format(A: CSR, max_diags: int = 32, dia_fill: float = 2.0):
+def csr_to_hyb(A: CSR, max_diags: int = 256, min_occ: float = 0.02,
+               min_cover: float = 0.5, pad_to: int = 4) -> HYB:
+    """CSR→hybrid band + remainder: the up-to-``max_diags`` most-occupied
+    diagonals (each holding ≥ ``min_occ``·n entries) stream as DIA; the
+    leftover entries become a small ELL remainder.
+
+    Raises ``ValueError`` when the band would cover less than ``min_cover``
+    of the nnz — then plain ELL is no worse and far simpler.  On TPU the
+    remainder's gather cost scales with the remainder count only, so a
+    95 %-banded SuiteSparse matrix runs at ~95 % of DIA streaming speed
+    instead of falling off the ~1 GB/s whole-matrix gather cliff.
+    """
+    n, m = A.shape
+    ip = np.asarray(A.indptr).astype(np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), ip[1:] - ip[:-1])
+    cols = np.asarray(A.indices).astype(np.int64)
+    dat = np.asarray(A.data)
+    d_all = cols - rows
+    offs, counts = np.unique(d_all, return_counts=True)
+    order = np.argsort(-counts, kind="stable")
+    # absolute floor of 16 entries: at tiny n, a 2-entry diagonal is not a
+    # "band" worth streaming, it's noise that would misclassify small
+    # random matrices as hybrid
+    thresh = max(min_occ * n, 16.0)
+    take = order[:max_diags]
+    take = take[counts[take] >= thresh]
+    if len(take) == 0 or counts[take].sum() < min_cover * max(A.nnz, 1):
+        raise ValueError(
+            f"band coverage {counts[take].sum() / max(A.nnz, 1):.2f} below "
+            f"min_cover={min_cover}; use ELL")
+    kept = np.sort(offs[take])
+    in_band = np.isin(d_all, kept)
+
+    data_dia = np.zeros((len(kept), n), dtype=dat.dtype)
+    d_idx = np.searchsorted(kept, d_all[in_band])
+    data_dia[d_idx, rows[in_band]] = dat[in_band]
+    dia = DIA(tuple(int(o) for o in kept), data_dia, A.shape)
+
+    # remainder CSR (per-row order preserved) → padded ELL
+    r_rem, c_rem, v_rem = rows[~in_band], cols[~in_band], dat[~in_band]
+    rp = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(rp, r_rem + 1, 1)
+    rp = np.cumsum(rp)
+    rem = CSR(rp.astype(np.int32), c_rem.astype(np.int32), v_rem, A.shape)
+    return HYB(dia=dia, ell=csr_to_ell(rem, pad_to=pad_to), shape=A.shape)
+
+
+def to_device_format(A: CSR, max_diags: int = 32, dia_fill: float = 2.0,
+                     hyb_diags: int = 256):
     """Pick the TPU execution format for a CSR matrix.
 
     DIA when the diagonal count is small and storage waste bounded (stencil
-    matrices — speed-of-light streaming); otherwise padded ELL (gather SpMV).
+    matrices — speed-of-light streaming); HYB when a dominant band exists
+    with a small unstructured remainder; padded ELL (gather SpMV) last.
     """
     n = A.shape[0]
     try:
@@ -171,5 +220,9 @@ def to_device_format(A: CSR, max_diags: int = 32, dia_fill: float = 2.0):
         if len(offs) <= max_diags and len(offs) * n <= dia_fill * max(A.nnz, 1):
             return csr_to_dia(A, max_diags=max_diags)
     except Exception:
+        pass
+    try:
+        return csr_to_hyb(A, max_diags=hyb_diags)
+    except ValueError:
         pass
     return csr_to_ell(A)

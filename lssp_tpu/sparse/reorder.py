@@ -53,13 +53,30 @@ def num_diagonals(A: CSR) -> int:
     return len(np.unique(np.asarray(A.indices).astype(np.int64) - rows))
 
 
+def band_coverage(A: CSR, max_diags: int = 256,
+                  min_occ: float = 0.02) -> float:
+    """Fraction of nnz on the up-to-``max_diags`` most-occupied diagonals
+    (each ≥ max(min_occ·n, 16) entries) — what a HYB split would stream."""
+    n = A.shape[0]
+    ip = np.asarray(A.indptr).astype(np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), ip[1:] - ip[:-1])
+    d = np.asarray(A.indices).astype(np.int64) - rows
+    if len(d) == 0:
+        return 0.0
+    counts = np.sort(np.unique(d, return_counts=True)[1])[::-1][:max_diags]
+    counts = counts[counts >= max(min_occ * n, 16.0)]
+    return float(counts.sum()) / max(A.nnz, 1)
+
+
 def maybe_rcm(A: CSR, max_diags: int = 256,
               dia_fill: float = 50.0) -> Tuple[CSR, Optional[np.ndarray]]:
     """Return (possibly reordered A, perm or None).
 
     Reorders when A is not already DIA-friendly but becomes so under RCM
     (diagonal count within ``max_diags`` and zero-fill within ``dia_fill``×
-    nnz — generous because streaming zeros beats gathering).
+    nnz — generous because streaming zeros beats gathering), or — the HYB
+    criterion — when RCM materially concentrates the nnz onto a streamable
+    band (coverage ≥ 0.5 and clearly better than the original ordering).
     """
     n = A.shape[0]
     nd = num_diagonals(A)
@@ -69,5 +86,9 @@ def maybe_rcm(A: CSR, max_diags: int = 256,
     B = permute_symmetric(A, perm)
     ndb = num_diagonals(B)
     if ndb < nd and ndb <= max_diags and ndb * n <= dia_fill * max(A.nnz, 1):
+        return B, perm
+    cov_a = band_coverage(A, max_diags=max_diags)
+    cov_b = band_coverage(B, max_diags=max_diags)
+    if cov_b >= 0.5 and cov_b > cov_a + 0.05:
         return B, perm
     return A, None

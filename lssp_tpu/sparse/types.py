@@ -276,9 +276,34 @@ class BDIA:
         return out
 
 
+@dataclasses.dataclass(frozen=True)
+class HYB:
+    """Hybrid band + remainder — the TPU execution format for *nearly*
+    banded matrices (general SuiteSparse patterns after RCM).
+
+    The densely-occupied diagonals stream as a ``DIA`` part at roofline
+    bandwidth; the few off-band entries live in a small ``ELL`` remainder
+    whose gather cost is proportional to the remainder count only.  SpMV is
+    the sum of the two products.  Built by ``convert.csr_to_hyb`` which
+    bounds both the diagonal padding waste and the remainder fraction.
+    """
+
+    dia: "DIA"
+    ell: "ELL"            # remainder (k >= 1; all-zero rows when empty)
+    shape: Tuple[int, int]
+
+    @property
+    def dtype(self):
+        return self.dia.dtype
+
+    def todense(self) -> np.ndarray:
+        return self.dia.todense() + self.ell.todense()
+
+
 _register(COO, ("row", "col", "data"), ("shape",))
 _register(CSR, ("indptr", "indices", "data"), ("shape",))
 _register(BSR, ("indptr", "indices", "blocks"), ("shape", "blocksize"))
 _register(ELL, ("cols", "data"), ("shape",))
 _register(DIA, ("data",), ("offsets", "shape"))
 _register(BDIA, ("blocks",), ("offsets", "shape", "blocksize"))
+_register(HYB, ("dia", "ell"), ("shape",))
