@@ -73,10 +73,21 @@ def planned_depth(n: int, g: int, coarse_size: int = 512,
 def planned_padded_size(n: int, nshards: int, g: int = 4,
                         coarse_size: int = 512, max_levels: int = 12) -> int:
     """Fine-level size after padding to a multiple of P·g^L (so every
-    coarser level stays divisible by P·g)."""
-    L = planned_depth(n, g, coarse_size, max_levels)
-    m = nshards * g ** L
-    return ((n + m - 1) // m) * m
+    coarser level stays divisible by P·g).
+
+    Iterated to a FIXED POINT: padding can itself push the planned depth up
+    one level (the padded size re-crosses the coarse-size threshold), which
+    grows the required multiple — the caller and the builder must agree on
+    the final size, so keep padding until the plan is self-consistent
+    (terminates: the size is nondecreasing and the depth is capped)."""
+    n0 = max(n, 1)
+    while True:
+        L = planned_depth(n0, g, coarse_size, max_levels)
+        m = nshards * g ** L
+        n1 = ((n0 + m - 1) // m) * m
+        if n1 == n0:
+            return n0
+        n0 = n1
 
 
 def build_dist_sa(A: CSR, nshards: int, g: int = 4, max_levels: int = 12,
@@ -87,8 +98,10 @@ def build_dist_sa(A: CSR, nshards: int, g: int = 4, max_levels: int = 12,
 
     dtype = dtype or np.asarray(A.data).dtype
     n = A.shape[0]
-    L = planned_depth(n, g, coarse_size, max_levels)
     n0 = planned_padded_size(n, nshards, g, coarse_size, max_levels)
+    # depth must be planned on the PADDED size (the fixed point guarantees
+    # the padded size's own plan agrees with itself)
+    L = planned_depth(n0, g, coarse_size, max_levels)
     Ap = CSR.from_scipy(_pad_identity(A.to_scipy().tocsr(), n0 - n))
     levels, Al, _ = sa_host_levels(
         Ap, g=g, max_levels=L, coarse_size=0, filter_tol=filter_tol,
