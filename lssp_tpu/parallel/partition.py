@@ -182,6 +182,8 @@ def partition_csr(A: CSR, nshards: int, mode: str = "auto",
 
 
 def _build(A: CSR, P: int, R: int, h: int, mode: str, pad_to: int) -> DistELL:
+    # fully vectorized (the former P×R Python double loop cost minutes of
+    # interpreter time at 1M rows — SURVEY §7 config-#5 critical path)
     n = A.shape[0]
     ip = np.asarray(A.indptr).astype(np.int64)
     idx = np.asarray(A.indices).astype(np.int64)
@@ -189,20 +191,20 @@ def _build(A: CSR, P: int, R: int, h: int, mode: str, pad_to: int) -> DistELL:
     rn = ip[1:] - ip[:-1]
     k = max(1, _round_up(int(rn.max()), pad_to))
 
-    ext = R + 2 * h if mode == "halo" else n
-    cols = np.zeros((P, R, k), dtype=np.int32)
-    data = np.zeros((P, R, k), dtype=dat.dtype)
-    for p in range(P):
-        for r in range(R):
-            g = p * R + r
-            s, e = ip[g], ip[g + 1]
-            c = idx[s:e]
-            if mode == "halo":
-                c = c - p * R + h           # into [0, R + 2h)
-                # padding points at slot 0 with value 0 — in-bounds
-            cols[p, r, : e - s] = c
-            data[p, r, : e - s] = dat[s:e]
-    return DistELL(cols=cols, data=data, n=n, nshards=P, halo=h, mode=mode)
+    pos = np.arange(k)[None, :] < rn[:, None]            # (n, k) valid mask
+    flat = (ip[:-1][:, None] + np.arange(k)[None, :])[pos]
+    cols = np.zeros((n, k), dtype=np.int64)
+    data = np.zeros((n, k), dtype=dat.dtype)
+    cols[pos] = idx[flat]
+    data[pos] = dat[flat]
+    if mode == "halo":
+        # remap into this row's extended frame [0, R + 2h); padded slots
+        # must stay at 0 (in-bounds, value 0)
+        shard_of_row = np.arange(n, dtype=np.int64) // R
+        cols[pos] = (cols - (shard_of_row * R)[:, None] + h)[pos]
+    return DistELL(cols=cols.reshape(P, R, k).astype(np.int32),
+                   data=data.reshape(P, R, k),
+                   n=n, nshards=P, halo=h, mode=mode)
 
 
 def shard_vector(x, nshards: int):

@@ -47,19 +47,34 @@ def _greedy_dd_mis(A: CSR):
     diag[rows[on]] = dat[on]
     rowsum = np.bincount(rows, weights=dat, minlength=n) - diag
     dominance = diag / np.maximum(rowsum, 1e-300)
-    order = np.argsort(-dominance, kind="stable")
     # symmetrized adjacency for the independence test
     import scipy.sparse as sp
     G0 = sp.csr_matrix((np.ones_like(dat), idx, ip), shape=A.shape)
     G = (G0 + G0.T).tocsr()
-    gp, gi = G.indptr, G.indices
+    gp, gi = G.indptr.astype(np.int64), G.indices.astype(np.int64)
+    # Parallel priority rounds (Luby-style) instead of the former sequential
+    # greedy visit: each round every free vertex whose priority beats all
+    # its free neighbours joins F and blocks them — vectorized numpy, a few
+    # rounds total vs O(n) interpreter steps (config-#5 setup path).
+    # Priority = dominance with a seeded-random tie break (pure index tie
+    # break degenerates to O(n) rounds on constant-dominance chains).
+    tie = np.random.default_rng(0).random(n)
+    rank = np.empty(n, dtype=np.int64)
+    rank[np.lexsort((tie, -dominance))] = np.arange(n)
+    prio = -rank                                 # higher = earlier pick
+    rowsG = np.repeat(np.arange(n, dtype=np.int64), np.diff(gp))
+    self_edge = rowsG == gi
     state = np.zeros(n, dtype=np.int8)          # 0 free, 1 in F, 2 blocked
-    for i in order:
-        if state[i]:
-            continue
-        state[gi[gp[i]:gp[i + 1]]] = np.maximum(
-            state[gi[gp[i]:gp[i + 1]]], 2)
-        state[i] = 1
+    while True:
+        free_edge = ((state[rowsG] == 0) & (state[gi] == 0) & ~self_edge)
+        nbmax = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(nbmax, rowsG[free_edge], prio[gi[free_edge]])
+        winners = (state == 0) & (prio > nbmax)
+        if not winners.any():
+            break
+        state[winners] = 1
+        blocked = free_edge & winners[rowsG]
+        state[gi[blocked]] = np.maximum(state[gi[blocked]], 2)
     f_idx = np.flatnonzero(state == 1)
     c_idx = np.flatnonzero(state != 1)
     return f_idx, c_idx
