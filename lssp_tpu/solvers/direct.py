@@ -19,25 +19,41 @@ from lssp_tpu.solvers.base import SolveInfo, init_state, stopping_tol, vdot
 from lssp_tpu.solvers.registry import register_solver
 
 
-def solve_lsq(A, b, rtol: float = 1e-10, max_refine: int = 4):
+def solve_lsq(A, b, rtol: float = 1e-10, max_refine: int = 4,
+              method: str = "qr"):
     """Direct least squares: min ‖Ax − b‖₂ for full-column-rank A.
 
     Capability parity with the reference's QR_MUMPS adapter
-    (/root/reference/src/solver-qrmumps.cxx:10-84, sparse QR).  Implemented
-    via the *normal equations* AᵀA x = Aᵀb factored by the native sparse
-    LU, plus iterative refinement on the residual to claw back the
-    squared-condition-number accuracy loss (each refinement step reuses
-    the factorization).  For iterative least squares use
+    (/root/reference/src/solver-qrmumps.cxx:10-84, sparse QR).
+
+    ``method="qr"`` (default): host sparse QR (George–Heath Givens row
+    merging, RCM column ordering — ``lssp_tpu/pc/qr_host.py``) with Qᵀb
+    accumulated through the rotations, so the error scales with cond(A),
+    not cond(A)² — ill-conditioned tall systems solve to full accuracy
+    where normal equations fail.
+
+    ``method="normal"``: the round-1 normal-equations route (AᵀA x = Aᵀb
+    via the native sparse LU plus refinement) — faster for large
+    well-conditioned systems.  For iterative least squares use
     ``solve(method="lsqr")``.
 
     Returns (x, residual_norm) with residual = ‖Aᵀ(b − Ax)‖ (the
     least-squares optimality measure).
 
-    Rank-deficient / underdetermined systems do not error — near-zero
-    pivots are clamped (reference convention), yielding *a* least-squares
-    solution but not the minimum-norm one.
+    Rank-deficient / underdetermined systems do not error — empty columns
+    get unit diagonals (QR) / near-zero pivots are clamped (LU), yielding
+    *a* least-squares solution but not the minimum-norm one.
     """
     import jax.numpy as jnp
+
+    bn = np.asarray(b, np.float64)
+    if method == "qr":
+        from lssp_tpu.pc.qr_host import qr_factor, qr_solve
+        f = qr_factor(A, b=bn)
+        x = qr_solve(f)
+        As = f.A_scipy
+        return jnp.asarray(x), float(np.linalg.norm(As.T @ (bn - As @ x)))
+
     import scipy.sparse as sp
 
     from lssp_tpu.ops.trisolve import level_schedule, ilu_apply
@@ -55,7 +71,6 @@ def solve_lsq(A, b, rtol: float = 1e-10, max_refine: int = 4):
     def gsolve(r):
         return ilu_apply(sl, su, jnp.asarray(r)[pin])[pout]
 
-    bn = np.asarray(b, np.float64)
     atb = As.T @ bn
     x = np.asarray(gsolve(atb), np.float64)
     res = atb - G @ x

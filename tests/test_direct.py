@@ -138,3 +138,57 @@ class TestLeastSquares:
         b = np.linspace(1.0, 2.0, 256)
         x, res = solve_lsq(A, b)
         assert np.linalg.norm(b - A.to_scipy() @ np.asarray(x)) < 1e-9
+
+
+class TestSparseQR:
+    """Host sparse QR (George–Heath Givens; pc/qr_host.py) — the reference's
+    QR_MUMPS capability (solver-qrmumps.cxx:10-84), round-2 replacement for
+    the normal-equations stand-in."""
+
+    @staticmethod
+    def _ill_conditioned(m=200, n=100, cond_exp=8, seed=1):
+        import scipy.sparse as sp
+        A0 = sp.random(m, n, density=0.04, random_state=seed, format="csr")
+        A0 = A0 + sp.vstack([sp.eye(n),
+                             sp.csr_matrix((m - n, n))]).tocsr()
+        scal = np.logspace(0, -cond_exp, n)
+        return CSR.from_scipy((A0 @ sp.diags(scal)).tocsr())
+
+    def test_qr_beats_normal_equations_at_cond_1e8(self):
+        from lssp_tpu import solve_lsq
+        rng = np.random.default_rng(0)
+        A = self._ill_conditioned()
+        x_true = rng.standard_normal(100)
+        b = A.to_scipy() @ x_true
+        x_qr, _ = solve_lsq(A, b, method="qr")
+        err_qr = np.linalg.norm(np.asarray(x_qr) - x_true) \
+            / np.linalg.norm(x_true)
+        assert err_qr < 1e-7          # cond*eps scale; normal eqs give O(1e3)
+        x_ne, _ = solve_lsq(A, b, method="normal")
+        err_ne = np.linalg.norm(np.asarray(x_ne) - x_true) \
+            / np.linalg.norm(x_true)
+        assert err_ne > 1e3 * err_qr  # documents WHY qr is the default
+
+    def test_qr_matches_dense_lstsq_oracle(self):
+        from lssp_tpu import solve_lsq
+        rng = np.random.default_rng(3)
+        A = self._ill_conditioned(150, 80, cond_exp=4, seed=5)
+        b = rng.standard_normal(150)        # inconsistent rhs
+        x, res = solve_lsq(A, b, method="qr")
+        xd, *_ = np.linalg.lstsq(A.to_scipy().toarray(), b, rcond=None)
+        np.testing.assert_allclose(np.asarray(x), xd, rtol=1e-8, atol=1e-10)
+        # returned residual is the optimality measure ||A^T (b - Ax)||
+        assert res < 1e-8
+
+    def test_qr_resolve_new_rhs_csne(self):
+        from lssp_tpu.pc.qr_host import qr_factor, qr_solve
+        rng = np.random.default_rng(7)
+        A = self._ill_conditioned(150, 80, cond_exp=6, seed=9)
+        x1 = rng.standard_normal(80)
+        b1 = A.to_scipy() @ x1
+        f = qr_factor(A, b=b1)
+        x2_true = rng.standard_normal(80)
+        b2 = A.to_scipy() @ x2_true
+        x2 = qr_solve(f, b=b2)              # Q-less CSNE + refinement
+        err = np.linalg.norm(x2 - x2_true) / np.linalg.norm(x2_true)
+        assert err < 1e-7
