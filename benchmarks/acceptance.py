@@ -1,16 +1,30 @@
 """Acceptance-config benchmark harness (BASELINE.md / BASELINE.json).
 
-Runs the five acceptance configurations and reports per-config iteration
-count, true residual, setup/solve wall time, and SpMV-equivalent throughput.
-Usage:
-    python benchmarks/acceptance.py [--full] [--cpu] [--json]
+Runs the five acceptance configurations to a **relative residual of 1e-8**
+(the BASELINE north-star target) and reports per-config iteration count,
+independently recomputed true residual, setup/solve wall time, and
+SpMV-equivalent throughput.
 
-Configs (BASELINE.json):
-  1. CG, no PC, 2-D 5-point Poisson 128²
-  2. CG + ILU(0), 3-D 7-point Poisson 64³  (triangular-solve path)
-  3. GMRES(30) + ILUT, nonsymmetric convection–diffusion
-  4. BiCGSTAB(l) + block-ILUK, elasticity BSR (block path)
-  5. GMRES + AMG V-cycle, anisotropic Poisson (1M rows with --full)
+Sizes: FULL problem sizes by default on TPU (they fit one chip); the CPU
+default shrinks configs 2 and 5 so the suite stays test-sized.  ``--full``
+forces full sizes anywhere, ``--small`` forces the reduced ones.
+
+Config #3 uses the *vendored* general-pattern matrix
+``benchmarks/matrices/convdiff_rot_128.mtx.gz`` through the MatrixMarket
+reader (``lssp_tpu.sparse.io``) — a recirculating-wind variable-coefficient
+convection–diffusion discretization this library does not generate itself
+(offline stand-in for the SuiteSparse class named in BASELINE; this
+environment has no network access for genuine downloads).  A second
+vendored matrix, ``coupled3d_25.mtx.gz`` (RCM-resistant couplings), rides
+as config #3b to pin the HYB band+remainder execution path.
+
+Usage:
+    python benchmarks/acceptance.py [--full|--small] [--cpu] [--json]
+                                    [--out results.json]
+
+Measurement protocol follows the reference example
+(/root/reference/example/exam.cxx:109-116): wall-clock around the solve,
+then an independent ||b - Ax|| recompute.
 """
 import argparse
 import json
@@ -22,13 +36,19 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+MATDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "matrices")
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true",
-                    help="full problem sizes (config 5 at 1M rows)")
+                    help="force full problem sizes (config 5 at 1M rows)")
+    ap.add_argument("--small", action="store_true",
+                    help="force reduced sizes (CI/CPU scale)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--json", action="store_true", help="JSON-lines output")
+    ap.add_argument("--out", default=None,
+                    help="also append JSON-lines records to this file")
     args = ap.parse_args()
 
     import jax
@@ -42,24 +62,37 @@ def main():
         laplacian_2d, laplacian_3d, convection_diffusion_2d, elasticity_2d,
         anisotropic_poisson_2d,
     )
+    from lssp_tpu.sparse.io import read_matrix_market
 
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu:
-        # fp64 outer residuals for iterative refinement
-        jax.config.update("jax_enable_x64", True)
-    # TPU: fp32 inner iterations + fp64 refinement (no native fp64 on TPU);
-    # CPU: plain fp64 at reference precision
+    # full sizes fit one chip; default to them on TPU (VERDICT r1 item #3)
+    full = args.full or (on_tpu and not args.small)
     dtype = np.float64
-    tol = None
+
+    def vendored(name, fallback):
+        path = os.path.join(MATDIR, name)
+        if os.path.exists(path):
+            return read_matrix_market(path)
+        print(f"warning: vendored matrix {name} missing — "
+              "run benchmarks/gen_vendored.py; using generator fallback",
+              file=sys.stderr)
+        return fallback()
 
     configs = [
         dict(name="cg_poisson2d_128", method="cg", pc="none",
              gen=lambda: laplacian_2d(128, dtype=dtype)),
         dict(name="cg_ilu0_poisson3d_64", method="cg", pc="ilu0",
-             gen=lambda: laplacian_3d(64 if args.full else 32, dtype=dtype)),
-        dict(name="gmres30_ilut_convdiff", method="gmres", pc="ilut",
+             gen=lambda: laplacian_3d(64 if full else 32, dtype=dtype)),
+        dict(name="gmres30_ilut_convdiff_mtx", method="gmres", pc="ilut",
              opts=SolverOptions(restart=30),
-             gen=lambda: convection_diffusion_2d(128, dtype=dtype)),
+             gen=lambda: vendored(
+                 "convdiff_rot_128.mtx.gz",
+                 lambda: convection_diffusion_2d(128, dtype=dtype))),
+        dict(name="bicgstab_iluk_coupled3d_mtx", method="bicgstab",
+             pc="iluk",
+             gen=lambda: vendored(
+                 "coupled3d_25.mtx.gz",
+                 lambda: laplacian_3d(25, dtype=dtype))),
         dict(name="bicgstabl_biluk_elasticity", method="bicgstabl",
              pc="biluk", pc_opts=PCOptions(block_size=2),
              gen=lambda: elasticity_2d(48, dtype=dtype)),
@@ -69,9 +102,10 @@ def main():
              method="gmres", pc="saamg" if on_tpu else "amg",
              opts=SolverOptions(restart=30),
              gen=lambda: anisotropic_poisson_2d(
-                 1024 if args.full else 256, dtype=dtype)),
+                 1024 if full else 256, dtype=dtype)),
     ]
 
+    out_f = open(args.out, "a") if args.out else None
     results = []
     for cfg in configs:
         t0 = time.perf_counter()
@@ -79,10 +113,11 @@ def main():
         t_gen = time.perf_counter() - t0
         n = A.shape[0]
         b = jnp.ones(n, dtype=dtype)
+        import dataclasses
         opts = cfg.get("opts") or SolverOptions()
-        if tol is not None:
-            import dataclasses
-            opts = dataclasses.replace(opts, rtol=tol, atol=tol, rbtol=tol)
+        # north-star target: relative residual 1e-8
+        opts = dataclasses.replace(opts, rtol=1e-8, atol=0.0, rbtol=0.0,
+                                   maxit=5000)
 
         if on_tpu:
             from lssp_tpu import solve_ir
@@ -116,10 +151,15 @@ def main():
 
         true_res = float(np.linalg.norm(
             np.ones(n) - A.to_scipy() @ np.asarray(x, np.float64)))
+        rel_res = true_res / np.sqrt(float(n))       # ||b|| = sqrt(n)
         rec = dict(config=cfg["name"], n=n, nnz=A.nnz,
                    method=cfg["method"], pc=cfg["pc"],
+                   backend=jax.default_backend(),
+                   device=getattr(jax.devices()[0], "device_kind", "?"),
+                   full=bool(full),
                    nits=int(info.nits), residual=float(info.residual),
                    true_residual=true_res,
+                   rel_residual=float(f"{rel_res:.3e}"),
                    converged=bool(info.converged),
                    setup_s=round(t_setup, 3),
                    compile_s=round(t_first - t_solve, 3),
@@ -127,17 +167,23 @@ def main():
                    mnnz_per_s=round(A.nnz * max(int(info.nits), 1)
                                     / max(t_solve, 1e-9) / 1e6, 1))
         results.append(rec)
+        if out_f:
+            out_f.write(json.dumps(rec) + "\n")
+            out_f.flush()
         if args.json:
             print(json.dumps(rec))
         else:
             print(f"{rec['config']:32s} n={n:8d} nits={rec['nits']:5d} "
-                  f"res={true_res:9.2e} conv={rec['converged']} "
+                  f"rel={rel_res:9.2e} conv={rec['converged']} "
                   f"solve={rec['solve_s']:8.3f}s "
                   f"({rec['mnnz_per_s']:8.1f} Mnnz/s)")
 
-    ok = all(r["converged"] for r in results)
+    if out_f:
+        out_f.close()
+    ok = all(r["converged"] and r["rel_residual"] <= 1.1e-8 for r in results)
     if not args.json:
-        print("ALL CONVERGED" if ok else "SOME CONFIGS FAILED", file=sys.stderr)
+        print("ALL CONVERGED to rel 1e-8" if ok else "SOME CONFIGS FAILED",
+              file=sys.stderr)
     return 0 if ok else 1
 
 

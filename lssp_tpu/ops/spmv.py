@@ -108,9 +108,11 @@ def _spmv_bdia_t(A: BDIA, x):
 
 
 def _spmv_hyb(A: HYB, x):
-    """Band part streams as DIA; the small remainder gathers as ELL — the
-    gather cost scales with the remainder count, not the matrix."""
-    return _spmv_dia(A.dia, x) + _spmv_ell(A.ell, x)
+    """Band part streams as DIA; the small COO remainder applies as one
+    gather + scatter-add whose cost scales with the remainder count, not
+    the matrix (padded slots contribute 0 to row 0)."""
+    y = _spmv_dia(A.dia, x)
+    return y.at[A.rem_rows].add(A.rem_vals * x[A.rem_cols])
 
 
 def spmv(A, x):
@@ -185,7 +187,8 @@ def spmv_t(A, x):
     if isinstance(A, DIA):
         return _spmv_dia_t(A, x)
     if isinstance(A, HYB):
-        return _spmv_dia_t(A.dia, x) + _spmv_ell_t(A.ell, x)
+        y = _spmv_dia_t(A.dia, x)
+        return y.at[A.rem_cols].add(A.rem_vals * x[A.rem_rows])
     if isinstance(A, ELL):
         return _spmv_ell_t(A, x)
     if isinstance(A, BDIA):

@@ -23,7 +23,12 @@ def read_matrix_market(path: str) -> CSR:
     rows, cols, vals = [], [], []
     symmetric = False
     shape = None
-    with open(path) as f:
+    if str(path).endswith(".gz"):
+        import gzip
+        opener = lambda p: gzip.open(p, "rt")
+    else:
+        opener = open
+    with opener(path) as f:
         header = f.readline()
         symmetric = "symmetric" in header
         for line in f:
@@ -44,9 +49,16 @@ def read_matrix_market(path: str) -> CSR:
 
 
 def write_matrix_market(path: str, A: CSR, comment: str = "") -> None:
+    """Write CSR as a MatrixMarket coordinate file; ``.gz`` paths are
+    gzip-compressed (SuiteSparse distributes matrices the same way)."""
     ip = np.asarray(A.indptr)
     rows = np.repeat(np.arange(A.shape[0]), ip[1:] - ip[:-1])
-    with open(path, "w") as f:
+    if str(path).endswith(".gz"):
+        import gzip
+        opener = lambda p: gzip.open(p, "wt")
+    else:
+        opener = lambda p: open(p, "w")
+    with opener(path) as f:
         f.write("%%MatrixMarket matrix coordinate real general\n")
         if comment:
             f.write(f"% {comment}\n")
