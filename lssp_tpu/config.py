@@ -125,6 +125,13 @@ class PCOptions:
     amg_trunc: float = 0.2                # interpolation truncation
     amg_smoother: str = "chebyshev"       # "jacobi" | "chebyshev" | "l1jacobi"
     amg_cycles: int = 1                   # V-cycles per PC application
+    amg_force_classical: bool = False     # keep classical AMG on TPU (by
+                                          # default pc="amg" on the TPU
+                                          # backend redirects to the
+                                          # gather-free saamg with a warning
+                                          # — the classical device cycle's
+                                          # ELL transfer gathers cost ~1 s
+                                          # per V-cycle at 1M rows)
     saamg_aggregate: int = 4              # structured-SA aggregate size
                                           # (contiguous ranges; see amg/sa.py)
     saamg_grid: Any = None                # (gy, gx) row-major grid dims =>

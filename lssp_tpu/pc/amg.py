@@ -18,6 +18,18 @@ def _amg_apply(state, r):
 
 @register_pc("amg")
 def setup_amg(A, opts):
+    import jax
+    if jax.default_backend() == "tpu" and not opts.amg_force_classical:
+        # classical AMG's device cycle applies P/R as ELL gathers — TPU's
+        # weakest operation (~1 s per V-cycle at 1M rows, docs/performance.md)
+        # — while the structured-SA cycle is gather-free (1.4 ms).  Route
+        # TPU users to saamg unless they explicitly opt back in.
+        from lssp_tpu.utils.log import warning
+        warning("pc='amg' (classical) is gather-bound on TPU; using the "
+                "gather-free 'saamg' instead — set "
+                "PCOptions(amg_force_classical=True) to override")
+        from lssp_tpu.amg.sa import setup_saamg_pc
+        return setup_saamg_pc(A, opts)
     hier = amg_setup(A, theta=opts.amg_theta, max_levels=opts.amg_max_levels,
                      coarse_size=opts.amg_coarse_size,
                      smooth_interp=opts.amg_smooth_interp,

@@ -32,6 +32,16 @@ def log(msg: str, level: int = 1) -> None:
             _log_file.write(msg if msg.endswith("\n") else msg + "\n")
 
 
+def warning(msg: str) -> None:
+    """Non-fatal warning tee'd like log() (reference lssp_warning,
+    /root/reference/src/utils.cxx:137-157 — prints, does not exit)."""
+    line = f"warning: {msg}"
+    if _verbosity >= 1:
+        sys.stderr.write(line + "\n")
+        if _log_file is not None:
+            _log_file.write(line + "\n")
+
+
 class Timer:
     """Context-manager wall timer (reference lssp_get_time wrapping,
     e.g. solver-cg.cxx:42,129-133)."""

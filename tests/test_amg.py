@@ -117,3 +117,17 @@ class TestAMGPreconditioner:
             x, info = solve(A, b, method="cg", pc="amg")
             counts.append(int(info.nits))
         assert counts[-1] <= counts[0] + 4
+
+
+def test_classical_amg_tpu_dispatch(monkeypatch):
+    """pc='amg' on the TPU backend redirects to the gather-free saamg with
+    a warning unless amg_force_classical (VERDICT r1 item #10)."""
+    import jax
+    import lssp_tpu as lt
+    from lssp_tpu import pc as pc_mod
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    A = lt.sparse.laplacian_2d(32)
+    M = pc_mod.setup(A, "amg")
+    assert "saamg" in M.name or "sa" in M.name
+    M2 = pc_mod.setup(A, "amg", lt.PCOptions(amg_force_classical=True))
+    assert M2.name == "amg"
