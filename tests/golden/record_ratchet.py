@@ -1,0 +1,48 @@
+"""Regenerate tests/golden/ratchet.json — OUR iteration counts for every
+golden config, recorded as a regression ratchet (run_config asserts later
+rounds stay within recorded + max(2, 5%)).
+
+Run after an intentional convergence-affecting change:
+    python tests/golden/record_ratchet.py
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import test_solvers as ts
+
+    out = {}
+    for golden, N in ((ts.GOLDEN32, 32), (ts.GOLDEN100, 100)):
+        for (method, pc), rec in sorted(golden.items()):
+            import numpy as np
+            if rec["nits"] >= rec["maxit"] or \
+                    not np.isfinite(rec["true_residual"]):
+                continue                  # reference itself broke down
+            try:
+                nits, _ = ts.run_config(method, pc, N=N, golden=golden)
+            except Exception as e:        # config not parity-clean: skip
+                print(f"skip {method}+{pc}@{N}: {e}")
+                continue
+            out[f"{method}+{pc}@{N}"] = int(nits)
+            print(f"{method}+{pc}@{N}: {nits}")
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "ratchet.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=0, sort_keys=True)
+    print(f"wrote {len(out)} entries to {path}")
+
+
+if __name__ == "__main__":
+    main()
