@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from lssp_tpu.parallel.partition import DistELL, DistDIA
+from lssp_tpu.parallel.partition import DistELL, DistDIA, DistHYB
 
 
 def _dia_local_spmv(data, x_ext, offsets, lo, R):
@@ -84,12 +84,45 @@ def _make_dia_spmv_t(M: DistDIA, axis: str):
     return op_t
 
 
+def _make_hyb_spmv(M: DistHYB, axis: str):
+    """Band streams via the DIA halo exchange; the COO remainder gathers
+    from the all-gathered x (n values over ICI — the minimal correct
+    exchange for arbitrary off-band columns) and scatter-adds locally."""
+    band_op = _make_dia_spmv(M.band, axis)
+
+    def op(band_data, rr, rc, rv, x):
+        y = band_op(band_data, x)
+        x_full = lax.all_gather(x, axis, tiled=True)
+        return y.at[rr].add(rv * x_full[rc])
+
+    return op
+
+
+def _make_hyb_spmv_t(M: DistHYB, axis: str):
+    band_op_t = _make_dia_spmv_t(M.band, axis)
+    n = M.n
+
+    def op_t(band_data, rr, rc, rv, x):
+        y = band_op_t(band_data, x)
+        # remainder entries (local row r, global col c): v·x[r] lands on
+        # global row c; psum_scatter reduces the per-shard full-length
+        # accumulations and hands each shard its slice
+        z_full = jnp.zeros(n, dtype=y.dtype).at[rc].add(rv * x[rr])
+        return y + lax.psum_scatter(z_full, axis, scatter_dimension=0,
+                                    tiled=True)
+
+    return op_t
+
+
 def make_dist_spmv(M, axis: str):
     """Return op(*mat_leaves_local, x_local) -> y_local for a
-    row-partitioned matrix (DistDIA: op(data, x); DistELL: op(cols, data,
-    x)).  The returned closure must be called inside shard_map over
-    ``axis`` with this shard's slice of each array leaf.
+    row-partitioned matrix (DistDIA: op(data, x); DistHYB: op(band_data,
+    rem_rows, rem_cols, rem_vals, x); DistELL: op(cols, data, x)).  The
+    returned closure must be called inside shard_map over ``axis`` with
+    this shard's slice of each array leaf.
     """
+    if isinstance(M, DistHYB):
+        return _make_hyb_spmv(M, axis)
     if isinstance(M, DistDIA):
         return _make_dia_spmv(M, axis)
     P = M.nshards
@@ -133,6 +166,8 @@ def make_dist_spmv_t(M, axis: str):
     """
     import numpy as np
 
+    if isinstance(M, DistHYB):
+        return _make_hyb_spmv_t(M, axis)
     if isinstance(M, DistDIA):
         return _make_dia_spmv_t(M, axis)
     P = M.nshards
@@ -181,6 +216,16 @@ class OpWithTranspose:
 
     def __call__(self, x):
         return self._op(x)
+
+
+def apply_dist_spmv(M_local, axis: str, x):
+    """Apply a row-partitioned matrix whose array leaves are ALREADY this
+    shard's slice (the shard_map-sliced pytree, e.g. a distributed-AMG
+    level matrix).  Static metadata (offsets/halo/nshards) survives the
+    slicing as aux data, so the right op builds from the container alone."""
+    op = make_dist_spmv(M_local, axis)
+    leaves, _ = jax.tree_util.tree_flatten(M_local)
+    return op(*leaves, x)
 
 
 def make_psum_dot(axis: str):

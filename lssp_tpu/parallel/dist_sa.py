@@ -22,16 +22,16 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from lssp_tpu.parallel.partition import DistELL, partition_csr
-from lssp_tpu.parallel.dist_ops import make_dist_spmv
+from lssp_tpu.parallel.partition import DistELL, partition_matrix
+from lssp_tpu.parallel.dist_ops import apply_dist_spmv
 from lssp_tpu.sparse.types import CSR
 
 
 @dataclasses.dataclass(frozen=True)
 class DistSALevel:
-    A: Any              # DistELL
-    B: Any              # DistELL or None (prolongator smoother)
-    C: Any              # DistELL or None (restriction smoother)
+    A: Any              # DistDIA (banded levels — gather-free) or DistELL
+    B: Any              # DistDIA/DistELL or None (prolongator smoother)
+    C: Any              # DistDIA/DistELL or None (restriction smoother)
     dinv: Any           # (P, R_l)
     lmax: float         # static
     g: int              # static
@@ -112,10 +112,10 @@ def build_dist_sa(A: CSR, nshards: int, g: int = 4, max_levels: int = 12,
         nl = Ah.shape[0]
         assert nl % nshards == 0 and (nl // nshards) % g == 0
         dlev.append(DistSALevel(
-            A=partition_csr(CSR.from_scipy(Ah.astype(dtype)), nshards),
-            B=(partition_csr(CSR.from_scipy(B.astype(dtype)), nshards)
+            A=partition_matrix(CSR.from_scipy(Ah.astype(dtype)), nshards),
+            B=(partition_matrix(CSR.from_scipy(B.astype(dtype)), nshards)
                if B is not None else None),
-            C=(partition_csr(CSR.from_scipy(C.astype(dtype)), nshards)
+            C=(partition_matrix(CSR.from_scipy(C.astype(dtype)), nshards)
                if C is not None else None),
             dinv=jnp.asarray(dinv.astype(dtype).reshape(nshards, -1)),
             lmax=float(lmax), g=g, smoother=smoother, degree=degree))
@@ -155,20 +155,17 @@ def dist_sa_vcycle(h: DistSA, b_local, axis: str):
             b_full = lax.all_gather(b_l, axis, tiled=True)
             return h.coarse_inv @ b_full
         lev = h.levels[l]
-        opA = make_dist_spmv(lev.A, axis)
-        Aop = lambda v: opA(lev.A.cols, lev.A.data, v)
+        Aop = lambda v: apply_dist_spmv(lev.A, axis, v)
         x_l = smooth(lev, Aop, x_l, b_l)
         r = b_l - Aop(x_l)
         if lev.C is not None:
-            opC = make_dist_spmv(lev.C, axis)
-            r = opC(lev.C.cols, lev.C.data, r)
+            r = apply_dist_spmv(lev.C, axis, r)
         rc = r.reshape(-1, lev.g).sum(axis=1)       # shard-local P0ᵀ
         ec = cycle(l + 1, rc, jnp.zeros_like(rc))
         # shard-local P0 (broadcast), then the banded B SpMV
         e = jnp.broadcast_to(ec[:, None], (ec.shape[0], lev.g)).reshape(-1)
         if lev.B is not None:
-            opB = make_dist_spmv(lev.B, axis)
-            e = opB(lev.B.cols, lev.B.data, e)
+            e = apply_dist_spmv(lev.B, axis, e)
         x_l = x_l + e
         return smooth(lev, Aop, x_l, b_l)
 

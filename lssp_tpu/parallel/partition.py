@@ -128,14 +128,106 @@ def partition_csr_dia(A: CSR, nshards: int, max_diags: int = 256,
                    offsets=tuple(int(o) for o in offs), n=n, nshards=nshards)
 
 
+@dataclasses.dataclass(frozen=True)
+class DistHYB:
+    """Row-partitioned hybrid: per-shard DIA band (halo ppermute exchange,
+    gather-free streaming) + a per-shard COO remainder applied against the
+    all-gathered x.  The all-gather moves n values over ICI — for a
+    remainder of any size that is the minimal correct exchange, and the
+    band part still streams at roofline.  Remainder triplets are stored
+    with LOCAL row indices and GLOBAL column indices, zero-padded to a
+    common per-shard length.
+    """
+
+    band: DistDIA
+    rem_rows: Any              # (P, nrem) int32, local row ids
+    rem_cols: Any              # (P, nrem) int32, global col ids
+    rem_vals: Any              # (P, nrem)
+
+    @property
+    def n(self) -> int:
+        return self.band.n
+
+    @property
+    def nshards(self) -> int:
+        return self.band.nshards
+
+    @property
+    def rows_per_shard(self) -> int:
+        return self.band.rows_per_shard
+
+
+jax.tree_util.register_pytree_node(
+    DistHYB,
+    lambda m: ((m.band, m.rem_rows, m.rem_cols, m.rem_vals), ()),
+    lambda aux, l: DistHYB(*l))
+
+
+def partition_csr_hyb(A: CSR, nshards: int, max_diags: int = 256,
+                      min_occ: float = 0.02, min_cover: float = 0.5,
+                      pad_to: int = 8) -> DistHYB:
+    """Partition a nearly-banded matrix: dominant diagonals as DistDIA,
+    leftovers as per-shard COO remainder.  Raises ``ValueError`` when no
+    dominant band exists (fall back to ELL) or the band reach exceeds one
+    neighbouring shard."""
+    from lssp_tpu.sparse.convert import csr_to_hyb
+    n, m = A.shape
+    if n != m:
+        raise ValueError("only square matrices supported")
+    if n % nshards:
+        raise ValueError(f"n={n} not divisible by nshards={nshards}")
+    R = n // nshards
+    H = csr_to_hyb(A, max_diags=max_diags, min_occ=min_occ,
+                   min_cover=min_cover, pad_to=pad_to)
+    offs = H.dia.offsets
+    lo = max(0, -min(offs)) if offs else 0
+    hi = max(0, max(offs)) if offs else 0
+    if lo > R or hi > R:
+        raise ValueError(
+            f"band reach ({lo},{hi}) exceeds shard size R={R}")
+    data = np.asarray(H.dia.data)
+    band = DistDIA(
+        data=np.ascontiguousarray(
+            np.swapaxes(data.reshape(len(offs), nshards, R), 0, 1)),
+        offsets=offs, n=n, nshards=nshards)
+    # remainder triplets by owning shard, padded to a common length with
+    # zero entries at (local row 0, global col 0)
+    rr = np.asarray(H.rem_rows).astype(np.int64)
+    rc = np.asarray(H.rem_cols).astype(np.int64)
+    rv = np.asarray(H.rem_vals)
+    real = rv != 0
+    rr, rc, rv = rr[real], rc[real], rv[real]
+    shard = rr // R
+    counts = np.bincount(shard, minlength=nshards)
+    nrem = _round_up(max(int(counts.max()), 1), pad_to)
+    rows_p = np.zeros((nshards, nrem), dtype=np.int32)
+    cols_p = np.zeros((nshards, nrem), dtype=np.int32)
+    vals_p = np.zeros((nshards, nrem), dtype=rv.dtype)
+    order = np.argsort(shard, kind="stable")
+    slot = np.arange(len(rr), dtype=np.int64) - \
+        np.concatenate([[0], np.cumsum(counts)])[shard[order]]
+    rows_p[shard[order], slot] = (rr[order] - shard[order] * R)
+    cols_p[shard[order], slot] = rc[order]
+    vals_p[shard[order], slot] = rv[order]
+    return DistHYB(band=band, rem_rows=rows_p, rem_cols=cols_p,
+                   rem_vals=vals_p)
+
+
 def partition_matrix(A: CSR, nshards: int, fmt: str = "auto"):
     """Pick the distributed execution format: DIA streaming when the matrix
-    is banded (the TPU-fast path), padded-ELL halo/all-gather otherwise."""
+    is banded (the TPU-fast path), band+remainder hybrid when nearly
+    banded, padded-ELL halo/all-gather otherwise."""
     if fmt in ("auto", "dia"):
         try:
             return partition_csr_dia(A, nshards)
         except ValueError:
             if fmt == "dia":
+                raise
+    if fmt in ("auto", "hyb"):
+        try:
+            return partition_csr_hyb(A, nshards)
+        except ValueError:
+            if fmt == "hyb":
                 raise
     if fmt in ("auto", "ell", "halo", "allgather"):
         mode = fmt if fmt in ("halo", "allgather") else "auto"

@@ -369,3 +369,75 @@ class TestGeneralN:
         _, infod = dist_solve(A, b, method="cg", mesh=mesh8)
         _, infos = solve(A, b, method="cg")
         assert abs(int(infod.nits) - int(infos.nits)) <= 2
+
+
+class TestDistHYB:
+    """Distributed band+remainder hybrid: nearly-banded matrices keep the
+    gather-free DIA streaming multi-chip, with the COO remainder applied
+    against the all-gathered x."""
+
+    @staticmethod
+    def _nearly_banded(n_side=16, n_extra=40, seed=4):
+        import scipy.sparse as sp
+        rng = np.random.default_rng(seed)
+        S = laplacian_2d(n_side).to_scipy().tolil()
+        n = S.shape[0]
+        for i, j in zip(rng.integers(0, n, n_extra),
+                        rng.integers(0, n, n_extra)):
+            S[i, j] += 0.02
+        return CSR.from_scipy(S.tocsr())
+
+    def test_partition_matrix_picks_hyb(self):
+        from lssp_tpu.parallel.partition import partition_matrix, DistHYB
+        M = partition_matrix(self._nearly_banded(), 8)
+        assert isinstance(M, DistHYB)
+        assert M.band.offsets == (-16, -1, 0, 1, 16)
+
+    def test_dist_hyb_spmv_exact(self, mesh8, rng):
+        from jax.sharding import PartitionSpec as P
+        from lssp_tpu.parallel.partition import partition_csr_hyb
+        A = self._nearly_banded()
+        n = A.shape[0]
+        M = partition_csr_hyb(A, 8)
+        x = rng.standard_normal(n)
+        op = make_dist_spmv(M, "shards")
+        leaves, _ = jax.tree_util.tree_flatten(M)
+        f = jax.shard_map(
+            lambda *a: op(*[q[0] for q in a[:-1]], a[-1][0])[None],
+            mesh=mesh8, in_specs=tuple(P("shards") for _ in range(5)),
+            out_specs=P("shards"), check_vma=False)
+        y = np.asarray(f(*[jnp.asarray(l) for l in leaves],
+                         jnp.asarray(x.reshape(8, -1)))).reshape(-1)
+        np.testing.assert_allclose(y, A.to_scipy() @ x, rtol=1e-12)
+
+    def test_dist_hyb_spmv_t_exact(self, mesh8, rng):
+        from jax.sharding import PartitionSpec as P
+        from lssp_tpu.parallel.partition import partition_csr_hyb
+        from lssp_tpu.parallel.dist_ops import make_dist_spmv_t
+        A = self._nearly_banded()
+        n = A.shape[0]
+        M = partition_csr_hyb(A, 8)
+        x = rng.standard_normal(n)
+        op = make_dist_spmv_t(M, "shards")
+        leaves, _ = jax.tree_util.tree_flatten(M)
+        f = jax.shard_map(
+            lambda *a: op(*[q[0] for q in a[:-1]], a[-1][0])[None],
+            mesh=mesh8, in_specs=tuple(P("shards") for _ in range(5)),
+            out_specs=P("shards"), check_vma=False)
+        y = np.asarray(f(*[jnp.asarray(l) for l in leaves],
+                         jnp.asarray(x.reshape(8, -1)))).reshape(-1)
+        np.testing.assert_allclose(y, A.to_scipy().T @ x, rtol=1e-12)
+
+    @pytest.mark.parametrize("method,pc", [
+        ("gmres", "jacobi"), ("bicgstab", "bjilu"), ("qmr", "jacobi"),
+    ])
+    def test_dist_hyb_solve(self, method, pc, mesh8):
+        A = self._nearly_banded()
+        n = A.shape[0]
+        b = jnp.ones(n, dtype=jnp.float64)
+        xd, infod = dist_solve(A, b, method=method, pc=pc, mesh=mesh8,
+                               fmt="hyb",
+                               options=SolverOptions(maxit=3000))
+        assert bool(infod.converged)
+        res = np.linalg.norm(b - A.to_scipy() @ np.asarray(xd))
+        assert res <= 2e-6
