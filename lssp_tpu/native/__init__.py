@@ -17,7 +17,8 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_HERE, "src", "ilu.cpp"),
-         os.path.join(_HERE, "src", "splu.cpp")]
+         os.path.join(_HERE, "src", "splu.cpp"),
+         os.path.join(_HERE, "src", "spqr.cpp")]
 _BUILD_DIR = os.path.join(_HERE, "_build")
 _LIB_PATH = os.path.join(_BUILD_DIR, "liblssp_native.so")
 
@@ -90,6 +91,14 @@ def load():
         lib.lssp_splu_fetch.argtypes = [ctypes.c_void_p, _i64p, _i64p, _f64p,
                                         _i64p, _i64p, _f64p, _i64p]
         lib.lssp_splu_free.argtypes = [ctypes.c_void_p]
+        lib.lssp_spqr.argtypes = [_i64p, _i64p, _f64p, ctypes.c_int64,
+                                  ctypes.c_int64, _f64p, ctypes.c_int64,
+                                  ctypes.POINTER(ctypes.c_double),
+                                  ctypes.POINTER(ctypes.c_int64)]
+        lib.lssp_spqr.restype = ctypes.c_void_p
+        lib.lssp_spqr_fetch.argtypes = [ctypes.c_void_p, _i64p, _i64p, _f64p,
+                                        _f64p]
+        lib.lssp_spqr_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -158,6 +167,31 @@ def splu(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray, n: int,
     lib.lssp_splu_fetch(h, Lp, Li, Lx, Up, Ui, Ux, pinv)
     lib.lssp_splu_free(h)
     return Lp, Li, Lx, Up, Ui, Ux, pinv, int(info.value)
+
+
+def spqr(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
+         m: int, n: int, b=None):
+    """George–Heath sparse QR merge loop (rows pre-ordered, columns
+    pre-permuted by the caller).  Returns (Rp, Rj, Rx, crhs, res2) — R in
+    CSR-by-pivot-row form with the diagonal first in each row."""
+    lib = load()
+    res2 = ctypes.c_double(0.0)
+    rnnz = ctypes.c_int64(0)
+    has_b = 0 if b is None else 1
+    bv = (np.zeros(1, np.float64) if b is None
+          else np.ascontiguousarray(b, np.float64))
+    h = lib.lssp_spqr(np.ascontiguousarray(indptr, np.int64),
+                      np.ascontiguousarray(indices, np.int64),
+                      np.ascontiguousarray(data, np.float64),
+                      m, n, bv, has_b, ctypes.byref(res2),
+                      ctypes.byref(rnnz))
+    Rp = np.zeros(n + 1, dtype=np.int64)
+    Rj = np.zeros(rnnz.value, dtype=np.int64)
+    Rx = np.zeros(rnnz.value, dtype=np.float64)
+    crhs = np.zeros(n, dtype=np.float64)
+    lib.lssp_spqr_fetch(h, Rp, Rj, Rx, crhs)
+    lib.lssp_spqr_free(h)
+    return Rp, Rj, Rx, crhs, float(res2.value)
 
 
 def ilut(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray, n: int,

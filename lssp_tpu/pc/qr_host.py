@@ -103,10 +103,28 @@ def qr_factor(A: CSR, b=None) -> QRFactors:
     crhs = np.zeros(n)
     res2 = 0.0
 
-    ip, idx, dat = Ap.indptr, Ap.indices.astype(np.int64), Ap.data
+    ip, idx, dat = Ap.indptr.astype(np.int64), Ap.indices.astype(np.int64), Ap.data
     # process rows by leading column (George–Heath schedule)
     lead = np.where(np.diff(ip) > 0, idx[np.minimum(ip[:-1], len(idx) - 1)], n)
     order = np.argsort(lead, kind="stable")
+
+    from lssp_tpu import native
+    if native.available():
+        # C++ merge loop (~100× the Python oracle); pre-reorder the rows
+        rn = np.diff(ip)
+        ip2 = np.concatenate([[0], np.cumsum(rn[order])]).astype(np.int64)
+        pos = np.arange(len(idx), dtype=np.int64)
+        # row-gather of the nnz ranges in `order`
+        take = np.concatenate(
+            [pos[ip[i]:ip[i + 1]] for i in order]) if len(idx) else pos[:0]
+        b2 = None if bn is None else bn[order]
+        Rp, Rj, Rx, crhs, res2 = native.spqr(
+            ip2, idx[take], np.asarray(dat)[take], m, n, b2)
+        Rrows = [(Rj[Rp[j]:Rp[j + 1]], Rx[Rp[j]:Rp[j + 1]])
+                 for j in range(n)]
+        return QRFactors(Rrows=Rrows, cperm=cperm, n=n, m=m,
+                         c=crhs if b is not None else None,
+                         resnorm=float(np.sqrt(res2)), A_scipy=As)
 
     for i in order:
         s_, e_ = ip[i], ip[i + 1]
@@ -131,8 +149,8 @@ def qr_factor(A: CSR, b=None) -> QRFactors:
             crhs[j], beta = c * crhs[j] + s * beta, -s * crhs[j] + c * beta
         else:
             # row fully annihilated: its rotated rhs is pure residual
-            res2 += beta ** 2
-        if len(wc) == 0 and beta:
+            # (stored rows zero their beta before break, so this is the
+            # only accumulation — counting it again double-books res2)
             res2 += beta ** 2
 
     # empty columns (structurally rank-deficient): unit diagonal so the

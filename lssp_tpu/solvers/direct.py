@@ -48,6 +48,18 @@ def solve_lsq(A, b, rtol: float = 1e-10, max_refine: int = 4,
 
     bn = np.asarray(b, np.float64)
     if method == "qr":
+        m, n = A.shape
+        if m * n <= 2e7:
+            # small enough for dense LAPACK QR — sparse Givens QR on a
+            # RANDOM pattern fills R near-dense anyway (its win is large
+            # structured systems, where it scales linearly: 200k-row
+            # banded factor in ~5 s)
+            As = A.to_scipy().tocsr().astype(np.float64)
+            Q, R = np.linalg.qr(As.toarray())
+            x = np.linalg.solve(
+                R + np.diag(np.where(np.abs(np.diag(R)) == 0, 1.0, 0.0)),
+                Q.T @ bn)
+            return jnp.asarray(x), float(np.linalg.norm(As.T @ (bn - As @ x)))
         from lssp_tpu.pc.qr_host import qr_factor, qr_solve
         f = qr_factor(A, b=bn)
         x = qr_solve(f)

@@ -63,3 +63,49 @@ class TestNativeParity:
         np.testing.assert_array_equal(np.asarray(Un.indices), np.asarray(Up.indices))
         np.testing.assert_allclose(np.asarray(Ln.data), np.asarray(Lp.data), rtol=1e-14)
         np.testing.assert_allclose(np.asarray(Un.data), np.asarray(Up.data), rtol=1e-14)
+
+
+def test_native_spqr_matches_python_oracle():
+    """C++ George–Heath merge loop vs the pure-Python path (same merges,
+    same rotation order)."""
+    import os
+    import scipy.sparse as sp
+    from lssp_tpu import native
+    from lssp_tpu.pc.qr_host import qr_factor, qr_solve
+    from lssp_tpu.sparse.types import CSR
+    if not native.available():
+        import pytest
+        pytest.skip("no compiler")
+    A0 = sp.random(150, 70, density=0.04, random_state=2, format="csr")
+    A0 = (A0 + sp.vstack([sp.eye(70), sp.csr_matrix((80, 70))])).tocsr()
+    A = CSR.from_scipy(A0)
+    b = np.arange(150, dtype=float)
+    fn_ = qr_factor(A, b=b)
+    xn = qr_solve(fn_)
+    os.environ["LSSP_TPU_NO_NATIVE"] = "1"
+    native._tried = False
+    native._lib = None
+    try:
+        fp = qr_factor(A, b=b)
+        xp = qr_solve(fp)
+    finally:
+        del os.environ["LSSP_TPU_NO_NATIVE"]
+        native._tried = False
+        native._lib = None
+    np.testing.assert_allclose(xn, xp, rtol=1e-12, atol=1e-13)
+    assert abs(fn_.resnorm - fp.resnorm) <= 1e-10 * (1 + fp.resnorm)
+
+
+def test_spqr_resnorm_is_true_residual():
+    """factor-time resnorm == independently computed ||b - A x||."""
+    import scipy.sparse as sp
+    from lssp_tpu.pc.qr_host import qr_factor, qr_solve
+    from lssp_tpu.sparse.types import CSR
+    A0 = sp.random(150, 70, density=0.04, random_state=2, format="csr")
+    A0 = (A0 + sp.vstack([sp.eye(70), sp.csr_matrix((80, 70))])).tocsr()
+    A = CSR.from_scipy(A0)
+    b = np.arange(150, dtype=float)
+    f = qr_factor(A, b=b)
+    x = qr_solve(f)
+    np.testing.assert_allclose(f.resnorm, np.linalg.norm(b - A0 @ x),
+                               rtol=1e-10)
