@@ -7,9 +7,11 @@ TPU-native path to fp64-quality answers is classic iterative refinement:
              d ≈ A⁻¹ r            (fp32 Krylov solve at full hardware speed)
              x = x + d            (fp64 accumulation)
 
-The inner solve only needs a few digits (inner_rtol ~1e-2..1e-4 --
-tighter sits on the fp32 stall floor and burns iterations), so it
-converges fast in fp32; the outer loop recovers the rest.  This subsumes
+The inner solve only needs a few digits (inner_rtol default 1e-3;
+tighter sits on the fp32 stall floor and burns iterations — measured
+647 vs 44 total inner iterations at 1e-4 vs 1e-3 for GMRES(30)+saamg on
+a 256-squared anisotropic Poisson), so it converges fast in fp32; the
+outer loop recovers the rest.  This subsumes
 the reference's fp64-only design (its convergence targets, residuals to
 1e-8, are met while the hot loops run at fp32 speed).
 
@@ -35,7 +37,7 @@ def solve_ir(A, b, x0=None, method: str = "gmres",
              pc: Optional[str] = "none",
              options: Optional[SolverOptions] = None,
              pc_options: Optional[PCOptions] = None,
-             inner_rtol: float = 1e-4, max_outer: int = 20,
+             inner_rtol: float = 1e-3, max_outer: int = 20,
              inner_dtype=jnp.float32, reorder: str = "auto"):
     """Solve to fp64 accuracy with fp32 inner Krylov solves.
 
