@@ -95,8 +95,11 @@ class PCOptions:
     ilu_sweeps: Optional[int] = None      # triangular-solve strategy:
                                           # None = auto (6 Neumann sweeps on
                                           # TPU, exact level scheduling on
-                                          # CPU); 0 = force exact; k>0 = k
-                                          # iterative SpMV sweeps
+                                          # CPU); 0 = force exact (level
+                                          # scan); -1 = exact via COMPLETE
+                                          # Neumann series (nilpotent strict
+                                          # factors — TPU-fast exact path);
+                                          # k>0 = k iterative SpMV sweeps
     omega: float = 1.0                    # damping (Jacobi/smoothers)
     poly_degree: int = 8                  # polynomial-PC Chebyshev degree
     poly_ratio: float = 30.0              # covered spectrum: [lmax/ratio,

@@ -37,12 +37,32 @@ def make_ilu_pc(L, U, name, sweeps=None, transpose=False):
     sweeps>0: Chow-style iterative solves — each sweep one SpMV at full VPU
     bandwidth (measured ~140x faster application on v5e at 32k rows, with
     +0..3 Krylov iterations at 6 sweeps).
+    sweeps=-1: EXACT via the complete Neumann series — the strict factors
+    are nilpotent, so `nlevels` sweeps reproduce the substitution result
+    while every sweep stays a full-bandwidth SpMV (a TPU-fast exact path:
+    ~nlevels/6 times the 6-sweep cost, still several times faster than the
+    level-scheduled scan's per-level gathers).
     sweeps=None: auto — 6 on the TPU backend, exact elsewhere.
     transpose=True additionally installs the exact M⁻ᵀ apply (BiCG/QMR);
     the Neumann path supports it with no extra state."""
     if sweeps is None:
         import jax
         sweeps = 6 if jax.default_backend() == "tpu" else 0
+    if sweeps == -1:
+        # dependency depth of the strict factors = sweeps needed for the
+        # finite Neumann series to terminate exactly
+        from lssp_tpu.ops.trisolve import _compute_levels
+        import numpy as np
+        from lssp_tpu.sparse.utils import split_ldu
+        depth = 1
+        for T, lower in ((L, True), (U, False)):
+            Ls, _, Us = split_ldu(T)
+            S = Ls if lower else Us
+            lev = _compute_levels(np.asarray(S.indptr, np.int64),
+                                  np.asarray(S.indices, np.int64),
+                                  T.shape[0], lower)
+            depth = max(depth, int(lev.max()) + 1 if len(lev) else 1)
+        sweeps = depth
     if sweeps > 0:
         state = make_neumann_tri(L, U, sweeps=sweeps)
         return Preconditioner(_neumann_apply_fn, state=state,

@@ -154,3 +154,25 @@ class TestILUTP:
         res = float(np.linalg.norm(np.asarray(b) - m @ np.asarray(x)))
         assert bool(info.converged) and res < 1e-6
         assert int(info.nits) <= 5
+
+
+def test_exact_neumann_matches_level_scheduled():
+    """ilu_sweeps=-1: the complete Neumann series (nilpotent strict
+    factors) must reproduce the exact substitution apply."""
+    import numpy as np
+    import jax.numpy as jnp
+    from lssp_tpu import sparse, PCOptions
+    from lssp_tpu.pc import setup
+
+    A = sparse.laplacian_2d(24)
+    n = A.shape[0]
+    M_ex = setup(A, "iluk", PCOptions(ilu_sweeps=0))
+    M_nm = setup(A, "iluk", PCOptions(ilu_sweeps=-1))
+    r = jnp.asarray(np.random.default_rng(1).standard_normal(n))
+    np.testing.assert_allclose(np.asarray(M_nm(r)), np.asarray(M_ex(r)),
+                               rtol=1e-12, atol=1e-13)
+    # transpose apply too
+    M_ex_t = setup(A, "iluk", PCOptions(ilu_sweeps=0, transpose=True))
+    np.testing.assert_allclose(np.asarray(M_nm.t(r)),
+                               np.asarray(M_ex_t.t(r)),
+                               rtol=1e-12, atol=1e-13)
