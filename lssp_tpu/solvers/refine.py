@@ -33,6 +33,43 @@ from lssp_tpu.solvers.registry import get_solver
 from lssp_tpu.sparse.types import CSR
 
 
+import functools
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fn", "inner_opts", "max_outer",
+                                    "inner_dtype"))
+def _fused_ir(fn, A64, A32, M32, b, x, tol, inner_opts, max_outer,
+              inner_dtype):
+    """Device-side iterative-refinement loop (see solve_ir).  Returns
+    (x, final_res, r0, total_inner_its)."""
+    from lssp_tpu.solvers.base import vdot
+
+    def norm64(v):
+        return jnp.sqrt(vdot(v, v))          # mul+sum (fp64 dot is lossy)
+
+    r0n = norm64(b - spmv(A64, x))
+
+    def cond(c):
+        x, res, outer, tot = c
+        return (res > tol) & (outer < max_outer)
+
+    def body(c):
+        x, res, outer, tot = c
+        r = b - spmv(A64, x)
+        scale = norm64(r)
+        safe = jnp.where(scale == 0, 1.0, scale)
+        r32 = (r / safe).astype(inner_dtype)
+        d32, info = fn(A32, r32, jnp.zeros_like(r32), M32, opts=inner_opts)
+        x = x + d32.astype(jnp.float64) * safe
+        res = norm64(b - spmv(A64, x))
+        return (x, res, outer + 1, tot + info.nits)
+
+    x, res, _, tot = jax.lax.while_loop(
+        cond, body, (x, r0n, jnp.int32(0), jnp.int32(0)))
+    return x, res, r0n, tot
+
+
 def solve_ir(A, b, x0=None, method: str = "gmres",
              pc: Optional[str] = "none",
              options: Optional[SolverOptions] = None,
@@ -104,6 +141,27 @@ def solve_ir(A, b, x0=None, method: str = "gmres",
         opts, rtol=inner_rtol, atol=0.0, rbtol=0.0,
         maxit=min(opts.maxit, 200))
     fn = get_solver(method)
+
+    if opts.verbosity < 1:
+        # fused path: the ENTIRE mixed-precision solve — fp64 residuals,
+        # fp32 inner Krylov while_loops, fp64 accumulation — is one device
+        # program (one dispatch).  The host loop below costs one round trip
+        # per outer round (~28 ms each through a remote-attach tunnel),
+        # which dominates small and medium solves; verbose runs keep it for
+        # the per-round trace.
+        x, res, r0, total_inner = _fused_ir(
+            fn, A64, A32, M32, b, x, jnp.float64(tol), inner_opts,
+            max_outer, inner_dtype)
+        res, r0, total_inner = float(res), float(r0), int(total_inner)
+        if perm is not None:
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(len(perm))
+            x = x[inv]
+        return x, SolveInfo(nits=jnp.int32(total_inner),
+                            residual=jnp.float64(res),
+                            converged=jnp.bool_(res <= tol),
+                            r0norm=jnp.float64(r0),
+                            bnorm=jnp.float64(bnorm), history=None)
 
     residual64 = jax.jit(lambda x: b - spmv(A64, x))
     total_inner = 0
