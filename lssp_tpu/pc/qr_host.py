@@ -187,6 +187,29 @@ def _rt_forwardsolve(f: QRFactors, rhs: np.ndarray) -> np.ndarray:
     return y
 
 
+def qr_solve_minnorm(f: QRFactors, b, refine: int = 1) -> np.ndarray:
+    """Minimum-norm solution of the UNDERdetermined system A x = b, where
+    ``f = qr_factor(transpose(A))`` (A is m×n with m < n, so Aᵀ is tall).
+
+    With AᵀP = QR:  AAᵀ = P RᵀR Pᵀ, so the min-norm solution
+    x = Aᵀ(AAᵀ)⁻¹b = Aᵀ·P·R⁻¹(R⁻ᵀ(Pᵀb)) needs only the stored R (Q-less),
+    plus ``refine`` correction steps for conditioning."""
+    At = f.A_scipy                      # scipy CSR of Aᵀ, shape (n, m)
+    bn = np.asarray(b, np.float64)
+
+    def apply(r):
+        w = _r_backsolve(f, _rt_forwardsolve(f, r[f.cperm]))
+        wp = np.zeros(f.n)
+        wp[f.cperm] = w
+        return At @ wp                  # Aᵀ · P w
+
+    x = apply(bn)
+    for _ in range(max(0, refine)):
+        r = bn - At.T @ x               # b − A x
+        x = x + apply(r)
+    return x
+
+
 def qr_solve(f: QRFactors, b=None, refine: int = 1) -> np.ndarray:
     """Least-squares solve min ‖Ax − b‖.
 

@@ -40,15 +40,32 @@ def solve_lsq(A, b, rtol: float = 1e-10, max_refine: int = 4,
     Returns (x, residual_norm) with residual = ‖Aᵀ(b − Ax)‖ (the
     least-squares optimality measure).
 
-    Rank-deficient / underdetermined systems do not error — empty columns
-    get unit diagonals (QR) / near-zero pivots are clamped (LU), yielding
-    *a* least-squares solution but not the minimum-norm one.
+    Rank-deficient systems do not error — empty columns get unit diagonals
+    (QR) / near-zero pivots are clamped (LU), yielding *a* least-squares
+    solution.  Underdetermined systems (m < n) return the MINIMUM-NORM
+    solution on the qr route (via a Q-less factorization of Aᵀ).
     """
     import jax.numpy as jnp
 
     bn = np.asarray(b, np.float64)
     if method == "qr":
         m, n = A.shape
+        if m < n:
+            # minimum-norm solution of the wide system via QR of the tall Aᵀ
+            if m * n <= 2e7:
+                As = A.to_scipy().tocsr().astype(np.float64)
+                Q, R = np.linalg.qr(As.T.toarray())
+                d = np.diag(R)
+                Rs = R + np.diag(np.where(np.abs(d) == 0, 1.0, 0.0))
+                x = Q @ np.linalg.solve(Rs.T, bn)
+                return (jnp.asarray(x),
+                        float(np.linalg.norm(As.T @ (bn - As @ x))))
+            from lssp_tpu.pc.qr_host import qr_factor, qr_solve_minnorm
+            from lssp_tpu.sparse.utils import transpose
+            f = qr_factor(transpose(A))
+            x = qr_solve_minnorm(f, bn)
+            As = f.A_scipy.T.tocsr()
+            return jnp.asarray(x), float(np.linalg.norm(As.T @ (bn - As @ x)))
         if m * n <= 2e7:
             # small enough for dense LAPACK QR — sparse Givens QR on a
             # RANDOM pattern fills R near-dense anyway (its win is large

@@ -92,13 +92,28 @@ def solve_ir(A, b, x0=None, method: str = "gmres",
     # re-convert, re-upload, or re-FACTOR (the PC setup dominated measured
     # time-to-solution: e.g. 262k-row ILU(0) host factor + schedule build
     # per call).  Memoized on the container, crc-fingerprint invalidated —
-    # same contract as the facade's _prepare_matrix cache.
-    key = ("ir", reorder, pc, str(np.dtype(inner_dtype)), method.lower(),
-           repr(pc_options), jax.default_backend())
+    # same contract as the facade's _prepare_matrix cache.  Two levels:
+    # the matrix preparation (A_host/A64/A32 device uploads) depends only
+    # on (reorder, dtype, backend) and is shared across methods/PCs —
+    # keying it by pc would pin duplicate hundreds-of-MB device copies.
+    transpose_pc = method.lower() in ("bicg", "qmr", "cgnr", "cgn", "lsqr")
+    mat_key = ("ir-mat", reorder, str(np.dtype(inner_dtype)),
+               jax.default_backend())
+    pc_key = ("ir-pc", mat_key, pc, transpose_pc, repr(pc_options))
     fp = _fingerprint(A)
-    hit = getattr(A, "_ir_cache", {}).get(key)
-    if hit is not None and fp is not None and hit[0] == fp:
-        A_host, A64, A32, M32, perm = hit[1]
+    cache = getattr(A, "_ir_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            object.__setattr__(A, "_ir_cache", cache)
+        except Exception:
+            pass               # non-dataclass containers: per-call cache
+    if fp is None or cache.get("fp") != fp:
+        cache.clear()          # content changed: all entries stale
+        cache["fp"] = fp
+
+    if mat_key in cache:
+        A_host, A64, A32, perm = cache[mat_key]
     else:
         # build_device=False: both precisions are rebuilt below, so the
         # facade must not construct (or pin) an unused device format
@@ -112,21 +127,19 @@ def solve_ir(A, b, x0=None, method: str = "gmres",
             lambda a: jnp.asarray(a, inner_dtype)
             if jnp.asarray(a).dtype in (jnp.float64, jnp.float32) else a,
             A64))
+        cache[mat_key] = (A_host, A64, A32, perm)
+
+    if pc_key in cache:
+        M32 = cache[pc_key]
+    else:
         M32 = None
         if pc not in (None, "none"):
-            if method.lower() in ("bicg", "qmr", "cgnr", "cgn", "lsqr"):
+            if transpose_pc:
                 pc_options = dataclasses.replace(pc_options or PCOptions(),
                                                  transpose=True)
             M32 = pc_mod.setup(A_host.astype(np.dtype(inner_dtype)), pc,
                                pc_options)
-        try:
-            cache = getattr(A, "_ir_cache", None)
-            if cache is None:
-                cache = {}
-                object.__setattr__(A, "_ir_cache", cache)
-            cache[key] = (fp, (A_host, A64, A32, M32, perm))
-        except Exception:
-            pass               # non-dataclass containers: skip caching
+        cache[pc_key] = M32
 
     b = jnp.asarray(b, jnp.float64)
     x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, jnp.float64)

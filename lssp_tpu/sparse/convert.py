@@ -157,6 +157,33 @@ def bsr_to_bdia(A: "BSR", max_diags: int = 32, fill: float = 2.0):
     return BDIA(tuple(int(o) for o in offs), blocks, A.shape, bs)
 
 
+def _select_band(counts: np.ndarray, n: int, max_diags: int,
+                 min_occ: float) -> np.ndarray:
+    """THE band-selection rule, shared by csr_to_hyb and the RCM acceptance
+    criterion (reorder.band_coverage) so the two can never diverge: the
+    up-to-``max_diags`` most-occupied diagonals, each holding at least
+    max(min_occ·n, 16) entries (the absolute floor keeps tiny-n noise
+    diagonals from classifying small random matrices as banded).  Returns
+    indices into ``counts``."""
+    order = np.argsort(-counts, kind="stable")
+    take = order[:max_diags]
+    return take[counts[take] >= max(min_occ * n, 16.0)]
+
+
+def band_occupancy(A: CSR, max_diags: int = 256,
+                   min_occ: float = 0.02) -> float:
+    """Fraction of nnz a HYB split would stream as DIA diagonals."""
+    n = A.shape[0]
+    ip = np.asarray(A.indptr).astype(np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), ip[1:] - ip[:-1])
+    d = np.asarray(A.indices).astype(np.int64) - rows
+    if len(d) == 0:
+        return 0.0
+    counts = np.unique(d, return_counts=True)[1]
+    take = _select_band(counts, n, max_diags, min_occ)
+    return float(counts[take].sum()) / max(A.nnz, 1)
+
+
 def csr_to_hyb(A: CSR, max_diags: int = 256, min_occ: float = 0.02,
                min_cover: float = 0.5, pad_to: int = 8) -> HYB:
     """CSR→hybrid band + remainder: the up-to-``max_diags`` most-occupied
@@ -177,13 +204,7 @@ def csr_to_hyb(A: CSR, max_diags: int = 256, min_occ: float = 0.02,
     dat = np.asarray(A.data)
     d_all = cols - rows
     offs, counts = np.unique(d_all, return_counts=True)
-    order = np.argsort(-counts, kind="stable")
-    # absolute floor of 16 entries: at tiny n, a 2-entry diagonal is not a
-    # "band" worth streaming, it's noise that would misclassify small
-    # random matrices as hybrid
-    thresh = max(min_occ * n, 16.0)
-    take = order[:max_diags]
-    take = take[counts[take] >= thresh]
+    take = _select_band(counts, n, max_diags, min_occ)
     if len(take) == 0 or counts[take].sum() < min_cover * max(A.nnz, 1):
         raise ValueError(
             f"band coverage {counts[take].sum() / max(A.nnz, 1):.2f} below "

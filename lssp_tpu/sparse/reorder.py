@@ -55,17 +55,12 @@ def num_diagonals(A: CSR) -> int:
 
 def band_coverage(A: CSR, max_diags: int = 256,
                   min_occ: float = 0.02) -> float:
-    """Fraction of nnz on the up-to-``max_diags`` most-occupied diagonals
-    (each ≥ max(min_occ·n, 16) entries) — what a HYB split would stream."""
-    n = A.shape[0]
-    ip = np.asarray(A.indptr).astype(np.int64)
-    rows = np.repeat(np.arange(n, dtype=np.int64), ip[1:] - ip[:-1])
-    d = np.asarray(A.indices).astype(np.int64) - rows
-    if len(d) == 0:
-        return 0.0
-    counts = np.sort(np.unique(d, return_counts=True)[1])[::-1][:max_diags]
-    counts = counts[counts >= max(min_occ * n, 16.0)]
-    return float(counts.sum()) / max(A.nnz, 1)
+    """Fraction of nnz a HYB split would stream — delegates to the single
+    shared band-selection rule (sparse/convert.py: _select_band) so the
+    RCM acceptance criterion and the actual csr_to_hyb split cannot
+    diverge."""
+    from lssp_tpu.sparse.convert import band_occupancy
+    return band_occupancy(A, max_diags=max_diags, min_occ=min_occ)
 
 
 def maybe_rcm(A: CSR, max_diags: int = 256,

@@ -23,6 +23,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
     import test_solvers as ts
 
+    # regeneration must not enforce the STALE ratchet: an intentionally
+    # regressed config would assert inside run_config, be swallowed as
+    # "not parity-clean", and silently vanish from the new file — the
+    # opposite of the ratchet's purpose
+    ts.RATCHET = {}
+
     out = {}
     for golden, N in ((ts.GOLDEN32, 32), (ts.GOLDEN100, 100)):
         for (method, pc), rec in sorted(golden.items()):

@@ -192,3 +192,36 @@ class TestSparseQR:
         x2 = qr_solve(f, b=b2)              # Q-less CSNE + refinement
         err = np.linalg.norm(x2 - x2_true) / np.linalg.norm(x2_true)
         assert err < 1e-7
+
+    def test_qr_underdetermined_minnorm(self):
+        """m < n: the qr route returns the minimum-norm solution instead of
+        crashing (round-2 review finding)."""
+        import scipy.sparse as sp
+        from lssp_tpu import solve_lsq
+        rng = np.random.default_rng(5)
+        A0 = sp.random(40, 80, density=0.1, random_state=3, format="csr")
+        A0 = A0 + sp.hstack([sp.eye(40), sp.csr_matrix((40, 40))]).tocsr()
+        A = CSR.from_scipy(A0.tocsr())
+        b = rng.standard_normal(40)
+        x, res = solve_lsq(A, b, method="qr")
+        # consistent (full row rank): exact solve + min-norm
+        np.testing.assert_allclose(A0 @ np.asarray(x), b, atol=1e-9)
+        xd = np.linalg.pinv(A0.toarray()) @ b        # min-norm oracle
+        np.testing.assert_allclose(np.asarray(x), xd, atol=1e-8)
+
+    def test_qr_underdetermined_minnorm_sparse_route(self):
+        """Same contract through the sparse Q-less route (qr_solve_minnorm
+        on a factorization of A^T)."""
+        import scipy.sparse as sp
+        from lssp_tpu.pc.qr_host import qr_factor, qr_solve_minnorm
+        from lssp_tpu.sparse.utils import transpose
+        rng = np.random.default_rng(6)
+        A0 = sp.random(60, 120, density=0.08, random_state=4, format="csr")
+        A0 = A0 + sp.hstack([sp.eye(60), sp.csr_matrix((60, 60))]).tocsr()
+        A = CSR.from_scipy(A0.tocsr())
+        b = rng.standard_normal(60)
+        f = qr_factor(transpose(A))
+        x = qr_solve_minnorm(f, b)
+        np.testing.assert_allclose(A0 @ x, b, atol=1e-9)
+        xd = np.linalg.pinv(A0.toarray()) @ b
+        np.testing.assert_allclose(x, xd, atol=1e-8)
