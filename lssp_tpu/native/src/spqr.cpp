@@ -70,7 +70,10 @@ void* lssp_spqr(const i64* Ap, const i64* Aj, const double* Ax,
             const std::vector<double>& rvj = h->rv[j];
             double a = rvj[0], bb = wv[0];
             double hy = std::hypot(a, bb);
-            double c = a / hy, sn = bb / hy;
+            // both leading values exactly zero (explicit stored zeros):
+            // identity rotation instead of 0/0 = NaN
+            double c = hy == 0.0 ? 1.0 : a / hy;
+            double sn = hy == 0.0 ? 0.0 : bb / hy;
             uc.clear(); uv.clear();      // new R row (union support)
             nc.clear(); nv.clear();      // new working row
             size_t p = 0, q = 0;

@@ -104,8 +104,13 @@ def qr_factor(A: CSR, b=None) -> QRFactors:
     res2 = 0.0
 
     ip, idx, dat = Ap.indptr.astype(np.int64), Ap.indices.astype(np.int64), Ap.data
-    # process rows by leading column (George–Heath schedule)
-    lead = np.where(np.diff(ip) > 0, idx[np.minimum(ip[:-1], len(idx) - 1)], n)
+    # process rows by leading column (George–Heath schedule); a matrix with
+    # zero stored entries degenerates to all-residual rows + unit diagonals
+    if len(idx) == 0:
+        lead = np.full(m, n, dtype=np.int64)
+    else:
+        lead = np.where(np.diff(ip) > 0,
+                        idx[np.minimum(ip[:-1], len(idx) - 1)], n)
     order = np.argsort(lead, kind="stable")
 
     from lssp_tpu import native
@@ -120,6 +125,9 @@ def qr_factor(A: CSR, b=None) -> QRFactors:
         b2 = None if bn is None else bn[order]
         Rp, Rj, Rx, crhs, res2 = native.spqr(
             ip2, idx[take], np.asarray(dat)[take], m, n, b2)
+        # numerically rank-deficient pivots (explicit stored zeros) get the
+        # same unit-diagonal clamp as structurally empty columns
+        Rx[Rp[:-1][Rx[Rp[:-1]] == 0.0]] = 1.0
         Rrows = [(Rj[Rp[j]:Rp[j + 1]], Rx[Rp[j]:Rp[j + 1]])
                  for j in range(n)]
         return QRFactors(Rrows=Rrows, cperm=cperm, n=n, m=m,
@@ -144,7 +152,9 @@ def qr_factor(A: CSR, b=None) -> QRFactors:
             rc, rv = Rrows[j]
             a, bb = rv[0], wv[0]
             h = np.hypot(a, bb)
-            c, s = a / h, bb / h
+            # both leading values exactly zero (explicit stored zeros):
+            # identity rotation instead of 0/0 = NaN
+            c, s = (1.0, 0.0) if h == 0 else (a / h, bb / h)
             Rrows[j], (wc, wv) = _merge_rotate(rc, rv, wc, wv, c, s)
             crhs[j], beta = c * crhs[j] + s * beta, -s * crhs[j] + c * beta
         else:
@@ -153,12 +163,15 @@ def qr_factor(A: CSR, b=None) -> QRFactors:
             # only accumulation — counting it again double-books res2)
             res2 += beta ** 2
 
-    # empty columns (structurally rank-deficient): unit diagonal so the
-    # back-substitution stays defined (reference pivot-clamp convention)
+    # empty columns (structurally rank-deficient) and exact-zero pivots
+    # (numerically rank-deficient, e.g. explicit stored zeros): unit
+    # diagonal so back-substitution stays defined (pivot-clamp convention)
     for j in range(n):
         if Rrows[j] is None:
             Rrows[j] = (np.array([j], np.int64), np.array([1.0]))
             crhs[j] = 0.0
+        elif Rrows[j][1][0] == 0.0:
+            Rrows[j][1][0] = 1.0
     return QRFactors(Rrows=Rrows, cperm=cperm, n=n, m=m,
                      c=crhs if b is not None else None,
                      resnorm=float(np.sqrt(res2)), A_scipy=As)

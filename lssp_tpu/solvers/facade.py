@@ -79,9 +79,13 @@ def _fingerprint(A):
             vals = getattr(A, "blocks", None)     # BSR stores block values
         d = np.ascontiguousarray(np.asarray(vals))
         parts = [d.shape, d.dtype.str, zlib.crc32(d)]
-        idx = getattr(A, "indices", None)
-        if idx is not None:
-            parts.append(zlib.crc32(np.ascontiguousarray(np.asarray(idx))))
+        # ALL structure buffers participate: an indptr-only mutation (row
+        # boundary shift with identical data/indices bytes) must also
+        # invalidate
+        for name in ("indices", "indptr", "row", "col"):
+            buf = getattr(A, name, None)
+            if buf is not None:
+                parts.append(zlib.crc32(np.ascontiguousarray(np.asarray(buf))))
         return tuple(parts)
     except Exception:
         return None

@@ -36,6 +36,30 @@ from lssp_tpu.sparse.types import CSR
 import functools
 
 
+def _pc_options_key(pc_options):
+    """Collision-proof cache key for a PCOptions: array-valued fields hash
+    their full bytes (repr() summarizes numpy arrays above ~1000 elements,
+    so two different block_sizes arrays could repr identically and reuse a
+    stale factorization)."""
+    if pc_options is None:
+        return None
+    import zlib
+    parts = []
+    for f in dataclasses.fields(pc_options):
+        v = getattr(pc_options, f.name)
+        if isinstance(v, (np.ndarray, list, tuple)) and not isinstance(
+                v, str):
+            try:
+                a = np.asarray(v)
+                parts.append((f.name, a.shape, str(a.dtype),
+                              zlib.crc32(np.ascontiguousarray(a))))
+            except (TypeError, ValueError):
+                parts.append((f.name, repr(v)))
+        else:
+            parts.append((f.name, repr(v)))
+    return tuple(parts)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("fn", "inner_opts", "max_outer",
                                     "inner_dtype"))
@@ -99,7 +123,8 @@ def solve_ir(A, b, x0=None, method: str = "gmres",
     transpose_pc = method.lower() in ("bicg", "qmr", "cgnr", "cgn", "lsqr")
     mat_key = ("ir-mat", reorder, str(np.dtype(inner_dtype)),
                jax.default_backend())
-    pc_key = ("ir-pc", mat_key, pc, transpose_pc, repr(pc_options))
+    pc_key = ("ir-pc", mat_key, pc, transpose_pc,
+              _pc_options_key(pc_options))
     fp = _fingerprint(A)
     cache = getattr(A, "_ir_cache", None)
     if cache is None:

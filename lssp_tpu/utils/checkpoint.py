@@ -74,6 +74,19 @@ def load_checkpoint(path: str, device: bool = True) -> dict:
     with open(path, "rb") as f:
         head = f.read(len(_MAGIC) + 8)
         if len(head) < len(_MAGIC) + 8 or not head.startswith(_MAGIC):
+            if head[:1] == b"\x80":
+                # pre-v1 (unversioned bare-pickle) checkpoint: still
+                # loadable so in-progress solves survive the format bump,
+                # but warn — no integrity protection existed for it
+                from lssp_tpu.utils.log import warning
+                warning(f"{path!r} is a pre-v1 checkpoint (no integrity "
+                        "header); loading legacy format — it will be "
+                        "rewritten versioned on the next save")
+                f.seek(0)
+                payload = pickle.load(f)
+                out = dict(payload.pop("extra", {}))
+                out.update(payload)
+                return _to_device(out) if device else out
             raise ValueError(
                 f"{path!r} is not an lssp_tpu checkpoint (bad magic)")
         version, crc = struct.unpack("<II", head[len(_MAGIC):])

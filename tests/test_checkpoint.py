@@ -90,3 +90,18 @@ def test_corrupt_checkpoint_rejected(tmp_path):
     (tmp_path / "ver.ckpt").write_bytes(bytes(bumped))
     with pytest.raises(ValueError, match="version"):
         load_checkpoint(str(tmp_path / "ver.ckpt"))
+
+
+def test_legacy_pre_v1_checkpoint_loads(tmp_path):
+    """Bare-pickle round-1 checkpoints still resume (with a warning)."""
+    import pickle
+    import numpy as np
+    from lssp_tpu.utils.checkpoint import load_checkpoint
+    p = tmp_path / "legacy.ckpt"
+    payload = {"x": np.ones(4), "M": None, "info": None,
+               "extra": {"nits_done": 7}}
+    with open(p, "wb") as f:
+        pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
+    out = load_checkpoint(str(p))
+    assert np.allclose(np.asarray(out["x"]), 1.0)
+    assert out["nits_done"] == 7

@@ -225,3 +225,30 @@ class TestSparseQR:
         np.testing.assert_allclose(A0 @ x, b, atol=1e-9)
         xd = np.linalg.pinv(A0.toarray()) @ b
         np.testing.assert_allclose(x, xd, atol=1e-8)
+
+    def test_qr_zero_matrix_no_crash(self):
+        """All-zero (no stored entries) matrix: unit diagonals + pure
+        residual, no IndexError/NaN."""
+        import scipy.sparse as sp
+        from lssp_tpu.pc.qr_host import qr_factor, qr_solve
+        A = CSR.from_scipy(sp.csr_matrix((5, 3)))
+        b = np.ones(5)
+        f = qr_factor(A, b=b)
+        x = qr_solve(f)
+        assert np.all(np.isfinite(x)) and np.allclose(x, 0.0)
+        np.testing.assert_allclose(f.resnorm, np.linalg.norm(b))
+
+    def test_qr_explicit_zero_leading_entries(self):
+        """Explicit stored zeros in leading positions must not produce NaNs
+        (0/0 Givens guard, Python and C++ paths)."""
+        import scipy.sparse as sp
+        from lssp_tpu.pc.qr_host import qr_factor, qr_solve
+        rows = np.array([0, 1, 2, 3, 3])
+        cols = np.array([0, 0, 1, 1, 2])
+        vals = np.array([0.0, 0.0, 1.0, 2.0, 1.0])
+        A0 = sp.csr_matrix((vals, (rows, cols)), shape=(4, 3))
+        A = CSR.from_scipy(A0)
+        b = np.ones(4)
+        f = qr_factor(A, b=b)
+        x = qr_solve(f)
+        assert np.all(np.isfinite(x))

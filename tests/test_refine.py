@@ -38,3 +38,24 @@ class TestIR:
         assert bool(info.converged)
         res = np.linalg.norm(b - A.to_scipy() @ np.asarray(x))
         assert res <= 1e-10 * 32 * 1.1
+
+
+def test_bf16_inner_refinement_reaches_fp64_target():
+    """Mixed-precision IR with a bfloat16 inner solver: half the HBM bytes
+    per inner iteration (bandwidth-bound => ~1.6x net on TPU) while the
+    fp64 outer loop still lands the 1e-8 relative target.  Inner tolerance
+    must be loose (~3e-2): bf16 has 8 mantissa bits."""
+    import numpy as np
+    import jax.numpy as jnp
+    import lssp_tpu as lt
+
+    A = lt.sparse.laplacian_3d(16)
+    n = A.shape[0]
+    b = jnp.ones(n, dtype=jnp.float64)
+    o = lt.SolverOptions(rtol=1e-8, atol=0.0, rbtol=0.0)
+    x, info = lt.solve_ir(A, b, method="cg", pc="ilu0", options=o,
+                          inner_dtype=jnp.bfloat16, inner_rtol=3e-2,
+                          max_outer=60)
+    assert bool(info.converged)
+    res = float(np.linalg.norm(np.asarray(b) - A.to_scipy() @ np.asarray(x)))
+    assert res <= 1.1e-8 * np.sqrt(n)
