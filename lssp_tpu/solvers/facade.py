@@ -259,6 +259,14 @@ class Solver:
     def set_bgsl(self, v):   self.options = dataclasses.replace(self.options, bgsl=v);   return self
     def set_idrs(self, v):   self.options = dataclasses.replace(self.options, idrs=v);   return self
 
+    def set_log(self, f):
+        """Tee this solver's output to a file object (reference
+        lssp_solver_set_log, lssp.cxx:530-535; the reference's log is
+        process-global underneath, as here)."""
+        from lssp_tpu.utils.log import set_log
+        set_log(f)
+        return self
+
     def reset_type(self, method: str):
         """Switch the Krylov method, keeping the assembled matrix
         (reference lssp_solver_reset_type, lssp.cxx:426-433).  Switching to

@@ -366,3 +366,25 @@ class TestBareCallablePCTranspose:
         assert bool(info.converged)
         res = np.linalg.norm(np.asarray(b) - A.to_scipy() @ np.asarray(x))
         assert res < 1e-5
+
+
+def test_solver_set_log(tmp_path):
+    """Reference lssp_solver_set_log parity: solver output tees to a file."""
+    import io
+    import jax.numpy as jnp
+    import lssp_tpu as lt
+    from lssp_tpu.utils.log import set_log
+
+    buf = io.StringIO()
+    A = lt.sparse.laplacian_2d(8)
+    b = jnp.ones(A.shape[0], dtype=jnp.float64)
+    s = lt.Solver(method="cg", pc="jacobi",
+                  options=lt.SolverOptions(verbosity=2))
+    s.set_log(buf)
+    try:
+        s.assemble(A, b)
+        s.solve()
+    finally:
+        set_log(None)
+    out = buf.getvalue()
+    assert "assemble" in out       # the phase timers reached the log file
