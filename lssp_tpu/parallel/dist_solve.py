@@ -86,6 +86,101 @@ def _stack_schedules(scheds, R):
     return rows, cols, vals, invd
 
 
+@dataclasses.dataclass(frozen=True)
+class _DistNeumannILU:
+    """Stacked shard-local strict factors in DIA layout for Chow-sweep ILU
+    application: every sweep is one shard-local diagonal stream (the
+    distributed analog of ops/trisolve.NeumannTri)."""
+
+    Ldata: Any            # (P, ndl, R) strict lower, union offsets
+    Udata: Any            # (P, ndu, R) strict upper scaled by 1/diag
+    invdiag: Any          # (P, R)
+    offL: tuple           # static
+    offU: tuple           # static
+    sweeps: int           # static
+
+
+jax.tree_util.register_pytree_node(
+    _DistNeumannILU,
+    lambda s: ((s.Ldata, s.Udata, s.invdiag), (s.offL, s.offU, s.sweeps)),
+    lambda aux, c: _DistNeumannILU(*c, offL=aux[0], offU=aux[1],
+                                   sweeps=aux[2]))
+
+
+def _csr_to_dia_rows(S: CSR, offsets, R: int) -> np.ndarray:
+    """Shard-local CSR → row-aligned DIA data on a FIXED offset set."""
+    ip = np.asarray(S.indptr).astype(np.int64)
+    rows = np.repeat(np.arange(R, dtype=np.int64), ip[1:] - ip[:-1])
+    cols = np.asarray(S.indices).astype(np.int64)
+    data = np.zeros((len(offsets), R), dtype=np.asarray(S.data).dtype)
+    d_idx = np.searchsorted(np.asarray(offsets), cols - rows)
+    data[d_idx, rows] = np.asarray(S.data)
+    return data
+
+
+def _build_dist_ilu_neumann(factors, Pn: int, R: int, sweeps: int,
+                            max_union: int = 96):
+    """Stack per-shard (L, U) factors into _DistNeumannILU, or None when
+    the union diagonal count is too large for streaming (exact schedules
+    then)."""
+    from lssp_tpu.sparse.utils import split_ldu
+    from lssp_tpu.config import Defaults
+
+    Ls_list, Us_list, inv_list = [], [], []
+    offL, offU = set(), set()
+    for (L, U) in factors:
+        _, d, Us = split_ldu(U)
+        d = np.where(np.asarray(d) == 0, 1.0, np.asarray(d))
+        inv = 1.0 / d
+        ip = np.asarray(Us.indptr)
+        rr = np.repeat(np.arange(R), ip[1:] - ip[:-1])
+        Us_s = CSR(Us.indptr, Us.indices,
+                   np.asarray(Us.data) * inv[rr], Us.shape)
+        Ls, _, _ = split_ldu(L)
+        Ls_list.append(Ls)
+        Us_list.append(Us_s)
+        inv_list.append(inv)
+        for S, acc in ((Ls, offL), (Us_s, offU)):
+            ipS = np.asarray(S.indptr).astype(np.int64)
+            rows = np.repeat(np.arange(R, dtype=np.int64),
+                             ipS[1:] - ipS[:-1])
+            acc.update(np.unique(
+                np.asarray(S.indices).astype(np.int64) - rows).tolist())
+    offL = tuple(sorted(offL)) or (0,)
+    offU = tuple(sorted(offU)) or (0,)
+    if len(offL) > max_union or len(offU) > max_union:
+        return None
+    if sweeps == -1:
+        # exact via the complete Neumann series: max dependency depth
+        from lssp_tpu.ops.trisolve import _compute_levels
+        depth = 1
+        for S_list, lower in ((Ls_list, True), (Us_list, False)):
+            for S in S_list:
+                lev = _compute_levels(np.asarray(S.indptr, np.int64),
+                                      np.asarray(S.indices, np.int64),
+                                      R, lower)
+                depth = max(depth, int(lev.max()) + 1 if len(lev) else 1)
+        sweeps = depth
+    Ldata = np.stack([_csr_to_dia_rows(S, offL, R) for S in Ls_list])
+    Udata = np.stack([_csr_to_dia_rows(S, offU, R) for S in Us_list])
+    return _DistNeumannILU(Ldata=Ldata, Udata=Udata,
+                           invdiag=np.stack(inv_list).astype(Ldata.dtype),
+                           offL=offL, offU=offU, sweeps=int(sweeps))
+
+
+def _dia_block_apply_t(data, x, offsets):
+    """Shard-local transpose DIA product (zero boundary, no exchange)."""
+    R = x.shape[0]
+    lo = max(0, -min(offsets)) if offsets else 0
+    hi = max(0, max(offsets)) if offsets else 0
+    dtype = jnp.result_type(data.dtype, x.dtype)
+    y = jnp.zeros(R, dtype=dtype)
+    for d, off in enumerate(offsets):
+        zp = jnp.pad(data[d] * x, (hi, lo))
+        y = y + jax.lax.dynamic_slice(zp, (hi - off,), (R,))
+    return y
+
+
 def _build_dist_pc(A: CSR, pc_type, pc_opts: PCOptions, Pn: int, R: int,
                    transpose: bool = False):
     """Returns (kind, state_pytree) where state leaves have leading shard
@@ -130,7 +225,8 @@ def _build_dist_pc(A: CSR, pc_type, pc_opts: PCOptions, Pn: int, R: int,
         # block-Jacobi ILU: factor each shard's diagonal block independently;
         # transposed schedules (shard-local M^-T, BiCG/QMR) only when asked
         from lssp_tpu.ops.trisolve import ilu_transpose_schedules
-        sls, sus, slts, suts = [], [], [], []
+        from lssp_tpu.sparse.utils import split_ldu
+        factors = []
         for p in range(Pn):
             blk = _extract_diag_block(A, p * R, (p + 1) * R)
             if pc_type == "ilut":
@@ -138,6 +234,20 @@ def _build_dist_pc(A: CSR, pc_type, pc_opts: PCOptions, Pn: int, R: int,
             else:
                 lev = 0 if pc_type == "ilu0" else pc_opts.iluk_level
                 L, U = iluk_factor(blk, level=lev)
+            factors.append((L, U))
+        # triangular-solve strategy mirrors the single-chip PC
+        # (pc/ilu.py: make_ilu_pc): Chow Neumann sweeps on TPU (every
+        # sweep a shard-local DIA stream), exact level scan elsewhere/on
+        # request; -1 = exact via the complete series
+        sweeps = pc_opts.ilu_sweeps
+        if sweeps is None:
+            sweeps = 6 if jax.default_backend() == "tpu" else 0
+        if sweeps:
+            st = _build_dist_ilu_neumann(factors, Pn, R, sweeps)
+            if st is not None:
+                return "ilu_nm", st
+        sls, sus, slts, suts = [], [], [], []
+        for (L, U) in factors:
             sls.append(level_schedule(L, lower=True))
             sus.append(level_schedule(U, lower=False))
             if transpose:
@@ -161,6 +271,37 @@ def _shard_pc_apply(kind, state, R, op=None, cycles=1):
         inv = state
         fn = lambda r: inv * r
         fn.t = fn                     # diagonal scaling is symmetric
+        return fn
+    if kind == "ilu_nm":
+        from lssp_tpu.parallel.dist_ops import _dia_local_spmv
+        st = state
+
+        def _stream(data, offs, v):
+            lo = max(0, -min(offs)) if offs else 0
+            hi = max(0, max(offs)) if offs else 0
+            return _dia_local_spmv(data, jnp.pad(v, (lo, hi)), offs, lo, R)
+
+        def fn(r):
+            y = r
+            for _ in range(st.sweeps):
+                y = r - _stream(st.Ldata, st.offL, y)
+            zr = st.invdiag * y
+            z = zr
+            for _ in range(st.sweeps):
+                z = zr - _stream(st.Udata, st.offU, z)
+            return z
+
+        def fnt(r):
+            w = r
+            for _ in range(st.sweeps):
+                w = r - _dia_block_apply_t(st.Udata, w, st.offU)
+            zr = st.invdiag * w
+            z = zr
+            for _ in range(st.sweeps):
+                z = zr - _dia_block_apply_t(st.Ldata, z, st.offL)
+            return z
+
+        fn.t = fnt        # Neumann transpose needs no extra state
         return fn
     if kind == "ilu":
         (lr, lc, lv, lid), (ur, uc, uv, uid) = state[:2]

@@ -441,3 +441,41 @@ class TestDistHYB:
         assert bool(infod.converged)
         res = np.linalg.norm(b - A.to_scipy() @ np.asarray(xd))
         assert res <= 2e-6
+
+
+class TestDistNeumannILU:
+    """Distributed Chow-sweep bjilu (r2): every sweep is a shard-local DIA
+    stream — the TPU default; the complete series (-1) must equal the
+    exact-scheduled apply."""
+
+    def test_exact_neumann_matches_schedules(self, mesh8):
+        A = laplacian_2d(16)
+        b = jnp.ones(256, dtype=jnp.float64)
+        x_ex, i_ex = dist_solve(A, b, method="cg", pc="bjilu", mesh=mesh8,
+                                pc_options=PCOptions(ilu_sweeps=0))
+        x_nm, i_nm = dist_solve(A, b, method="cg", pc="bjilu", mesh=mesh8,
+                                pc_options=PCOptions(ilu_sweeps=-1))
+        assert bool(i_nm.converged)
+        assert int(i_nm.nits) == int(i_ex.nits)
+        np.testing.assert_allclose(np.asarray(x_nm), np.asarray(x_ex),
+                                   rtol=1e-10, atol=1e-12)
+
+    def test_truncated_sweeps_converge(self, mesh8):
+        A = laplacian_2d(16)
+        b = jnp.ones(256, dtype=jnp.float64)
+        x, info = dist_solve(A, b, method="cg", pc="bjilu", mesh=mesh8,
+                             pc_options=PCOptions(ilu_sweeps=6))
+        assert bool(info.converged)
+        res = np.linalg.norm(b - A.to_scipy() @ np.asarray(x))
+        assert res <= 1.2e-7 * 16
+
+    def test_transpose_method_with_neumann(self, mesh8):
+        import lssp_tpu as lt
+        A = lt.sparse.convection_diffusion_2d(32, beta=10.0)
+        b = jnp.ones(1024, dtype=jnp.float64)
+        x, info = dist_solve(A, b, method="qmr", pc="bjilu", mesh=mesh8,
+                             pc_options=PCOptions(ilu_sweeps=-1),
+                             options=SolverOptions(maxit=3000))
+        assert bool(info.converged)
+        res = np.linalg.norm(b - A.to_scipy() @ np.asarray(x))
+        assert res <= 1e-4
