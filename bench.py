@@ -64,13 +64,17 @@ def _marginal_time(run1, run2, i1, i2, reps=3):
 def bench_spmv(D, x, n, ndiag, on_tpu):
     import jax
     import jax.numpy as jnp
-    from lssp_tpu.ops.spmv import spmv
+    from lssp_tpu.ops.spmv import mv_amxy
 
     def make(iters):
         @jax.jit
         def run(M, v):
             def step(v, _):
-                return spmv(M, v) * 0.25, None   # feedback keeps iters live
+                # y = alpha*A@x (reference mv_amxy): the scale keeps the
+                # scan feedback bounded AND folds into the Pallas kernel
+                # epilogue on TPU — a separate XLA scale op would re-read
+                # and re-write y, a 22% bandwidth tax at 5 diagonals
+                return mv_amxy(0.25, M, v), None
             v, _ = jax.lax.scan(step, v, None, length=iters)
             return jnp.sum(v)
         return run

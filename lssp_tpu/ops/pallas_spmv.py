@@ -47,8 +47,9 @@ def _pick_tile(n: int, halo: int, ndiag: int, itemsize: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "interpret",
-                                             "prepadded"))
-def _dia_spmv_pallas(data, x, offsets, interpret=False, prepadded=False):
+                                             "prepadded", "scale"))
+def _dia_spmv_pallas(data, x, offsets, interpret=False, prepadded=False,
+                     scale=1.0):
     """``prepadded=True``: ``x`` already carries its ``lo`` left and ``hi``
     right halo elements (length n + lo + hi) — the distributed per-shard
     case, where the halos arrive via ppermute exchange instead of zero
@@ -80,7 +81,10 @@ def _dia_spmv_pallas(data, x, offsets, interpret=False, prepadded=False):
             acc = d_ref[0, :] * xw[pl.ds(lo + offsets[0], T)]
             for d in range(1, ndiag):
                 acc += d_ref[d, :] * xw[pl.ds(lo + offsets[d], T)]
-            y_ref[:] = acc
+            # y = alpha*A@x folded into the epilogue (mv_amxy): a separate
+            # XLA scale op would re-read and re-write y — +2n of the 7n
+            # model traffic, a 22% bandwidth tax on a 5-diagonal stencil
+            y_ref[:] = acc * scale if scale != 1.0 else acc
 
         pl.run_scoped(inner, pltpu.VMEM((W,), dtype), pltpu.SemaphoreType.DMA)
 
@@ -101,9 +105,12 @@ def _dia_spmv_pallas(data, x, offsets, interpret=False, prepadded=False):
     return y[:n] if pad_n else y
 
 
-def dia_spmv_pallas(A: DIA, x, interpret: bool = False):
-    """y = A@x via the Pallas stencil kernel."""
-    return _dia_spmv_pallas(A.data, x, A.offsets, interpret=interpret)
+def dia_spmv_pallas(A: DIA, x, interpret: bool = False,
+                    scale: float = 1.0):
+    """y = scale·A@x via the Pallas stencil kernel (scale folded into the
+    epilogue — zero extra HBM traffic)."""
+    return _dia_spmv_pallas(A.data, x, A.offsets, interpret=interpret,
+                            scale=float(scale))
 
 
 def dia_spmv_pallas_ext(data, x_ext, offsets, interpret: bool = False):

@@ -215,7 +215,18 @@ def mv_amxpbyz(alpha, A, x, beta, y):
 
 
 def mv_amxy(alpha, A, x):
-    """y = alpha*A@x            (mvops.cxx:81-115)."""
+    """y = alpha*A@x            (mvops.cxx:81-115).
+
+    On the TPU DIA fast path the scale folds into the Pallas kernel
+    epilogue instead of a separate XLA pass (which would re-read and
+    re-write y — a 22% bandwidth tax on a 5-diagonal stencil)."""
+    if isinstance(A, DIA):
+        n = A.shape[0]
+        dtype = jnp.result_type(A.data.dtype, x.dtype)
+        if (jax.default_backend() == "tpu"
+                and dtype in (jnp.float32, jnp.bfloat16) and n >= 4096):
+            from lssp_tpu.ops.pallas_spmv import dia_spmv_pallas
+            return dia_spmv_pallas(A, x, scale=alpha)
     return alpha * spmv(A, x)
 
 
