@@ -48,6 +48,38 @@ def main():
     x, info = lt.solve_ir(S, bs, method="cg", pc="amg")
     print(f"  inner-nits={int(info.nits)}  res={residual(S, x, bs):.2e}")
 
+    print("== sparse QR least squares (QR_MUMPS role) ==")
+    import scipy.sparse as sp
+    rng = np.random.default_rng(0)
+    T0 = sp.random(240, 120, density=0.03, random_state=1, format="csr")
+    T0 = (T0 + sp.vstack([sp.eye(120), sp.csr_matrix((120, 120))])).tocsr()
+    T = lt.sparse.CSR.from_scipy(T0 @ sp.diags(np.logspace(0, -8, 120)))
+    xt = rng.standard_normal(120)
+    bt = T.to_scipy() @ xt
+    xq, _ = lt.solve_lsq(T, bt)                      # QR (cond-robust)
+    xn, _ = lt.solve_lsq(T, bt, method="normal")     # squared condition
+    print(f"  cond~1e8: qr err {np.linalg.norm(np.asarray(xq)-xt)/np.linalg.norm(xt):.1e}"
+          f"  normal-eq err {np.linalg.norm(np.asarray(xn)-xt)/np.linalg.norm(xt):.1e}")
+
+    print("== hybrid band+remainder execution format ==")
+    Sh = lt.sparse.laplacian_2d(48).to_scipy().tolil()
+    for i, j in zip(rng.integers(0, 2304, 40), rng.integers(0, 2304, 40)):
+        Sh[i, j] += 0.02
+    Ah = lt.sparse.CSR.from_scipy(Sh.tocsr())
+    from lssp_tpu.sparse.convert import to_device_format
+    H = to_device_format(Ah, max_diags=32, dia_fill=2.0)
+    xh, ih = lt.solve(Ah, jnp.ones(2304), method="gmres")
+    print(f"  format={type(H).__name__} (band {len(H.dia.offsets)} diagonals"
+          f" + {H.nnz_rem} remainder nnz)  gmres nits={int(ih.nits)}")
+
+    print("== bfloat16 inner refinement ==")
+    x, info = lt.solve_ir(S, bs, method="cg", pc="ilu0",
+                          inner_dtype=jnp.bfloat16, inner_rtol=3e-2,
+                          options=lt.SolverOptions(rtol=1e-8, atol=0.0,
+                                                   rbtol=0.0), max_outer=60)
+    print(f"  inner-nits={int(info.nits)}  res={residual(S, x, bs):.2e}"
+          "  (half the HBM bytes per inner iteration)")
+
     print("== checkpoint / resume ==")
     # checkpointed_solve needs a path that may not exist yet, so a private
     # fresh directory (not racy mktemp) is the right shape
