@@ -42,13 +42,20 @@ def _spmv_ell(A: ELL, x):
     return jnp.sum(A.data * x[A.cols], axis=1)
 
 
+def dia_pallas_ok(dtype, n: int) -> bool:
+    """THE gate for the Pallas DIA fast path — one definition so every
+    dispatch site (spmv, mv_amxy, the distributed per-shard op) stays in
+    sync when kernel constraints change."""
+    return (jax.default_backend() == "tpu"
+            and dtype in (jnp.float32, jnp.bfloat16) and n >= 4096)
+
+
 def _spmv_dia(A: DIA, x):
     n = A.shape[0]
     dtype = jnp.result_type(A.data.dtype, x.dtype)
     # TPU fast path: Pallas stencil kernel (~75% of HBM roofline on v5e vs
     # ~30% for the XLA-composed loop below)
-    if (jax.default_backend() == "tpu" and dtype in (jnp.float32, jnp.bfloat16)
-            and n >= 4096):
+    if dia_pallas_ok(dtype, n):
         from lssp_tpu.ops.pallas_spmv import dia_spmv_pallas
         return dia_spmv_pallas(A, x)
     offs = A.offsets
@@ -219,12 +226,15 @@ def mv_amxy(alpha, A, x):
 
     On the TPU DIA fast path the scale folds into the Pallas kernel
     epilogue instead of a separate XLA pass (which would re-read and
-    re-write y — a 22% bandwidth tax on a 5-diagonal stencil)."""
-    if isinstance(A, DIA):
+    re-write y — a 22% bandwidth tax on a 5-diagonal stencil).  The fold
+    needs a CONCRETE alpha (it compiles in as a static constant); traced
+    alphas fall back to the generic scale — no crash, no per-value
+    recompiles."""
+    if isinstance(A, DIA) and isinstance(
+            alpha, (int, float, np.floating, np.integer)):
         n = A.shape[0]
         dtype = jnp.result_type(A.data.dtype, x.dtype)
-        if (jax.default_backend() == "tpu"
-                and dtype in (jnp.float32, jnp.bfloat16) and n >= 4096):
+        if dia_pallas_ok(dtype, n):
             from lssp_tpu.ops.pallas_spmv import dia_spmv_pallas
             return dia_spmv_pallas(A, x, scale=alpha)
     return alpha * spmv(A, x)

@@ -83,6 +83,27 @@ def _compute_levels(indptr, indices, n, lower: bool) -> np.ndarray:
     return lev
 
 
+def default_ilu_sweeps() -> int:
+    """The ilu_sweeps=None resolution, shared by every ILU family (scalar,
+    block, distributed): Chow Neumann sweeps on TPU, exact elsewhere."""
+    import jax
+    return 6 if jax.default_backend() == "tpu" else 0
+
+
+def neumann_exact_depth(tris) -> int:
+    """Dependency depth over strict triangular factors, given as
+    (indptr, indices, n, lower) tuples — the sweep count at which the
+    finite Neumann series of every factor terminates EXACTLY (the
+    ilu_sweeps=-1 contract, shared by the scalar/block/distributed
+    paths)."""
+    depth = 1
+    for ip, idx, n, lower in tris:
+        lev = _compute_levels(np.asarray(ip, np.int64),
+                              np.asarray(idx, np.int64), n, lower)
+        depth = max(depth, int(lev.max()) + 1 if len(lev) else 1)
+    return depth
+
+
 def level_schedule(T: CSR, lower: bool = True,
                    diag: Optional[np.ndarray] = None) -> TriSchedule:
     """Build a TriSchedule from a triangular CSR factor.

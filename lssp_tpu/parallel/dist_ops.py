@@ -18,9 +18,9 @@ from lssp_tpu.parallel.partition import DistELL, DistDIA, DistHYB
 def _dia_local_spmv(data, x_ext, offsets, lo, R):
     """Per-shard DIA product over the extended vector: Pallas stencil kernel
     on TPU (roofline streaming), XLA shifted slices elsewhere."""
+    from lssp_tpu.ops.spmv import dia_pallas_ok
     dtype = jnp.result_type(data.dtype, x_ext.dtype)
-    if (jax.default_backend() == "tpu"
-            and dtype in (jnp.float32, jnp.bfloat16) and R >= 4096):
+    if dia_pallas_ok(dtype, R):
         from lssp_tpu.ops.pallas_spmv import dia_spmv_pallas_ext
         return dia_spmv_pallas_ext(data, x_ext, offsets)
     y = jnp.zeros(R, dtype=dtype)

@@ -124,14 +124,16 @@ def _build_dist_ilu_neumann(factors, Pn: int, R: int, sweeps: int,
     the union diagonal count is too large for streaming (exact schedules
     then)."""
     from lssp_tpu.sparse.utils import split_ldu
-    from lssp_tpu.config import Defaults
 
     Ls_list, Us_list, inv_list = [], [], []
     offL, offU = set(), set()
     for (L, U) in factors:
         _, d, Us = split_ldu(U)
         d = np.where(np.asarray(d) == 0, 1.0, np.asarray(d))
-        inv = 1.0 / d
+        # cast BEFORE scaling: numpy<2 promotion would otherwise widen a
+        # float32 factor to float64 and break the fp32 while_loop carry
+        # (mirrors make_neumann_tri, ops/trisolve.py)
+        inv = (1.0 / d).astype(np.asarray(U.data).dtype)
         ip = np.asarray(Us.indptr)
         rr = np.repeat(np.arange(R), ip[1:] - ip[:-1])
         Us_s = CSR(Us.indptr, Us.indices,
@@ -152,15 +154,11 @@ def _build_dist_ilu_neumann(factors, Pn: int, R: int, sweeps: int,
         return None
     if sweeps == -1:
         # exact via the complete Neumann series: max dependency depth
-        from lssp_tpu.ops.trisolve import _compute_levels
-        depth = 1
-        for S_list, lower in ((Ls_list, True), (Us_list, False)):
-            for S in S_list:
-                lev = _compute_levels(np.asarray(S.indptr, np.int64),
-                                      np.asarray(S.indices, np.int64),
-                                      R, lower)
-                depth = max(depth, int(lev.max()) + 1 if len(lev) else 1)
-        sweeps = depth
+        from lssp_tpu.ops.trisolve import neumann_exact_depth
+        sweeps = neumann_exact_depth(
+            [(S.indptr, S.indices, R, lower)
+             for S_list, lower in ((Ls_list, True), (Us_list, False))
+             for S in S_list])
     Ldata = np.stack([_csr_to_dia_rows(S, offL, R) for S in Ls_list])
     Udata = np.stack([_csr_to_dia_rows(S, offU, R) for S in Us_list])
     return _DistNeumannILU(Ldata=Ldata, Udata=Udata,
@@ -169,16 +167,12 @@ def _build_dist_ilu_neumann(factors, Pn: int, R: int, sweeps: int,
 
 
 def _dia_block_apply_t(data, x, offsets):
-    """Shard-local transpose DIA product (zero boundary, no exchange)."""
+    """Shard-local transpose DIA product (zero boundary, no exchange) —
+    delegates to the one shifted-stream transpose implementation."""
+    from lssp_tpu.ops.spmv import _spmv_dia_t
+    from lssp_tpu.sparse.types import DIA
     R = x.shape[0]
-    lo = max(0, -min(offsets)) if offsets else 0
-    hi = max(0, max(offsets)) if offsets else 0
-    dtype = jnp.result_type(data.dtype, x.dtype)
-    y = jnp.zeros(R, dtype=dtype)
-    for d, off in enumerate(offsets):
-        zp = jnp.pad(data[d] * x, (hi, lo))
-        y = y + jax.lax.dynamic_slice(zp, (hi - off,), (R,))
-    return y
+    return _spmv_dia_t(DIA(offsets, data, (R, R)), x)
 
 
 def _build_dist_pc(A: CSR, pc_type, pc_opts: PCOptions, Pn: int, R: int,
@@ -225,7 +219,6 @@ def _build_dist_pc(A: CSR, pc_type, pc_opts: PCOptions, Pn: int, R: int,
         # block-Jacobi ILU: factor each shard's diagonal block independently;
         # transposed schedules (shard-local M^-T, BiCG/QMR) only when asked
         from lssp_tpu.ops.trisolve import ilu_transpose_schedules
-        from lssp_tpu.sparse.utils import split_ldu
         factors = []
         for p in range(Pn):
             blk = _extract_diag_block(A, p * R, (p + 1) * R)
@@ -239,9 +232,10 @@ def _build_dist_pc(A: CSR, pc_type, pc_opts: PCOptions, Pn: int, R: int,
         # (pc/ilu.py: make_ilu_pc): Chow Neumann sweeps on TPU (every
         # sweep a shard-local DIA stream), exact level scan elsewhere/on
         # request; -1 = exact via the complete series
+        from lssp_tpu.ops.trisolve import default_ilu_sweeps
         sweeps = pc_opts.ilu_sweeps
         if sweeps is None:
-            sweeps = 6 if jax.default_backend() == "tpu" else 0
+            sweeps = default_ilu_sweeps()
         if sweeps:
             st = _build_dist_ilu_neumann(factors, Pn, R, sweeps)
             if st is not None:

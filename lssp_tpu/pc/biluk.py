@@ -254,20 +254,14 @@ def _pack_bilu_pc(factors, name, sweeps):
     (lp, lc, lb), inv, (up, uc, ub) = factors
     nrowb = len(lp) - 1
     bs = inv.shape[1]
+    from lssp_tpu.ops.trisolve import default_ilu_sweeps, neumann_exact_depth
     if sweeps is None:
-        import jax
-        sweeps = 6 if jax.default_backend() == "tpu" else 0
+        sweeps = default_ilu_sweeps()
     if sweeps == -1:
-        # exact via the COMPLETE Neumann series (same contract as the
-        # scalar ILU path): block dependency depth many sweeps terminate
-        # the nilpotent series exactly
-        from lssp_tpu.ops.trisolve import _compute_levels
-        depth = 1
-        for (pp, cc, lower) in ((lp, lc, True), (up, uc, False)):
-            lev = _compute_levels(np.asarray(pp, np.int64),
-                                  np.asarray(cc, np.int64), nrowb, lower)
-            depth = max(depth, int(lev.max()) + 1 if len(lev) else 1)
-        sweeps = depth
+        # exact via the COMPLETE Neumann series at BLOCK granularity (same
+        # contract as the scalar ILU path)
+        sweeps = neumann_exact_depth([(lp, lc, nrowb, True),
+                                      (up, uc, nrowb, False)])
     if sweeps > 0:
         from lssp_tpu.sparse.convert import bsr_to_bdia
         n = nrowb * bs

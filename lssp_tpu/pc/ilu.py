@@ -45,24 +45,17 @@ def make_ilu_pc(L, U, name, sweeps=None, transpose=False):
     sweeps=None: auto — 6 on the TPU backend, exact elsewhere.
     transpose=True additionally installs the exact M⁻ᵀ apply (BiCG/QMR);
     the Neumann path supports it with no extra state."""
+    from lssp_tpu.ops.trisolve import default_ilu_sweeps, neumann_exact_depth
     if sweeps is None:
-        import jax
-        sweeps = 6 if jax.default_backend() == "tpu" else 0
+        sweeps = default_ilu_sweeps()
     if sweeps == -1:
-        # dependency depth of the strict factors = sweeps needed for the
-        # finite Neumann series to terminate exactly
-        from lssp_tpu.ops.trisolve import _compute_levels
-        import numpy as np
         from lssp_tpu.sparse.utils import split_ldu
-        depth = 1
+        tris = []
         for T, lower in ((L, True), (U, False)):
             Ls, _, Us = split_ldu(T)
             S = Ls if lower else Us
-            lev = _compute_levels(np.asarray(S.indptr, np.int64),
-                                  np.asarray(S.indices, np.int64),
-                                  T.shape[0], lower)
-            depth = max(depth, int(lev.max()) + 1 if len(lev) else 1)
-        sweeps = depth
+            tris.append((S.indptr, S.indices, T.shape[0], lower))
+        sweeps = neumann_exact_depth(tris)
     if sweeps > 0:
         state = make_neumann_tri(L, U, sweeps=sweeps)
         return Preconditioner(_neumann_apply_fn, state=state,

@@ -47,8 +47,8 @@ def _pc_options_key(pc_options):
     parts = []
     for f in dataclasses.fields(pc_options):
         v = getattr(pc_options, f.name)
-        if isinstance(v, (np.ndarray, list, tuple)) and not isinstance(
-                v, str):
+        if (hasattr(v, "__array__") or isinstance(v, (list, tuple))) \
+                and not isinstance(v, str):
             try:
                 a = np.asarray(v)
                 parts.append((f.name, a.shape, str(a.dtype),
