@@ -45,6 +45,9 @@ def main():
                     help="force full problem sizes (config 5 at 1M rows)")
     ap.add_argument("--small", action="store_true",
                     help="force reduced sizes (CI/CPU scale)")
+    ap.add_argument("--xl", action="store_true",
+                    help="add the chip-max stretch config (16.8M-row "
+                         "anisotropic Poisson, CG+saamg)")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--json", action="store_true", help="JSON-lines output")
     ap.add_argument("--out", default=None,
@@ -104,6 +107,12 @@ def main():
              gen=lambda: anisotropic_poisson_2d(
                  1024 if full else 256, dtype=dtype)),
     ]
+    if args.xl:
+        # chip-max stretch: 16.8M rows ~ the largest fp32+fp64 pair one
+        # v5e chip holds with the saamg hierarchy
+        configs.append(dict(
+            name="cg_saamg_aniso_16m", method="cg", pc="saamg",
+            gen=lambda: anisotropic_poisson_2d(4096, dtype=dtype)))
 
     out_f = open(args.out, "a") if args.out else None
     results = []
