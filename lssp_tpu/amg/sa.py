@@ -54,14 +54,18 @@ class SALevel:
     degree: int         # static
     n_next: int         # static: (padded) size of the next level, 0 at bottom
     grid: Any = None    # static: (gy, gx) for 2-D box aggregation, or None
+    tri: Any = None     # (dl, d, du) of the level operator — LINE smoother
+                        # only (strong-direction tridiagonal part, solved
+                        # per sweep by parallel cyclic reduction)
 
 
 jax.tree_util.register_pytree_node(
     SALevel,
-    lambda l: ((l.A, l.B, l.C, l.dinv),
+    lambda l: ((l.A, l.B, l.C, l.dinv, l.tri),
                (l.lmax, l.g, l.smoother, l.degree, l.n_next, l.grid)),
-    lambda aux, c: SALevel(*c, lmax=aux[0], g=aux[1], smoother=aux[2],
-                           degree=aux[3], n_next=aux[4], grid=aux[5]))
+    lambda aux, c: SALevel(*c[:4], tri=c[4], lmax=aux[0], g=aux[1],
+                           smoother=aux[2], degree=aux[3], n_next=aux[4],
+                           grid=aux[5]))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -210,13 +214,19 @@ def sa_setup(A: CSR, g: int = 4, max_levels: int = 12,
     # built at (for reshape bookkeeping)
     dev = []
     for i, (Ah, B, C, dinv, lmax, n_c, gr) in enumerate(levels):
+        A_dia = _to_dia(Ah, dtype, max_diags)
+        tri = None
+        if smoother == "line":
+            from lssp_tpu.ops.tridiag import tridiag_parts
+            dl, d0, du = tridiag_parts(A_dia)
+            tri = (jnp.asarray(dl), jnp.asarray(d0), jnp.asarray(du))
         dev.append(SALevel(
-            A=_to_dia(Ah, dtype, max_diags),
+            A=A_dia,
             B=_to_dia(B, dtype, max_diags) if B is not None else None,
             C=_to_dia(C, dtype, max_diags) if C is not None else None,
             dinv=jnp.asarray(dinv.astype(dtype)),
             lmax=float(lmax), g=g, smoother=smoother, degree=degree,
-            n_next=n_c, grid=gr))
+            n_next=n_c, grid=gr, tri=tri))
     coarse_inv = jnp.asarray(np.linalg.inv(Al.toarray()).astype(dtype))
     return SAHierarchy(levels=tuple(dev), coarse_inv=coarse_inv,
                        n_top=n_top)
@@ -228,6 +238,17 @@ def sa_setup(A: CSR, g: int = 4, max_levels: int = 12,
 
 def _smooth(lev: SALevel, x, b):
     if lev.degree <= 0:
+        return x
+    if lev.smoother == "line" and lev.tri is not None:
+        # damped LINE Jacobi: solve whole strong-direction tridiagonal
+        # lines each sweep (parallel cyclic reduction — log-depth VPU
+        # streaming).  Point smoothers cannot damp errors smooth along the
+        # strong coupling of an anisotropic operator, which is what makes
+        # iteration counts grow with size; line sweeps restore robustness.
+        from lssp_tpu.ops.tridiag import pcr_solve
+        dl, d0, du = lev.tri
+        for _ in range(lev.degree):
+            x = x + 0.7 * pcr_solve(dl, d0, du, b - spmv(lev.A, x))
         return x
     if lev.smoother == "jacobi":
         for _ in range(lev.degree):

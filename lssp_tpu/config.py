@@ -127,6 +127,9 @@ class PCOptions:
     amg_smooth_interp: bool = True        # Jacobi-smoothed+truncated P
     amg_trunc: float = 0.2                # interpolation truncation
     amg_smoother: str = "chebyshev"       # "jacobi" | "chebyshev" | "l1jacobi"
+                                          # | "line" (saamg only: damped
+                                          # line Jacobi, PCR tridiagonal
+                                          # solves - the anisotropic fix)
     amg_cycles: int = 1                   # V-cycles per PC application
     amg_force_classical: bool = False     # keep classical AMG on TPU (by
                                           # default pc="amg" on the TPU

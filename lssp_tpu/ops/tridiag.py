@@ -1,0 +1,110 @@
+"""Batched tridiagonal solves via parallel cyclic reduction (PCR).
+
+The TPU-native tridiagonal solver: the Thomas algorithm is a sequential
+recurrence (unrunnable on SIMD hardware, like the triangular solves —
+SURVEY §7 "hard parts"), but PCR eliminates the couplings in log2(n)
+full-width steps, each a handful of shifted elementwise ops — pure VPU +
+HBM streaming, zero gathers (shifts are pads + static slices, the same
+trick as the DIA SpMV).
+
+Used by the multigrid LINE smoother (amg/sa.py): for strongly anisotropic
+operators, point smoothers (Jacobi/Chebyshev) cannot damp errors that are
+smooth along the strong direction, which is why iteration counts explode
+with problem size; solving whole strong-direction lines restores
+size-robust convergence (the standard structured-multigrid answer, here
+with the TPU-friendly solver).
+
+Zero off-diagonals decouple the system into independent lines
+automatically, so a (n,) tridiagonal whose couplings vanish at grid-row
+boundaries IS the batched per-line solve — no reshaping or line
+bookkeeping needed.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _shift(a, s):
+    """a shifted by s along the last axis, zero-filled (static s)."""
+    n = a.shape[-1]
+    if s == 0:
+        return a
+    if s > 0:        # a[..., i - s]
+        pad = [(0, 0)] * (a.ndim - 1) + [(s, 0)]
+        return jnp.pad(a, pad)[..., :n]
+    pad = [(0, 0)] * (a.ndim - 1) + [(0, -s)]
+    return jnp.pad(a, pad)[..., -n:]
+
+
+@functools.partial(jax.jit, static_argnames=("steps",))
+def pcr_solve(dl, d, du, b, steps=None):
+    """Solve T x = b for a (batch of) tridiagonal system(s).
+
+    ``dl``/``d``/``du``: sub-/main-/super-diagonal, shape (..., n) with
+    ``dl[..., 0] == 0`` and ``du[..., n-1] == 0`` (standard banded layout);
+    ``b``: right-hand side(s), same shape.  Returns x.
+
+    Parallel cyclic reduction: at step k (stride s = 2^k) each equation i
+    eliminates its couplings to i±s using rows i±s, doubling the coupling
+    distance; after ceil(log2(n)) steps the system is diagonal.  Work is
+    O(n log n) instead of Thomas's O(n), but every step is full-width
+    vector arithmetic — the right trade on a machine with no fast serial
+    path.  Numerically stable for diagonally dominant systems (the line
+    -smoother case: grid operators are).
+    """
+    n = d.shape[-1]
+    if steps is None:
+        steps = max(1, int(np.ceil(np.log2(max(n, 2)))))
+
+    # alpha eliminates the coupling to i-s, beta to i+s; out-of-range
+    # neighbours are zero-filled and their dl/du are 0 there, so boundary
+    # updates vanish automatically (garbage alphas at the edges only ever
+    # multiply those zeros).  The stride doubles each step; the log-depth
+    # loop is unrolled statically (steps <= ~25 for any practical n).
+    s = 1
+    for _ in range(steps):
+        d_l = _shift(d, s)       # d[i-s]
+        d_r = _shift(d, -s)      # d[i+s]
+        dl_l = _shift(dl, s)
+        du_r = _shift(du, -s)
+        b_l = _shift(b, s)
+        b_r = _shift(b, -s)
+        dl_r = _shift(dl, -s)
+        du_l = _shift(du, s)
+        safe_l = jnp.where(d_l == 0, 1.0, d_l)
+        safe_r = jnp.where(d_r == 0, 1.0, d_r)
+        alpha = -dl / safe_l
+        beta = -du / safe_r
+        d = d + alpha * du_l + beta * dl_r
+        b_new = b + alpha * b_l + beta * b_r
+        dl = alpha * dl_l
+        du = beta * du_r
+        b = b_new
+        s *= 2
+    return b / jnp.where(d == 0, 1.0, d)
+
+
+def tridiag_parts(A_dia):
+    """Extract (dl, d, du) from a DIA container (offsets must include 0;
+    -1/+1 taken when present, zeros otherwise) — the line-smoother setup."""
+    offs = A_dia.offsets
+    data = np.asarray(A_dia.data)
+    n = A_dia.shape[0]
+
+    def diag(off):
+        if off in offs:
+            return data[offs.index(off)].copy()
+        return np.zeros(n, dtype=data.dtype)
+
+    d = diag(0)
+    # row-aligned convention: data[d, i] = A[i, i+off] ⇒ the subdiagonal
+    # entry of ROW i is A[i, i-1] = data(-1)[i], the superdiagonal
+    # A[i, i+1] = data(+1)[i]; banded layout wants dl[0] = du[n-1] = 0,
+    # which the DIA storage already guarantees (out-of-range slots are 0)
+    dl = diag(-1)
+    du = diag(1)
+    return dl, d, du

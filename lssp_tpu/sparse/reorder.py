@@ -63,6 +63,37 @@ def band_coverage(A: CSR, max_diags: int = 256,
     return band_occupancy(A, max_diags=max_diags, min_occ=min_occ)
 
 
+def grid_transpose_perm(A: CSR, factor: float = 3.0) -> Optional[np.ndarray]:
+    """Detect a row-major 5-point grid operator whose STRONG coupling runs
+    along the stride-N (y) direction and return the grid-transpose
+    permutation that makes the strong direction contiguous — or None.
+
+    Why: the structured-SA multigrid aggregates CONTIGUOUS index ranges,
+    i.e. it semicoarsens the x direction.  For a strong-y anisotropic
+    operator that is the wrong direction and iteration counts blow up
+    (measured 137 vs 34 CG+saamg iterations at 256², ε=100); transposing
+    the grid ordering once at setup fixes it with zero runtime cost (the
+    facade solves the permuted system like any other reorder)."""
+    n = A.shape[0]
+    ip = np.asarray(A.indptr).astype(np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), ip[1:] - ip[:-1])
+    d = np.asarray(A.indices).astype(np.int64) - rows
+    offs = np.unique(d)
+    pos = offs[offs > 1]
+    if len(pos) != 1:
+        return None
+    N = int(pos[0])
+    if N < 2 or n % N or not set(offs.tolist()) <= {-N, -1, 0, 1, N}:
+        return None
+    dat = np.abs(np.asarray(A.data))
+    m1 = dat[np.abs(d) == 1].mean() if (np.abs(d) == 1).any() else 0.0
+    mN = dat[np.abs(d) == N].mean() if (np.abs(d) == N).any() else 0.0
+    if m1 == 0.0 or mN < factor * m1:
+        return None
+    Ny = n // N
+    return np.arange(n, dtype=np.int64).reshape(Ny, N).T.ravel()
+
+
 def maybe_rcm(A: CSR, max_diags: int = 256,
               dia_fill: float = 50.0) -> Tuple[CSR, Optional[np.ndarray]]:
     """Return (possibly reordered A, perm or None).
@@ -72,8 +103,13 @@ def maybe_rcm(A: CSR, max_diags: int = 256,
     nnz — generous because streaming zeros beats gathering), or — the HYB
     criterion — when RCM materially concentrates the nnz onto a streamable
     band (coverage ≥ 0.5 and clearly better than the original ordering).
+    Grid operators with dominant stride-N coupling get the grid-transpose
+    normalization instead (see grid_transpose_perm).
     """
     n = A.shape[0]
+    gt = grid_transpose_perm(A)
+    if gt is not None:
+        return permute_symmetric(A, gt), gt
     nd = num_diagonals(A)
     if nd <= max_diags and nd * n <= dia_fill * max(A.nnz, 1):
         return A, None

@@ -107,3 +107,19 @@ class TestBoxAggregation:
         x, info = solve(A, b, method="cg", pc="saamg",
                         pc_options=PCOptions(saamg_grid=(100, 7)))
         assert bool(info.converged)
+
+
+def test_line_smoother_converges():
+    """amg_smoother='line': damped line Jacobi via PCR tridiagonal solves
+    (the anisotropic smoother option)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import lssp_tpu as lt
+    A = lt.sparse.anisotropic_poisson_2d(64, epsilon=0.01)
+    b = jnp.ones(A.shape[0], dtype=jnp.float64)
+    o = lt.SolverOptions(rtol=1e-8, atol=0.0, rbtol=0.0, maxit=500)
+    x, info = lt.solve_ir(A, b, method="cg", pc="saamg", options=o,
+                          pc_options=lt.PCOptions(amg_smoother="line"))
+    assert bool(info.converged)
+    res = float(np.linalg.norm(np.asarray(b) - A.to_scipy() @ np.asarray(x)))
+    assert res <= 1.1e-8 * 64 + 1e-10

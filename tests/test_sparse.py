@@ -251,3 +251,52 @@ class TestHYB:
         assert bool(info.converged)
         res = np.linalg.norm(np.asarray(b) - A.to_scipy() @ np.asarray(x))
         assert res < 1e-5
+
+
+class TestGridTranspose:
+    """Grid-transpose normalization for strong-y anisotropy (the
+    structured-SA aggregates are contiguous = x-direction; the strong
+    direction must be made contiguous at reorder time)."""
+
+    def test_detects_strong_y(self):
+        import lssp_tpu as lt
+        from lssp_tpu.sparse.reorder import grid_transpose_perm, maybe_rcm
+        A = lt.sparse.anisotropic_poisson_2d(32, epsilon=100.0)
+        p = grid_transpose_perm(A)
+        assert p is not None
+        # transpose of a 32x32 row-major grid
+        np.testing.assert_array_equal(
+            p, np.arange(1024).reshape(32, 32).T.ravel())
+        B, perm = maybe_rcm(A)
+        assert perm is not None
+        # the permuted operator is strong along ±1 now
+        p2 = grid_transpose_perm(B)
+        assert p2 is None
+
+    def test_leaves_strong_x_and_isotropic_alone(self):
+        import lssp_tpu as lt
+        from lssp_tpu.sparse.reorder import grid_transpose_perm
+        assert grid_transpose_perm(
+            lt.sparse.anisotropic_poisson_2d(32, epsilon=0.01)) is None
+        assert grid_transpose_perm(lt.sparse.laplacian_2d(32)) is None
+
+    def test_saamg_iterations_improve(self):
+        import lssp_tpu as lt
+        from lssp_tpu.sparse.reorder import maybe_rcm
+        from lssp_tpu.sparse.types import CSR
+        A = lt.sparse.anisotropic_poisson_2d(64, epsilon=100.0)
+        n = A.shape[0]
+        b = jnp.ones(n, dtype=jnp.float64)
+        o = lt.SolverOptions(rtol=1e-8, atol=0.0, rbtol=0.0, maxit=2000)
+        _, i_raw = lt.solve_ir(A, b, method="cg", pc="saamg", options=o,
+                               reorder=None)
+        At, perm = maybe_rcm(A)
+        assert perm is not None
+        bt = jnp.asarray(np.asarray(b)[perm])
+        x, i_t = lt.solve_ir(At, bt, method="cg", pc="saamg", options=o,
+                             reorder=None)
+        assert bool(i_t.converged)
+        assert int(i_t.nits) < 0.6 * int(i_raw.nits)
+        res = float(np.linalg.norm(np.asarray(bt)
+                                   - At.to_scipy() @ np.asarray(x)))
+        assert res <= 1.1e-8 * np.sqrt(n) + 1e-10
