@@ -112,7 +112,8 @@ def main():
         # v5e chip holds with the saamg hierarchy
         configs.append(dict(
             name="cg_saamg_aniso_16m", method="cg", pc="saamg",
-            gen=lambda: anisotropic_poisson_2d(4096, dtype=dtype)))
+            gen=lambda: anisotropic_poisson_2d(4096 if full else 512,
+                                               dtype=dtype)))
 
     out_f = open(args.out, "a") if args.out else None
     results = []

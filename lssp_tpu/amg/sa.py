@@ -217,9 +217,19 @@ def sa_setup(A: CSR, g: int = 4, max_levels: int = 12,
         A_dia = _to_dia(Ah, dtype, max_diags)
         tri = None
         if smoother == "line":
-            from lssp_tpu.ops.tridiag import tridiag_parts
-            dl, d0, du = tridiag_parts(A_dia)
-            tri = (jnp.asarray(dl), jnp.asarray(d0), jnp.asarray(du))
+            from lssp_tpu.sparse.types import DIA
+            if isinstance(A_dia, DIA):
+                from lssp_tpu.ops.tridiag import tridiag_parts
+                dl, d0, du = tridiag_parts(A_dia)
+                tri = (jnp.asarray(dl), jnp.asarray(d0), jnp.asarray(du))
+            else:
+                # level fell back to ELL (too many diagonals): no
+                # tridiagonal part to extract — _smooth uses Chebyshev
+                # there (tri=None), warn once at setup
+                from lssp_tpu.utils.log import warning
+                warning(f"saamg level {i}: line smoother unavailable on a "
+                        "non-DIA level (too many diagonals); using "
+                        "Chebyshev for this level")
         dev.append(SALevel(
             A=A_dia,
             B=_to_dia(B, dtype, max_diags) if B is not None else None,

@@ -204,11 +204,19 @@ def _build_dist_pc(A: CSR, pc_type, pc_opts: PCOptions, Pn: int, R: int,
         return "amg", h
     if pc_type == "saamg":
         from lssp_tpu.parallel.dist_sa import build_dist_sa
+        sm = pc_opts.amg_smoother
+        if sm == "l1jacobi":
+            sm = "jacobi"
+        elif sm == "line":
+            from lssp_tpu.utils.log import warning
+            warning("distributed saamg has no line smoother yet; using "
+                    "chebyshev (reorder the strong direction contiguous "
+                    "and rely on semicoarsening instead)")
+            sm = "chebyshev"
         h = build_dist_sa(A, Pn, g=pc_opts.saamg_aggregate,
                           max_levels=pc_opts.amg_max_levels,
                           coarse_size=pc_opts.amg_coarse_size,
-                          smoother=pc_opts.amg_smoother
-                          if pc_opts.amg_smoother != "l1jacobi" else "jacobi",
+                          smoother=sm,
                           smooth_levels=2,
                           degree=smoother_degree(
                               pc_opts.amg_presmooth,

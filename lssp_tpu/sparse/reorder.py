@@ -63,7 +63,8 @@ def band_coverage(A: CSR, max_diags: int = 256,
     return band_occupancy(A, max_diags=max_diags, min_occ=min_occ)
 
 
-def grid_transpose_perm(A: CSR, factor: float = 3.0) -> Optional[np.ndarray]:
+def grid_transpose_perm(A: CSR, factor: float = 3.0,
+                        _doffs=None) -> Optional[np.ndarray]:
     """Detect a row-major 5-point grid operator whose STRONG coupling runs
     along the stride-N (y) direction and return the grid-transpose
     permutation that makes the strong direction contiguous — or None.
@@ -75,10 +76,13 @@ def grid_transpose_perm(A: CSR, factor: float = 3.0) -> Optional[np.ndarray]:
     the grid ordering once at setup fixes it with zero runtime cost (the
     facade solves the permuted system like any other reorder)."""
     n = A.shape[0]
-    ip = np.asarray(A.indptr).astype(np.int64)
-    rows = np.repeat(np.arange(n, dtype=np.int64), ip[1:] - ip[:-1])
-    d = np.asarray(A.indices).astype(np.int64) - rows
-    offs = np.unique(d)
+    if _doffs is not None:
+        d, offs = _doffs
+    else:
+        ip = np.asarray(A.indptr).astype(np.int64)
+        rows = np.repeat(np.arange(n, dtype=np.int64), ip[1:] - ip[:-1])
+        d = np.asarray(A.indices).astype(np.int64) - rows
+        offs = np.unique(d)
     pos = offs[offs > 1]
     if len(pos) != 1:
         return None
@@ -107,10 +111,16 @@ def maybe_rcm(A: CSR, max_diags: int = 256,
     normalization instead (see grid_transpose_perm).
     """
     n = A.shape[0]
-    gt = grid_transpose_perm(A)
+    # one offset scan shared by the grid-transpose check and the
+    # diagonal-count gate (these are O(nnz log nnz) on the host)
+    ip = np.asarray(A.indptr).astype(np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), ip[1:] - ip[:-1])
+    dvec = np.asarray(A.indices).astype(np.int64) - rows
+    offs = np.unique(dvec)
+    gt = grid_transpose_perm(A, _doffs=(dvec, offs))
     if gt is not None:
         return permute_symmetric(A, gt), gt
-    nd = num_diagonals(A)
+    nd = len(offs)
     if nd <= max_diags and nd * n <= dia_fill * max(A.nnz, 1):
         return A, None
     perm = rcm_permutation(A)

@@ -283,7 +283,6 @@ class TestGridTranspose:
     def test_saamg_iterations_improve(self):
         import lssp_tpu as lt
         from lssp_tpu.sparse.reorder import maybe_rcm
-        from lssp_tpu.sparse.types import CSR
         A = lt.sparse.anisotropic_poisson_2d(64, epsilon=100.0)
         n = A.shape[0]
         b = jnp.ones(n, dtype=jnp.float64)
