@@ -37,14 +37,17 @@ class DistSALevel:
     g: int              # static
     smoother: str       # static
     degree: int         # static
+    tri: Any = None     # (dl, d, du) each (P, R_l) — LINE smoother (only
+                        # when no line crosses a shard boundary, checked
+                        # at build time; shard-local PCR is then exact)
 
 
 jax.tree_util.register_pytree_node(
     DistSALevel,
-    lambda l: ((l.A, l.B, l.C, l.dinv),
+    lambda l: ((l.A, l.B, l.C, l.dinv, l.tri),
                (l.lmax, l.g, l.smoother, l.degree)),
-    lambda aux, c: DistSALevel(*c, lmax=aux[0], g=aux[1], smoother=aux[2],
-                               degree=aux[3]))
+    lambda aux, c: DistSALevel(*c[:4], tri=c[4], lmax=aux[0], g=aux[1],
+                               smoother=aux[2], degree=aux[3]))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -90,6 +93,32 @@ def planned_padded_size(n: int, nshards: int, g: int = 4,
         n0 = n1
 
 
+def _dist_tri_parts(Ah, nshards: int, dtype):
+    """(dl, d, du) stacked (P, R) for the shard-local line smoother, or
+    None when a ±1 coupling crosses a shard boundary (shard-local PCR
+    would then be inexact — fall back to Chebyshev).  Grid operators
+    partitioned on whole grid rows satisfy the check automatically (the
+    ±1 entries at line ends are structural zeros)."""
+    from lssp_tpu.ops.tridiag import tridiag_parts
+    from lssp_tpu.sparse.convert import csr_to_dia
+
+    nl = Ah.shape[0]
+    R = nl // nshards
+    try:
+        A_dia = csr_to_dia(CSR.from_scipy(Ah.astype(np.float64)),
+                           max_diags=96)
+    except ValueError:
+        return None
+    dl, d0, du = tridiag_parts(A_dia)
+    # boundary check: row pR must not couple to pR-1 and row pR-1 not to pR
+    cuts = np.arange(1, nshards) * R
+    if np.any(dl[cuts] != 0) or np.any(du[cuts - 1] != 0):
+        return None
+    return (jnp.asarray(dl.astype(dtype).reshape(nshards, R)),
+            jnp.asarray(d0.astype(dtype).reshape(nshards, R)),
+            jnp.asarray(du.astype(dtype).reshape(nshards, R)))
+
+
 def build_dist_sa(A: CSR, nshards: int, g: int = 4, max_levels: int = 12,
                   coarse_size: int = 512, smoother: str = "chebyshev",
                   degree: int = 2, filter_tol: float = 1e-3,
@@ -111,6 +140,14 @@ def build_dist_sa(A: CSR, nshards: int, g: int = 4, max_levels: int = 12,
     for (Ah, B, C, dinv, lmax, n_c, _gr) in levels:
         nl = Ah.shape[0]
         assert nl % nshards == 0 and (nl // nshards) % g == 0
+        tri = None
+        if smoother == "line":
+            tri = _dist_tri_parts(Ah, nshards, dtype)
+            if tri is None:
+                from lssp_tpu.utils.log import warning
+                warning("distributed saamg: a ±1 coupling crosses a shard "
+                        "boundary on a level — line smoother unavailable, "
+                        "using chebyshev there")
         dlev.append(DistSALevel(
             A=partition_matrix(CSR.from_scipy(Ah.astype(dtype)), nshards),
             B=(partition_matrix(CSR.from_scipy(B.astype(dtype)), nshards)
@@ -118,7 +155,8 @@ def build_dist_sa(A: CSR, nshards: int, g: int = 4, max_levels: int = 12,
             C=(partition_matrix(CSR.from_scipy(C.astype(dtype)), nshards)
                if C is not None else None),
             dinv=jnp.asarray(dinv.astype(dtype).reshape(nshards, -1)),
-            lmax=float(lmax), g=g, smoother=smoother, degree=degree))
+            lmax=float(lmax), g=g, smoother=smoother, degree=degree,
+            tri=tri))
     nc = Al.shape[0]
     nc_pad = ((nc + nshards - 1) // nshards) * nshards
     ci = np.zeros((nc_pad, nc_pad), dtype=dtype)
@@ -132,6 +170,14 @@ def dist_sa_vcycle(h: DistSA, b_local, axis: str):
     ``h`` are the per-shard slices)."""
 
     def smooth(lev, Aop, x_l, b_l):
+        if lev.smoother == "line" and lev.tri is not None:
+            # damped line Jacobi, shard-local PCR (exact: build time
+            # verified that no line crosses a shard boundary)
+            from lssp_tpu.ops.tridiag import pcr_solve
+            dl, d0, du = lev.tri
+            for _ in range(lev.degree):
+                x_l = x_l + 0.7 * pcr_solve(dl, d0, du, b_l - Aop(x_l))
+            return x_l
         if lev.smoother == "jacobi" or lev.lmax <= 0:
             for _ in range(lev.degree):
                 x_l = x_l + (2.0 / 3.0) * lev.dinv * (b_l - Aop(x_l))

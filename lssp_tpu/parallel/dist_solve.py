@@ -207,12 +207,9 @@ def _build_dist_pc(A: CSR, pc_type, pc_opts: PCOptions, Pn: int, R: int,
         sm = pc_opts.amg_smoother
         if sm == "l1jacobi":
             sm = "jacobi"
-        elif sm == "line":
-            from lssp_tpu.utils.log import warning
-            warning("distributed saamg has no line smoother yet; using "
-                    "chebyshev (reorder the strong direction contiguous "
-                    "and rely on semicoarsening instead)")
-            sm = "chebyshev"
+        # "line" passes through: build_dist_sa verifies per level that no
+        # line crosses a shard boundary (shard-local PCR is then exact)
+        # and falls back to Chebyshev with a warning otherwise
         h = build_dist_sa(A, Pn, g=pc_opts.saamg_aggregate,
                           max_levels=pc_opts.amg_max_levels,
                           coarse_size=pc_opts.amg_coarse_size,

@@ -479,3 +479,23 @@ class TestDistNeumannILU:
         assert bool(info.converged)
         res = np.linalg.norm(b - A.to_scipy() @ np.asarray(x))
         assert res <= 1e-4
+
+
+def test_dist_saamg_line_smoother(mesh8):
+    """Distributed line smoother: shard-local PCR tridiagonal sweeps
+    (valid because grid partitions keep whole lines in one shard)."""
+    import lssp_tpu as lt
+    A = lt.sparse.anisotropic_poisson_2d(32, epsilon=0.01)
+    b = jnp.ones(A.shape[0], dtype=jnp.float64)
+    x, info = dist_solve(A, b, method="cg", pc="saamg", mesh=mesh8,
+                         options=SolverOptions(maxit=300),
+                         pc_options=PCOptions(amg_smoother="line"))
+    assert bool(info.converged)
+    res = np.linalg.norm(b - A.to_scipy() @ np.asarray(x))
+    assert res <= 2e-6
+    # iteration count close to the single-device line-smoothed solve
+    _, i1 = lt.solve(A, b, method="cg",
+                     M=__import__("lssp_tpu").pc.setup(
+                         A, "saamg", PCOptions(amg_smoother="line")),
+                     options=lt.SolverOptions(maxit=300), reorder=None)
+    assert abs(int(info.nits) - int(i1.nits)) <= 4
