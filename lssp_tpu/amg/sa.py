@@ -255,11 +255,9 @@ def _smooth(lev: SALevel, x, b):
         # streaming).  Point smoothers cannot damp errors smooth along the
         # strong coupling of an anisotropic operator, which is what makes
         # iteration counts grow with size; line sweeps restore robustness.
-        from lssp_tpu.ops.tridiag import pcr_solve
-        dl, d0, du = lev.tri
-        for _ in range(lev.degree):
-            x = x + 0.7 * pcr_solve(dl, d0, du, b - spmv(lev.A, x))
-        return x
+        from lssp_tpu.ops.tridiag import line_jacobi_sweeps
+        return line_jacobi_sweeps(lev.tri, lambda v: spmv(lev.A, v), x, b,
+                                  lev.degree)
     if lev.smoother == "jacobi":
         for _ in range(lev.degree):
             x = x + (2.0 / 3.0) * lev.dinv * (b - spmv(lev.A, x))

@@ -108,3 +108,14 @@ def tridiag_parts(A_dia):
     dl = diag(-1)
     du = diag(1)
     return dl, d, du
+
+
+def line_jacobi_sweeps(tri, Aop, x, b, degree: int, damping: float = 0.7):
+    """Damped line-Jacobi smoothing: ``degree`` sweeps of
+    ``x += damping * T^{-1}(b - A x)`` with T the strong-direction
+    tridiagonal part — THE shared kernel for the single-device and
+    distributed saamg line smoothers (one copy of the damping constant)."""
+    dl, d0, du = tri
+    for _ in range(degree):
+        x = x + damping * pcr_solve(dl, d0, du, b - Aop(x))
+    return x

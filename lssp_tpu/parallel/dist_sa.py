@@ -98,18 +98,16 @@ def _dist_tri_parts(Ah, nshards: int, dtype):
     None when a ±1 coupling crosses a shard boundary (shard-local PCR
     would then be inexact — fall back to Chebyshev).  Grid operators
     partitioned on whole grid rows satisfy the check automatically (the
-    ±1 entries at line ends are structural zeros)."""
-    from lssp_tpu.ops.tridiag import tridiag_parts
-    from lssp_tpu.sparse.convert import csr_to_dia
+    ±1 entries at line ends are structural zeros).
 
+    O(nnz) extraction via the scipy diagonals — only the ±1/0 couplings
+    matter here (the smoother's SpMV runs on the separately partitioned
+    operator), so no DIA densification or diagonal-count cap applies."""
     nl = Ah.shape[0]
     R = nl // nshards
-    try:
-        A_dia = csr_to_dia(CSR.from_scipy(Ah.astype(np.float64)),
-                           max_diags=96)
-    except ValueError:
-        return None
-    dl, d0, du = tridiag_parts(A_dia)
+    d0 = np.asarray(Ah.diagonal(0))
+    dl = np.zeros(nl); dl[1:] = Ah.diagonal(-1)   # dl[i] = A[i, i-1]
+    du = np.zeros(nl); du[:-1] = Ah.diagonal(1)   # du[i] = A[i, i+1]
     # boundary check: row pR must not couple to pR-1 and row pR-1 not to pR
     cuts = np.arange(1, nshards) * R
     if np.any(dl[cuts] != 0) or np.any(du[cuts - 1] != 0):
@@ -142,12 +140,12 @@ def build_dist_sa(A: CSR, nshards: int, g: int = 4, max_levels: int = 12,
         assert nl % nshards == 0 and (nl // nshards) % g == 0
         tri = None
         if smoother == "line":
+            from lssp_tpu.utils.log import warning
             tri = _dist_tri_parts(Ah, nshards, dtype)
             if tri is None:
-                from lssp_tpu.utils.log import warning
-                warning("distributed saamg: a ±1 coupling crosses a shard "
-                        "boundary on a level — line smoother unavailable, "
-                        "using chebyshev there")
+                warning(f"distributed saamg level {len(dlev)}: a ±1 "
+                        "coupling crosses a shard boundary — line smoother "
+                        "unavailable, using chebyshev there")
         dlev.append(DistSALevel(
             A=partition_matrix(CSR.from_scipy(Ah.astype(dtype)), nshards),
             B=(partition_matrix(CSR.from_scipy(B.astype(dtype)), nshards)
@@ -173,11 +171,8 @@ def dist_sa_vcycle(h: DistSA, b_local, axis: str):
         if lev.smoother == "line" and lev.tri is not None:
             # damped line Jacobi, shard-local PCR (exact: build time
             # verified that no line crosses a shard boundary)
-            from lssp_tpu.ops.tridiag import pcr_solve
-            dl, d0, du = lev.tri
-            for _ in range(lev.degree):
-                x_l = x_l + 0.7 * pcr_solve(dl, d0, du, b_l - Aop(x_l))
-            return x_l
+            from lssp_tpu.ops.tridiag import line_jacobi_sweeps
+            return line_jacobi_sweeps(lev.tri, Aop, x_l, b_l, lev.degree)
         if lev.smoother == "jacobi" or lev.lmax <= 0:
             for _ in range(lev.degree):
                 x_l = x_l + (2.0 / 3.0) * lev.dinv * (b_l - Aop(x_l))

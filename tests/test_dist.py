@@ -499,3 +499,23 @@ def test_dist_saamg_line_smoother(mesh8):
                          A, "saamg", PCOptions(amg_smoother="line")),
                      options=lt.SolverOptions(maxit=300), reorder=None)
     assert abs(int(info.nits) - int(i1.nits)) <= 4
+
+
+def test_dist_line_smoother_boundary_fallback(mesh8, capsys):
+    """A 1-D chain partitioned across shards has ±1 couplings at every
+    shard cut: the line smoother must fall back to Chebyshev with a
+    warning and still converge (mixed tri=None levels through shard_map)."""
+    import scipy.sparse as sp
+    n = 512
+    S = sp.diags([-np.ones(n - 1), 2.0 * np.ones(n), -np.ones(n - 1)],
+                 [-1, 0, 1], format="csr")
+    A = CSR.from_scipy(S)
+    b = jnp.ones(n, dtype=jnp.float64)
+    x, info = dist_solve(A, b, method="cg", pc="saamg", mesh=mesh8,
+                         options=SolverOptions(maxit=1000),
+                         pc_options=PCOptions(amg_smoother="line"))
+    assert bool(info.converged)
+    err = capsys.readouterr().err
+    assert "line smoother unavailable" in err
+    res = np.linalg.norm(b - S @ np.asarray(x))
+    assert res <= 5e-5
