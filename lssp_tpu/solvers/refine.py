@@ -183,7 +183,17 @@ def solve_ir(A, b, x0=None, method: str = "gmres",
     inner_opts = dataclasses.replace(
         opts, rtol=inner_rtol, atol=0.0, rbtol=0.0,
         maxit=min(opts.maxit, 200))
-    fn = get_solver(method)
+    # fp32 inner GMRES must be the RIGHT-preconditioned variant: the
+    # left-preconditioned Givens residual estimate stalls on an fp32 floor
+    # well above inner_rtol with strong preconditioners (measured 854 vs
+    # 60 total inner iterations for gmres vs rgmres with saamg on a 512²
+    # anisotropic Poisson — the estimate floors, the iteration burns
+    # maxit per round).  Right preconditioning tracks the TRUE residual
+    # norm, whose floor sits far lower; the outer fp64 loop is identical
+    # either way (it only consumes the correction).
+    inner_method = {"gmres": "rgmres", "lgmres": "rlgmres"}.get(
+        method.lower(), method)
+    fn = get_solver(inner_method)
 
     if opts.verbosity < 1:
         # fused path: the ENTIRE mixed-precision solve — fp64 residuals,
