@@ -180,9 +180,16 @@ def solve_ir(A, b, x0=None, method: str = "gmres",
     bnorm = float(jnp.linalg.norm(b))
     tol = max(opts.rtol * bnorm, opts.atol)
 
+    # The inner cap bounds the damage when the fp32 attainable-accuracy
+    # floor sits just ABOVE inner_rtol: the solve then stalls and a
+    # generous cap burns hundreds of useless iterations per round (the
+    # outer loop re-measures in fp64 and collects the achieved progress
+    # either way, so cutting a stalled round early costs one cheap fp64
+    # residual).  Healthy inner solves finish in well under 2 restarts.
+    inner_cap = max(2 * opts.restart, 64)
     inner_opts = dataclasses.replace(
         opts, rtol=inner_rtol, atol=0.0, rbtol=0.0,
-        maxit=min(opts.maxit, 200))
+        maxit=min(opts.maxit, inner_cap))
     # fp32 inner GMRES must be the RIGHT-preconditioned variant: the
     # left-preconditioned Givens residual estimate stalls on an fp32 floor
     # well above inner_rtol with strong preconditioners (measured 854 vs
