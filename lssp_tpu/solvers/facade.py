@@ -230,6 +230,70 @@ def solve(A, b, x0=None, method: str = "gmres", pc: Optional[str] = "none",
     return x, info
 
 
+@functools.lru_cache(maxsize=64)
+def _jitted_multi(fn, A_op, M_op):
+    """jit of the rhs-vmapped solver; bare-callable A/M close over like
+    _jitted_closed."""
+    def g(A, Bt, X0t, M, opts):
+        def one(b, x0):
+            return fn(A if A_op is None else A_op, b, x0,
+                      M if M_op is None else M_op, opts=opts)
+        return jax.vmap(one)(Bt, X0t)
+    return jax.jit(g, static_argnames=("opts",))
+
+
+def solve_multi(A, B, X0=None, method: str = "cg",
+                pc: Optional[str] = "none",
+                options: Optional[SolverOptions] = None,
+                pc_options: Optional[PCOptions] = None,
+                M=None, reorder: str = "auto"):
+    """Solve A·X = B for k right-hand sides at once (B: (n, k), columns are
+    the rhs vectors, LAPACK-style).  Returns (X (n, k), SolveInfo whose
+    scalar fields are (k,) arrays — per-rhs iteration counts, residuals,
+    and convergence flags).
+
+    The k solves run as ONE vmapped device program sharing the matrix and
+    preconditioner state: on TPU the batched SpMV reads the matrix once
+    per iteration for ALL rhs (traffic (ndiag·n + 2kn) instead of
+    k·(ndiag·n + 2n)), so many-rhs production serving amortizes the
+    dominant stream.  Each lane runs until the slowest lane's stopping
+    rule is met; per-lane counts report the true individual convergence.
+    No reference analog (the serial library re-solves per rhs,
+    lssp_solver_reset_rhs — which `Solver.reset_rhs` also provides)."""
+    from lssp_tpu.pc.base import Preconditioner
+
+    opts = (options or SolverOptions()).resolved()
+    A_host, A_dev, perm = _prepare_matrix(A, reorder=reorder)
+    if M is None and pc not in (None, "none"):
+        if A_host is None:
+            raise ValueError("preconditioner setup needs a host CSR matrix; "
+                             "pass M= explicitly for operator inputs")
+        if method.lower() in ("bicg", "qmr", "cgnr", "cgn", "lsqr"):
+            pc_options = dataclasses.replace(pc_options or PCOptions(),
+                                             transpose=True)
+        M = pc_mod.setup(A_host, pc, pc_options)
+    fn = get_solver(method)
+    B = jnp.asarray(B)
+    if B.ndim != 2:
+        raise ValueError(f"B must be (n, k) for solve_multi, got {B.shape}")
+    X0 = jnp.zeros_like(B) if X0 is None else jnp.asarray(X0)
+    if perm is not None:
+        B = B[perm, :]
+        X0 = X0[perm, :]
+    a_bare = callable(A_dev) and not hasattr(A_dev, "shape")
+    m_bare = (M is not None and callable(M)
+              and not isinstance(M, Preconditioner))
+    vf = _jitted_multi(fn, A_dev if a_bare else None, M if m_bare else None)
+    X, info = vf(None if a_bare else A_dev, B.T, X0.T,
+                 None if m_bare else M, opts=opts)
+    X = X.T
+    if perm is not None:
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm))
+        X = X[inv, :]
+    return X, info
+
+
 class Solver:
     """Lifecycle API with reference-parity setters
     (/root/reference/src/lssp.cxx:416-535)."""

@@ -388,3 +388,52 @@ def test_solver_set_log(tmp_path):
         set_log(None)
     out = buf.getvalue()
     assert "assemble" in out       # the phase timers reached the log file
+
+
+class TestSolveMulti:
+    """Multiple right-hand sides as one vmapped device program (production
+    serving: the batched SpMV reads the matrix once per iteration for all
+    rhs)."""
+
+    def test_matches_per_rhs_solves(self):
+        import numpy as np
+        import jax.numpy as jnp
+        import lssp_tpu as lt
+        A = lt.sparse.laplacian_2d(24)
+        n = A.shape[0]
+        rng = np.random.default_rng(0)
+        B = jnp.asarray(rng.standard_normal((n, 4)))
+        X, info = lt.solve_multi(A, B, method="cg", pc="iluk")
+        assert X.shape == (n, 4)
+        assert info.nits.shape == (4,)
+        S = A.to_scipy()
+        for k in range(4):
+            assert bool(info.converged[k])
+            r = np.linalg.norm(np.asarray(B[:, k]) - S @ np.asarray(X[:, k]))
+            assert r <= 2e-5
+            xk, ik = lt.solve(A, B[:, k], method="cg", pc="iluk")
+            assert int(info.nits[k]) == int(ik.nits)
+            np.testing.assert_allclose(np.asarray(X[:, k]), np.asarray(xk),
+                                       rtol=1e-10, atol=1e-12)
+
+    def test_nonsymmetric_gmres_multi(self):
+        import numpy as np
+        import jax.numpy as jnp
+        import lssp_tpu as lt
+        A = lt.sparse.convection_diffusion_2d(16, beta=10.0)
+        n = A.shape[0]
+        B = jnp.stack([jnp.ones(n), jnp.arange(float(n))], axis=1)
+        X, info = lt.solve_multi(A, B, method="gmres", pc="ilut")
+        S = A.to_scipy()
+        for k in range(2):
+            assert bool(info.converged[k])
+            r = np.linalg.norm(np.asarray(B[:, k]) - S @ np.asarray(X[:, k]))
+            assert r <= 1e-4 * max(1.0, float(jnp.linalg.norm(B[:, k])))
+
+    def test_bad_shape_raises(self):
+        import pytest
+        import jax.numpy as jnp
+        import lssp_tpu as lt
+        A = lt.sparse.laplacian_2d(8)
+        with pytest.raises(ValueError, match="n, k"):
+            lt.solve_multi(A, jnp.ones(64))
