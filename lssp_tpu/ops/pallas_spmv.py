@@ -105,12 +105,46 @@ def _dia_spmv_pallas(data, x, offsets, interpret=False, prepadded=False,
     return y[:n] if pad_n else y
 
 
+@functools.lru_cache(maxsize=None)
+def _vmap_safe_kernel(offsets, interpret, scale):
+    """The Pallas call wrapped with a custom vmap rule: Mosaic's automatic
+    batching rejects the ANY-memspace x operand, and per-lane kernel calls
+    would re-stream the matrix anyway.  Batched invocations (solve_multi)
+    instead run an XLA shifted-stream SpMM that reads the diagonal data
+    ONCE and broadcasts it against the (k, n) rhs block — the many-rhs
+    amortization this batching exists for."""
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def f(data, x):
+        return _dia_spmv_pallas(data, x, offsets, interpret=interpret,
+                                scale=scale)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, data, x):
+        data_b, x_b = in_batched
+        lo = max(0, -min(offsets)) if offsets else 0
+        hi = max(0, max(offsets)) if offsets else 0
+        n = data.shape[-1]
+        dtype = jnp.result_type(data.dtype, x.dtype)
+        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(lo, hi)])
+        y = jnp.zeros(x.shape, dtype=dtype)
+        for d, off in enumerate(offsets):
+            sl = jax.lax.slice_in_dim(xp, lo + off, lo + off + n, axis=-1)
+            dd = data[..., d, :] if data_b else data[d]
+            y = y + dd * sl
+        return (y * scale if scale != 1.0 else y), True
+
+    return f
+
+
 def dia_spmv_pallas(A: DIA, x, interpret: bool = False,
                     scale: float = 1.0):
     """y = scale·A@x via the Pallas stencil kernel (scale folded into the
-    epilogue — zero extra HBM traffic)."""
-    return _dia_spmv_pallas(A.data, x, A.offsets, interpret=interpret,
-                            scale=float(scale))
+    epilogue — zero extra HBM traffic).  vmap-safe: batched calls run the
+    amortized XLA SpMM rule instead (see _vmap_safe_kernel)."""
+    return _vmap_safe_kernel(A.offsets, bool(interpret),
+                             float(scale))(A.data, x)
 
 
 def dia_spmv_pallas_ext(data, x_ext, offsets, interpret: bool = False):
