@@ -133,6 +133,10 @@ def _vmap_safe_kernel(offsets, interpret, scale):
             sl = jax.lax.slice_in_dim(xp, lo + off, lo + off + n, axis=-1)
             dd = data[..., d, :] if data_b else data[d]
             y = y + dd * sl
+        # data-batched with shared x (or empty offsets): y may still carry
+        # no batch axis — broadcast so out_batched=True stays truthful
+        if y.ndim == 1:
+            y = jnp.broadcast_to(y, (axis_size, n))
         return (y * scale if scale != 1.0 else y), True
 
     return f

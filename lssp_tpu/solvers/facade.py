@@ -29,6 +29,24 @@ from lssp_tpu.solvers.registry import get_solver
 from lssp_tpu import pc as pc_mod
 
 
+TRANSPOSE_METHODS = frozenset(("bicg", "qmr", "cgnr", "cgn", "lsqr"))
+
+
+def needs_transpose_pc(method: str) -> bool:
+    """Whether the method applies M^-T (the facade auto-injects
+    PCOptions(transpose=True) for these — ONE list for every entry
+    point)."""
+    return method.lower() in TRANSPOSE_METHODS
+
+
+def _unpermute(x, perm):
+    if perm is None:
+        return x
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm))
+    return x[inv]
+
+
 @functools.cache
 def _jitted(fn):
     return jax.jit(fn, static_argnames=("opts",))
@@ -204,7 +222,7 @@ def solve(A, b, x0=None, method: str = "gmres", pc: Optional[str] = "none",
         if A_host is None:
             raise ValueError("preconditioner setup needs a host CSR matrix; "
                              "pass M= explicitly for operator inputs")
-        if method.lower() in ("bicg", "qmr", "cgnr", "cgn", "lsqr"):
+        if needs_transpose_pc(method):
             # transpose-based methods need the exact M⁻ᵀ apply
             pc_options = dataclasses.replace(pc_options or PCOptions(),
                                              transpose=True)
@@ -217,10 +235,7 @@ def solve(A, b, x0=None, method: str = "gmres", pc: Optional[str] = "none",
         b = b[perm]
         x0 = x0[perm]
     x, info = _dispatch_solve(fn, A_dev, b, x0, M, opts)
-    if perm is not None:
-        inv = np.empty_like(perm)
-        inv[perm] = np.arange(len(perm))
-        x = x[inv]
+    x = _unpermute(x, perm)
     if host_trace:
         history_print_host(info)
         if not user_history:
@@ -263,12 +278,22 @@ def solve_multi(A, B, X0=None, method: str = "cg",
     from lssp_tpu.pc.base import Preconditioner
 
     opts = (options or SolverOptions()).resolved()
+    host_trace = opts.verbosity >= 1 and not device_print_supported()
+    user_history = opts.record_history
+    if host_trace and not opts.record_history:
+        opts = dataclasses.replace(opts, record_history=True)
+    if (pc == "saamg" and pc_options is not None
+            and pc_options.saamg_grid is not None and reorder == "auto"):
+        reorder = None   # grid-aware aggregation needs the original ordering
+    if method.lower() in ("direct", "splu") and pc in (None, "none") \
+            and M is None:
+        pc = "lu"   # direct solve = one application of the exact-LU PC
     A_host, A_dev, perm = _prepare_matrix(A, reorder=reorder)
     if M is None and pc not in (None, "none"):
         if A_host is None:
             raise ValueError("preconditioner setup needs a host CSR matrix; "
                              "pass M= explicitly for operator inputs")
-        if method.lower() in ("bicg", "qmr", "cgnr", "cgn", "lsqr"):
+        if needs_transpose_pc(method):
             pc_options = dataclasses.replace(pc_options or PCOptions(),
                                              transpose=True)
         M = pc_mod.setup(A_host, pc, pc_options)
@@ -286,11 +311,15 @@ def solve_multi(A, B, X0=None, method: str = "cg",
     vf = _jitted_multi(fn, A_dev if a_bare else None, M if m_bare else None)
     X, info = vf(None if a_bare else A_dev, B.T, X0.T,
                  None if m_bare else M, opts=opts)
-    X = X.T
-    if perm is not None:
-        inv = np.empty_like(perm)
-        inv[perm] = np.arange(len(perm))
-        X = X[inv, :]
+    X = _unpermute(X.T, perm)
+    if host_trace:
+        from lssp_tpu.utils.log import log as _log_line
+        for k in range(X.shape[1]):
+            _log_line(f"rhs {k}:", level=0)
+            history_print_host(jax.tree_util.tree_map(
+                lambda a: a[k], info))
+        if not user_history:
+            info = dataclasses.replace(info, history=None)
     return X, info
 
 
@@ -339,7 +368,7 @@ class Solver:
         self.method = method
         if (self.assembled and self.M is not None
                 and self.pc_type not in (None, "none")
-                and method.lower() in ("bicg", "qmr", "cgnr", "cgn", "lsqr")
+                and needs_transpose_pc(method)
                 and not (self.pc_options and self.pc_options.transpose)):
             pc_options = dataclasses.replace(self.pc_options or PCOptions(),
                                              transpose=True)
@@ -364,7 +393,7 @@ class Solver:
             self.pc_type = "lu"
         if self.pc_type not in (None, "none"):
             pc_options = self.pc_options
-            if self.method.lower() in ("bicg", "qmr", "cgnr", "cgn", "lsqr"):
+            if needs_transpose_pc(self.method):
                 pc_options = dataclasses.replace(pc_options or PCOptions(),
                                                  transpose=True)
             with Timer(f"pc: assemble ({self.pc_type})", level=1):

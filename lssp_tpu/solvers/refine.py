@@ -125,7 +125,8 @@ def solve_ir(A, b, x0=None, method: str = "gmres",
     # the matrix preparation (A_host/A64/A32 device uploads) depends only
     # on (reorder, dtype, backend) and is shared across methods/PCs —
     # keying it by pc would pin duplicate hundreds-of-MB device copies.
-    transpose_pc = method.lower() in ("bicg", "qmr", "cgnr", "cgn", "lsqr")
+    from lssp_tpu.solvers.facade import needs_transpose_pc
+    transpose_pc = needs_transpose_pc(method)
     mat_key = ("ir-mat", reorder, str(np.dtype(inner_dtype)),
                jax.default_backend())
     pc_key = ("ir-pc", mat_key, pc, transpose_pc,
@@ -185,8 +186,13 @@ def solve_ir(A, b, x0=None, method: str = "gmres",
     # generous cap burns hundreds of useless iterations per round (the
     # outer loop re-measures in fp64 and collects the achieved progress
     # either way, so cutting a stalled round early costs one cheap fp64
-    # residual).  Healthy inner solves finish in well under 2 restarts.
-    inner_cap = max(2 * opts.restart, 64)
+    # residual).  Restarted GMRES variants finish healthy rounds well
+    # under 2 restarts; non-restarted methods keep the wider budget
+    # (restart is meaningless for them).
+    if method.lower() in ("gmres", "rgmres", "lgmres", "rlgmres", "fgmres"):
+        inner_cap = max(2 * opts.restart, 64)
+    else:
+        inner_cap = 200
     inner_opts = dataclasses.replace(
         opts, rtol=inner_rtol, atol=0.0, rbtol=0.0,
         maxit=min(opts.maxit, inner_cap))
