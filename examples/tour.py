@@ -80,6 +80,12 @@ def main():
     print(f"  inner-nits={int(info.nits)}  res={residual(S, x, bs):.2e}"
           "  (half the HBM bytes per inner iteration)")
 
+    print("== multiple right-hand sides (one vmapped program) ==")
+    Bm = jnp.stack([bs, jnp.asarray(rng.standard_normal(S.shape[0]))], axis=1)
+    Xm, im = lt.solve_multi(S, Bm, method="cg", pc="iluk")
+    print(f"  k=2 rhs: nits={[int(v) for v in im.nits]}  "
+          f"res={[f'{np.linalg.norm(np.asarray(Bm[:, j]) - S.to_scipy() @ np.asarray(Xm[:, j])):.1e}' for j in range(2)]}")
+
     print("== checkpoint / resume ==")
     # checkpointed_solve needs a path that may not exist yet, so a private
     # fresh directory (not racy mktemp) is the right shape
