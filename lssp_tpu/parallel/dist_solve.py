@@ -451,3 +451,84 @@ def dist_solve(A: CSR, b, x0=None, method: str = "cg",
         if not user_history:
             info = dataclasses.replace(info, history=None)
     return jnp.reshape(x_sh, (n,))[:n_orig], info
+
+
+def dist_solve_multi(A: CSR, B, X0=None, method: str = "cg",
+                     pc: Optional[str] = "none",
+                     mesh: Optional[Mesh] = None,
+                     options: Optional[SolverOptions] = None,
+                     pc_options: Optional[PCOptions] = None,
+                     fmt: str = "auto"):
+    """Distributed A·X = B for k right-hand sides (B: (n, k)) — the
+    row-sharded analog of ``solve_multi``: ONE shard_map program whose
+    body vmaps the Krylov iteration over the rhs columns, so the
+    partitioned matrix streams once per iteration for all rhs and the
+    psum dots batch over k.  Returns (X (n, k), SolveInfo with (k,)
+    fields).  Supports the transpose-free methods and pc in
+    (none, jacobi, bjilu/ilu*, amg, saamg is NOT yet supported here —
+    its level padding couples to the rhs layout)."""
+    opts = (options or SolverOptions()).resolved()
+    pc_opts = (pc_options or PCOptions()).resolved()
+    if pc == "saamg":
+        raise ValueError("dist_solve_multi does not support pc='saamg' "
+                         "yet; use pc='amg'/'bjilu' or per-rhs dist_solve")
+    from lssp_tpu.solvers.facade import needs_transpose_pc
+    if needs_transpose_pc(method):
+        raise ValueError("dist_solve_multi supports transpose-free "
+                         "methods; solve the rhs individually for "
+                         f"{method}")
+    if mesh is None:
+        mesh = make_mesh()
+    Pn = mesh.devices.size
+    B = jnp.asarray(B)
+    if B.ndim != 2:
+        raise ValueError(f"B must be (n, k), got {B.shape}")
+    n_orig, k = B.shape
+    if A.shape[0] % Pn:
+        from lssp_tpu.amg.sa import _pad_identity
+        npad = (-A.shape[0]) % Pn
+        A = CSR.from_scipy(_pad_identity(A.to_scipy().tocsr(), npad))
+        B = jnp.concatenate([B, jnp.zeros((npad, k), dtype=B.dtype)], axis=0)
+        if X0 is not None:
+            X0 = jnp.concatenate([jnp.asarray(X0),
+                                  jnp.zeros((npad, k), dtype=B.dtype)],
+                                 axis=0)
+    n = A.shape[0]
+    R = n // Pn
+    M = partition_matrix(A, Pn, fmt=fmt)
+    kind, pc_state = _build_dist_pc(A, pc, pc_opts, Pn, R)
+    fn = get_solver(method)
+
+    B2 = jnp.asarray(np.asarray(B).reshape(Pn, R, k))
+    X02 = (jnp.zeros_like(B2) if X0 is None
+           else jnp.asarray(np.asarray(X0).reshape(Pn, R, k)))
+
+    spmv_impl = make_dist_spmv(M, AXIS)
+    pdot = make_psum_dot(AXIS)
+    mat_leaves, _ = jax.tree_util.tree_flatten(M)
+    nleaf = len(mat_leaves)
+
+    def body(*args):
+        mat_l = [a[0] for a in args[:nleaf]]
+        b_sh, x0_sh, pc_state_sh = args[nleaf:]
+        pc_state_l = jax.tree_util.tree_map(lambda a: a[0], pc_state_sh)
+        op = lambda x: spmv_impl(*mat_l, x)
+        pc_apply = _shard_pc_apply(kind, pc_state_l, R, op=op,
+                                   cycles=max(1, int(pc_opts.amg_cycles)))
+
+        def one(bl, x0l):
+            return fn(op, bl, x0l, pc_apply, opts=opts, dot=pdot)
+        X, info = jax.vmap(one, in_axes=1, out_axes=(1, 0))(b_sh[0],
+                                                            x0_sh[0])
+        return X[None], info
+
+    in_specs = tuple(P(AXIS) for _ in range(nleaf)) + (
+        P(AXIS), P(AXIS),
+        jax.tree_util.tree_map(lambda _: P(AXIS), pc_state))
+    out_specs = (P(AXIS), jax.tree_util.tree_map(lambda _: P(), SolveInfo(
+        nits=0, residual=0.0, converged=False, r0norm=0.0, bnorm=0.0,
+        history=0.0 if opts.record_history else None)))
+    mapped = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False)
+    X_sh, info = jax.jit(mapped)(*mat_leaves, B2, X02, pc_state)
+    return jnp.reshape(X_sh, (n, k))[:n_orig, :], info

@@ -519,3 +519,47 @@ def test_dist_line_smoother_boundary_fallback(mesh8, capsys):
     assert "line smoother unavailable" in err
     res = np.linalg.norm(b - S @ np.asarray(x))
     assert res <= 5e-5
+
+
+class TestDistSolveMulti:
+    """Distributed multiple right-hand sides: one shard_map program whose
+    body vmaps the iteration over rhs columns (matrix streamed once per
+    iteration for all rhs, batched psum dots)."""
+
+    def test_matches_per_rhs_dist_solves(self, mesh8, rng):
+        from lssp_tpu.parallel.dist_solve import dist_solve_multi
+        A = laplacian_2d(16)
+        n = A.shape[0]
+        B = jnp.asarray(rng.standard_normal((n, 3)))
+        X, info = dist_solve_multi(A, B, method="cg", pc="bjilu", mesh=mesh8)
+        assert X.shape == (n, 3)
+        assert info.nits.shape == (3,)
+        S = A.to_scipy()
+        for k in range(3):
+            assert bool(info.converged[k])
+            xk, ik = dist_solve(A, B[:, k], method="cg", pc="bjilu",
+                                mesh=mesh8)
+            assert int(info.nits[k]) == int(ik.nits)
+            np.testing.assert_allclose(np.asarray(X[:, k]), np.asarray(xk),
+                                       rtol=1e-10, atol=1e-12)
+
+    def test_general_n_and_amg(self, mesh8):
+        from lssp_tpu.parallel.dist_solve import dist_solve_multi
+        A = laplacian_2d(15)           # 225 % 8 != 0 -> identity padding
+        n = A.shape[0]
+        B = jnp.stack([jnp.ones(n), jnp.arange(float(n))], axis=1)
+        X, info = dist_solve_multi(A, B, method="cg", pc="amg", mesh=mesh8)
+        S = A.to_scipy()
+        for k in range(2):
+            assert bool(info.converged[k])
+            r = np.linalg.norm(np.asarray(B[:, k]) - S @ np.asarray(X[:, k]))
+            assert r <= 1e-4 * max(1.0, float(jnp.linalg.norm(B[:, k])))
+
+    def test_unsupported_raise(self, mesh8):
+        from lssp_tpu.parallel.dist_solve import dist_solve_multi
+        A = laplacian_2d(16)
+        B = jnp.ones((256, 2))
+        with pytest.raises(ValueError, match="saamg"):
+            dist_solve_multi(A, B, pc="saamg", mesh=mesh8)
+        with pytest.raises(ValueError, match="transpose-free"):
+            dist_solve_multi(A, B, method="qmr", mesh=mesh8)
