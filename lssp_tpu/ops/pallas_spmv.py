@@ -151,9 +151,40 @@ def dia_spmv_pallas(A: DIA, x, interpret: bool = False,
                              float(scale))(A.data, x)
 
 
+@functools.lru_cache(maxsize=None)
+def _vmap_safe_ext_kernel(offsets, interpret):
+    """vmap-safe wrapper for the prepadded per-shard kernel — same reason
+    and same batched lowering as _vmap_safe_kernel (dist_solve_multi vmaps
+    the whole shard-local iteration over rhs columns)."""
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def f(data, x_ext):
+        return _dia_spmv_pallas(data, x_ext, offsets, interpret=interpret,
+                                prepadded=True)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, data, x_ext):
+        data_b, x_b = in_batched
+        lo = max(0, -min(offsets)) if offsets else 0
+        n = data.shape[-1]
+        dtype = jnp.result_type(data.dtype, x_ext.dtype)
+        y = jnp.zeros(x_ext.shape[:-1] + (n,), dtype=dtype)
+        for d, off in enumerate(offsets):
+            sl = jax.lax.slice_in_dim(x_ext, lo + off, lo + off + n,
+                                      axis=-1)
+            dd = data[..., d, :] if data_b else data[d]
+            y = y + dd * sl
+        if y.ndim == 1:
+            y = jnp.broadcast_to(y, (axis_size, n))
+        return y, True
+
+    return f
+
+
 def dia_spmv_pallas_ext(data, x_ext, offsets, interpret: bool = False):
     """Per-shard distributed DIA SpMV: ``x_ext = [halo_lo | x | halo_hi]``
     (length n + lo + hi, halos filled by the ICI exchange); returns the (n,)
-    local product.  Same kernel, same roofline bandwidth."""
-    return _dia_spmv_pallas(data, x_ext, offsets, interpret=interpret,
-                            prepadded=True)
+    local product.  Same kernel, same roofline bandwidth; vmap-safe
+    (batched calls run the amortized XLA rule)."""
+    return _vmap_safe_ext_kernel(offsets, bool(interpret))(data, x_ext)

@@ -469,6 +469,14 @@ def dist_solve_multi(A: CSR, B, X0=None, method: str = "cg",
     its level padding couples to the rhs layout)."""
     opts = (options or SolverOptions()).resolved()
     pc_opts = (pc_options or PCOptions()).resolved()
+    # NOTE: the setup scaffolding below intentionally mirrors dist_solve —
+    # a shared launcher parameterized on the rhs rank is the round-3
+    # cleanup; until then keep the two in sync
+    from lssp_tpu.utils.log import device_print_supported
+    host_trace = opts.verbosity >= 1 and not device_print_supported()
+    user_history = opts.record_history
+    if host_trace and not opts.record_history:
+        opts = dataclasses.replace(opts, record_history=True)
     if pc == "saamg":
         raise ValueError("dist_solve_multi does not support pc='saamg' "
                          "yet; use pc='amg'/'bjilu' or per-rhs dist_solve")
@@ -484,14 +492,19 @@ def dist_solve_multi(A: CSR, B, X0=None, method: str = "cg",
     if B.ndim != 2:
         raise ValueError(f"B must be (n, k), got {B.shape}")
     n_orig, k = B.shape
+    if X0 is not None:
+        X0 = jnp.asarray(X0)
+        if X0.shape != (n_orig, k):
+            raise ValueError(f"X0 must be (n, k) = {(n_orig, k)}, "
+                             f"got {X0.shape}")
     if A.shape[0] % Pn:
         from lssp_tpu.amg.sa import _pad_identity
         npad = (-A.shape[0]) % Pn
         A = CSR.from_scipy(_pad_identity(A.to_scipy().tocsr(), npad))
         B = jnp.concatenate([B, jnp.zeros((npad, k), dtype=B.dtype)], axis=0)
         if X0 is not None:
-            X0 = jnp.concatenate([jnp.asarray(X0),
-                                  jnp.zeros((npad, k), dtype=B.dtype)],
+            X0 = jnp.concatenate([X0,
+                                  jnp.zeros((npad, k), dtype=X0.dtype)],
                                  axis=0)
     n = A.shape[0]
     R = n // Pn
@@ -531,4 +544,12 @@ def dist_solve_multi(A: CSR, B, X0=None, method: str = "cg",
     mapped = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
                            out_specs=out_specs, check_vma=False)
     X_sh, info = jax.jit(mapped)(*mat_leaves, B2, X02, pc_state)
+    if host_trace:
+        from lssp_tpu.solvers.base import history_print_host
+        from lssp_tpu.utils.log import log as _log_line
+        for kk in range(k):
+            _log_line(f"rhs {kk}:", level=0)
+            history_print_host(jax.tree_util.tree_map(lambda a: a[kk], info))
+        if not user_history:
+            info = dataclasses.replace(info, history=None)
     return jnp.reshape(X_sh, (n, k))[:n_orig, :], info

@@ -287,3 +287,23 @@ def test_dia_pallas_vmap_rule_matches_scipy(rng):
         lambda dd: dia_spmv_pallas(dc.replace(D, data=dd), X[0],
                                    interpret=True))(Dstack))
     np.testing.assert_allclose(Y2[1], 2.0 * Y2[0], rtol=1e-12)
+
+
+def test_dia_pallas_ext_vmap_rule(rng):
+    """The prepadded (distributed per-shard) kernel's custom vmap rule —
+    the dist_solve_multi TPU path."""
+    import jax
+    import jax.numpy as jnp
+    from lssp_tpu.sparse import laplacian_2d, csr_to_dia
+    from lssp_tpu.ops.pallas_spmv import dia_spmv_pallas_ext
+    A = laplacian_2d(20)
+    D = csr_to_dia(A)
+    lo = 20; hi = 20
+    X = jnp.asarray(rng.standard_normal((3, 400)))
+    Xe = jnp.pad(X, ((0, 0), (lo, hi)))
+    Y = np.asarray(jax.vmap(
+        lambda v: dia_spmv_pallas_ext(jnp.asarray(D.data), v, D.offsets,
+                                      interpret=True))(Xe))
+    S = A.to_scipy()
+    for k in range(3):
+        np.testing.assert_allclose(Y[k], S @ np.asarray(X[k]), rtol=1e-12)
