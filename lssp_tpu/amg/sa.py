@@ -1,25 +1,32 @@
 """Structured smoothed-aggregation AMG — the TPU-fast multigrid.
 
 Capability parity with the LIS adapter's ``saamg`` PC
-(/root/reference/src/solver-lis.cxx:8-41); the design is TPU-first rather
-than a port of any aggregation code:
+(/root/reference/src/solver-lis.cxx:8-41) and the AMG-as-PC capability of
+the FASP adapter (/root/reference/src/pc-amg.cxx:21-134); the design is
+TPU-first rather than a port of any aggregation code:
 
 The classical-AMG device cycle (lssp_tpu/amg/cycle.py) applies P/R as ELL
 gathers — and TPU has no hardware gather, so at 1M rows a V-cycle costs
 ~10⁴× an SpMV.  This module removes every gather from the cycle:
 
-* **aggregates are contiguous index ranges** of fixed size ``g`` (after the
-  facade's RCM banded-ization, neighbouring rows are geometrically close,
-  so ranges are legitimate aggregates);
-* the tentative prolongator P₀ is then a *reshape*: ``P₀·ec =
-  repeat(ec, g)`` and ``P₀ᵀ·r = r.reshape(n_c, g).sum(1)`` — pure VPU;
+* **aggregates are reshape groups**: for a detected row-major grid
+  (gy, gx) each level aggregates along x, along y, or as a 2×2 box —
+  chosen per level from the measured coupling strengths of that level's
+  operator (direction-aware semicoarsening, the anisotropy-robustness
+  fix); without a grid, contiguous index ranges of fixed size ``g``
+  (after the facade's RCM banded-ization, neighbouring rows are
+  geometrically close, so ranges are legitimate aggregates);
+* the tentative prolongator P₀ is then a *reshape*: ``P₀·ec`` broadcasts
+  coarse values over their group and ``P₀ᵀ·r`` is a reshape-sum — pure
+  VPU (grid modes add only a 2-D pad/slice at ragged edges);
 * Jacobi smoothing of the prolongator keeps everything **banded**:
-  ``P = B·P₀`` with ``B = I − c·D⁻¹A`` stored as one extra DIA matrix per
-  level (and ``C = Bᵀ`` for the restriction), so P/R applications are one
-  DIA SpMV + one reshape;
+  ``P = B·P₀`` with ``B = I − c·D⁻¹A_f`` stored as one extra DIA matrix
+  per level (and ``C = Bᵀ`` for the restriction), where ``A_f`` is the
+  **strength-filtered** operator (weak couplings dropped, mass lumped to
+  the diagonal) so smoothing does not smear across weak connections;
 * Galerkin coarse operators ``A_{l+1} = PᵀA P`` are built on the host
-  (scipy) and padded with identity rows to a multiple of ``g`` — every
-  level is static-shape DIA.
+  (scipy); flat-mode levels are padded with identity rows to a multiple
+  of ``g`` — every level is static-shape DIA.
 
 A V-cycle therefore costs a handful of DIA SpMVs per level (smoothers +
 B/C) — bandwidth-limited, ~10³× faster per application than the
@@ -28,7 +35,7 @@ gather-based cycle at 1M rows on a v5e.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,15 +52,19 @@ from lssp_tpu.ops.spmv import spmv
 @dataclasses.dataclass(frozen=True)
 class SALevel:
     A: Any              # DIA, (n_l, n_l), n_l % g == 0 (except coarsest)
-    B: Any              # DIA: I − c·D⁻¹A   (prolongator smoother), or None
-    C: Any              # DIA: I − c·AᵀD⁻¹  (restriction smoother), or None
+    B: Any              # DIA: I − c·D⁻¹A_f  (prolongator smoother), or None
+    C: Any              # DIA: I − c·A_fᵀD⁻¹ (restriction smoother), or None
     dinv: Any           # (n_l,)
     lmax: float         # static: λmax(D⁻¹A) for Chebyshev
-    g: int              # static: aggregate size
+    g: int              # static: aggregate size (flat mode)
     smoother: str       # static
     degree: int         # static
     n_next: int         # static: (padded) size of the next level, 0 at bottom
-    grid: Any = None    # static: (gy, gx) for 2-D box aggregation, or None
+    agg: Any = None     # static aggregation descriptor:
+                        #   None                      flat g-ranges
+                        #   ("x",  g, gy, gx, gxc)    semicoarsen x
+                        #   ("y",  g, gy, gx, gyc)    semicoarsen y
+                        #   ("box", gy, gx, gyc, gxc) 2×2 box
     tri: Any = None     # (dl, d, du) of the level operator — LINE smoother
                         # only (strong-direction tridiagonal part, solved
                         # per sweep by parallel cyclic reduction)
@@ -62,10 +73,10 @@ class SALevel:
 jax.tree_util.register_pytree_node(
     SALevel,
     lambda l: ((l.A, l.B, l.C, l.dinv, l.tri),
-               (l.lmax, l.g, l.smoother, l.degree, l.n_next, l.grid)),
+               (l.lmax, l.g, l.smoother, l.degree, l.n_next, l.agg)),
     lambda aux, c: SALevel(*c[:4], tri=c[4], lmax=aux[0], g=aux[1],
                            smoother=aux[2], degree=aux[3], n_next=aux[4],
-                           grid=aux[5]))
+                           agg=aux[5]))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -102,8 +113,9 @@ def _to_dia(Ah, dtype, max_diags):
 
 def _filter_lumped(Ac, tol):
     """Drop |a_ij| < tol·√(a_ii·a_jj), lumping dropped mass onto the
-    diagonal (keeps row sums, bounds the coarse-stencil growth that
-    otherwise compounds through repeated smoothed RAP)."""
+    diagonal (keeps row sums; bounds the coarse-stencil growth that
+    otherwise compounds through repeated smoothed RAP, and doubles as the
+    SA strength filter for prolongator smoothing)."""
     import scipy.sparse as sp
     if tol <= 0:
         return Ac
@@ -122,59 +134,156 @@ def _filter_lumped(Ac, tol):
     return (out + sp.diags(lump.astype(Ac.data.dtype))).tocsr()
 
 
+def _lump_to_pattern(Ac, gy, gx, ry, rx):
+    """Structurally lump everything outside the (2ry+1)×(2rx+1) grid
+    stencil onto the diagonal (keeps row sums).  Geometric-MG fact: the
+    Galerkin RAP of a 9-point operator under (bi)linear transfers stays
+    9-point, so for grid levels the out-of-pattern mass produced by
+    repeated smoothed RAP is noise — lumping it keeps every coarse
+    operator a bounded DIA stencil instead of compounding toward ELL."""
+    import scipy.sparse as sp
+    Ac = Ac.tocoo()
+    n = Ac.shape[0]
+    d = Ac.col.astype(np.int64) - Ac.row.astype(np.int64)
+    dy = np.rint(d / gx).astype(np.int64)
+    dx = d - dy * gx
+    keep = (np.abs(dy) <= ry) & (np.abs(dx) <= rx)
+    if keep.all():
+        return Ac.tocsr()
+    lump = np.bincount(Ac.row[~keep], weights=Ac.data[~keep], minlength=n)
+    out = sp.csr_matrix((Ac.data[keep], (Ac.row[keep], Ac.col[keep])),
+                        shape=Ac.shape)
+    return (out + sp.diags(lump.astype(Ac.data.dtype))).tocsr()
+
+
+def detect_grid(A, max_halfwidth: int = 2) -> Optional[Tuple[int, int]]:
+    """(gy, gx) if A's sparsity matches a row-major 2-D grid stencil:
+    every column offset within ``max_halfwidth`` of 0, +gx, or −gx.
+    Candidates are tried largest-first so a 9-point stencil's ±(gx±1)
+    corners resolve to gx, not gx−1.  Returns None when no candidate fits
+    (e.g. after RCM reordering, or genuinely unstructured sparsity)."""
+    n = A.shape[0]
+    ip = np.asarray(A.indptr).astype(np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), ip[1:] - ip[:-1])
+    offs = np.unique(np.asarray(A.indices).astype(np.int64) - rows)
+    cands = np.unique(np.abs(offs[np.abs(offs) > max_halfwidth]))[::-1]
+    for N in cands:
+        N = int(N)
+        if N <= 2 * max_halfwidth or n % N:
+            continue
+        dx = offs - np.rint(offs / N).astype(np.int64) * N
+        if np.all(np.abs(dx) <= max_halfwidth):
+            return (n // N, N)
+    return None
+
+
+def _grid_strengths(Al, gy, gx):
+    """Total |coupling| along x (same grid row) vs y (crossing rows)."""
+    Ac = Al.tocoo()
+    d = Ac.col.astype(np.int64) - Ac.row.astype(np.int64)
+    dy = np.rint(d / gx).astype(np.int64)
+    a = np.abs(Ac.data)
+    sx = float(a[(dy == 0) & (d != 0)].sum())
+    sy = float(a[dy != 0].sum())
+    return sx, sy
+
+
 def sa_host_levels(A: CSR, g: int = 4, max_levels: int = 12,
                    coarse_size: int = 256, omega_p: float = 4.0 / 3.0,
                    filter_tol: float = 1e-3, smooth_levels: int = 2,
-                   grid=None, pad_mult: int = None):
+                   grid=None, pad_mult: int = None, theta_dir: float = 4.0,
+                   strength_tol: float = 0.02,
+                   pattern_radius: Optional[Tuple[int, int]] = None,
+                   b_radius: Optional[Tuple[int, int]] = (1, 1)):
     """Host part of the structured-SA setup, shared by the single-device
     and distributed builders.  Returns (levels, Al_coarse, n_top) where
     each level is (A_scipy, B_scipy|None, C_scipy|None, dinv, lmax, n_c,
-    grid|None).  ``pad_mult``: pad every level to a multiple of this
-    (defaults to ``g``; the distributed builder passes P·g so shard-local
-    reshapes stay aligned)."""
+    agg).  ``grid``: (gy, gx) row-major dims enabling direction-aware
+    grid aggregation (semicoarsening); None keeps flat contiguous ranges.
+    ``theta_dir``: semicoarsen when one direction's total coupling exceeds
+    the other's by this factor, else 2×2 box.  ``strength_tol``: drop
+    couplings below this (relative, √(a_ii·a_jj)-scaled) when smoothing
+    the prolongator.  ``pad_mult``: flat mode pads every level to a
+    multiple of this (defaults to ``g``; the distributed builder passes
+    P·g so shard-local reshapes stay aligned)."""
     import scipy.sparse as sp
     from lssp_tpu.amg.setup import _lambda_max
 
     pad_mult = pad_mult or g
     n_top = A.shape[0]
     Al = A.to_scipy().tocsr().astype(np.float64)
+    if grid is not None and grid[0] * grid[1] != n_top:
+        grid = None
     levels = []
     for li in range(max_levels):
         n = Al.shape[0]
         if n <= coarse_size:
             break
-        # box mode: 2x2 cells while the grid stays even in both dims
-        box = (grid is not None and grid[0] % 2 == 0 and grid[1] % 2 == 0
-               and grid[0] >= 2 and grid[1] >= 2
-               and grid[0] * grid[1] == n)
-        if not box:
+        agg = next_grid = None
+        if grid is not None and max(grid) > 1:
+            gy, gx = grid
+            idx = np.arange(n, dtype=np.int64)
+            iy, ix = idx // gx, idx % gx
+            sx, sy = _grid_strengths(Al, gy, gx)
+            if gx == 1 or (gy > 1 and sy >= theta_dir * max(sx, 1e-300)):
+                mode = "y"
+            elif gy == 1 or sx >= theta_dir * max(sy, 1e-300):
+                mode = "x"
+            else:
+                mode = "box"
+            if mode == "x":
+                gyc, gxc = gy, -(-gx // g)
+                cols = iy * gxc + ix // g
+                agg = ("x", g, gy, gx, gxc)
+            elif mode == "y":
+                gyc, gxc = -(-gy // g), gx
+                cols = (iy // g) * gx + ix
+                agg = ("y", g, gy, gx, gyc)
+            else:
+                gyc, gxc = -(-gy // 2), -(-gx // 2)
+                cols = (iy // 2) * gxc + ix // 2
+                agg = ("box", gy, gx, gyc, gxc)
+            n_c = gyc * gxc
+            P0 = sp.csr_matrix((np.ones(n), cols, np.arange(n + 1)),
+                               shape=(n, n_c))
+            next_grid = (gyc, gxc)
+        else:
             grid = None
             pad = (-n) % pad_mult
             Al = _pad_identity(Al, pad)
             n = Al.shape[0]
-        d = Al.diagonal().copy()
-        d[d == 0] = 1.0
-        dinv = 1.0 / d
-        lmax = _lambda_max(Al, dinv)
-        if box:
-            gy, gx = grid
-            iy = np.arange(n) // gx
-            ix = np.arange(n) % gx
-            n_c = (gy // 2) * (gx // 2)
-            P0 = sp.csr_matrix(
-                (np.ones(n), (iy // 2) * (gx // 2) + ix // 2,
-                 np.arange(n + 1)), shape=(n, n_c))
-        else:
             # P0: (n, n/g) contiguous aggregation
             n_c = n // g
             P0 = sp.csr_matrix(
                 (np.ones(n), np.arange(n) // g, np.arange(n + 1)),
                 shape=(n, n_c))
+        d = Al.diagonal().copy()
+        d[d == 0] = 1.0
+        dinv = 1.0 / d
+        lmax = _lambda_max(Al, dinv)
         if li < smooth_levels:
-            c = omega_p / lmax
-            Dinv = sp.diags(dinv)
-            B = (sp.eye(n) - c * Dinv @ Al).tocsr()         # P = B P0
-            C = (sp.eye(n) - c * (Al.T @ Dinv)).tocsr()     # R = P0ᵀ C
+            # smooth the tentative prolongator in the STRENGTH-FILTERED
+            # operator: smoothing in the full operator smears coarse basis
+            # functions across weak couplings, which both fattens the RAP
+            # stencil and degrades anisotropic convergence
+            Af = _filter_lumped(Al, strength_tol) if strength_tol > 0 else Al
+            df = Af.diagonal().copy()
+            df[df == 0] = 1.0
+            dfinv = 1.0 / df
+            lmax_f = _lambda_max(Af, dfinv) if strength_tol > 0 else lmax
+            c = omega_p / lmax_f
+            Dinv = sp.diags(dfinv)
+            B = (sp.eye(n) - c * Dinv @ Af).tocsr()         # P = B P0
+            C = (sp.eye(n) - c * (Af.T @ Dinv)).tocsr()     # R = P0ᵀ C
+            if agg is not None and b_radius is not None:
+                # bound the prolongator smoother to a fixed grid stencil:
+                # with B at radius (1,1) the Galerkin RAP reach has a
+                # 5×5 fixed point, so coarse stencils stop compounding
+                # (measured: unbounded all-level smoothing grows 5→13→29
+                # →45→ELL on 2-D Poisson; bounding B holds 25 diagonals
+                # with the same iteration counts)
+                B = _lump_to_pattern(B, gy, gx, b_radius[0], b_radius[1])
+                C = _lump_to_pattern(C, gy, gx, b_radius[0], b_radius[1])
             P = (B @ P0).tocsr()
         else:
             B = C = None                                    # tentative P0
@@ -182,9 +291,11 @@ def sa_host_levels(A: CSR, g: int = 4, max_levels: int = 12,
         Ac = (P.T @ Al @ P).tocsr()
         Ac.eliminate_zeros()
         Ac = _filter_lumped(Ac, filter_tol)
-        levels.append((Al, B, C, dinv, lmax, n_c, grid))
-        if grid is not None:
-            grid = (grid[0] // 2, grid[1] // 2)
+        if next_grid is not None and pattern_radius is not None:
+            Ac = _lump_to_pattern(Ac, next_grid[0], next_grid[1],
+                                  pattern_radius[0], pattern_radius[1])
+        levels.append((Al, B, C, dinv, lmax, n_c, agg))
+        grid = next_grid
         Al = Ac
     return levels, Al, n_top
 
@@ -193,27 +304,45 @@ def sa_setup(A: CSR, g: int = 4, max_levels: int = 12,
              coarse_size: int = 256, omega_p: float = 4.0 / 3.0,
              smoother: str = "chebyshev", degree: int = 2,
              dtype=None, max_diags: int = 96, filter_tol: float = 1e-3,
-             smooth_levels: int = 2, grid=None) -> SAHierarchy:
+             smooth_levels: Optional[int] = None, grid=None,
+             theta_dir: float = 4.0, strength_tol: float = 0.02,
+             pattern_radius: Optional[Tuple[int, int]] = None,
+             b_radius: Optional[Tuple[int, int]] = (1, 1)) -> SAHierarchy:
     """Build the structured-SA hierarchy (host, scipy SpGEMM).
 
     ``filter_tol``: post-RAP lumped filtering threshold (stencil control).
-    ``smooth_levels``: Jacobi-smooth the prolongator only on this many of
-    the finest levels; deeper levels use the tentative P₀ (pure reshape —
-    no B/C SpMVs at all), which bounds stencil growth and cycle cost.
-    ``grid``: optional (gy, gx) row-major grid dims of the UNREORDERED
-    matrix — enables 2-D box aggregation (2×2 cells via reshapes; true
-    geometric-style coarsening, grid-size-robust convergence).  Levels
-    fall back to 1-D contiguous ranges once a dimension goes odd/small.
+    ``smooth_levels``: Jacobi-smooth the prolongator on this many of the
+    finest levels; deeper levels use the tentative P₀ (pure reshape — no
+    B/C SpMVs at all).  ``None`` = all levels in grid mode (B is pattern-
+    bounded so stencils cannot compound; all-level smoothing is what makes
+    convergence grid-independent — measured 10 its at 512² isotropic vs 17
+    with 2 smoothed levels), 2 in flat mode (stencil-growth-safe).
+    ``grid``: (gy, gx) row-major grid dims of the operator — enables
+    direction-aware grid aggregation (per-level x/y semicoarsening or 2×2
+    box, chosen from the measured coupling strengths: the anisotropy-
+    robust coarsening).  ``None`` auto-detects the grid from the sparsity
+    (detect_grid); pass ``False`` to force flat contiguous ranges.
     """
     dtype = dtype or np.asarray(A.data).dtype
+    if grid is None:
+        grid = detect_grid(A)
+    elif grid is False:
+        grid = None
+    if smooth_levels is None:
+        # grid mode: smooth every level (B is pattern-bounded, so stencils
+        # hold at a 25-diagonal fixed point and convergence is measured
+        # grid-independent); flat mode keeps the stencil-growth-safe 2
+        smooth_levels = max_levels if grid is not None else 2
     levels, Al, n_top = sa_host_levels(
         A, g=g, max_levels=max_levels, coarse_size=coarse_size,
         omega_p=omega_p, filter_tol=filter_tol,
-        smooth_levels=smooth_levels, grid=grid)
+        smooth_levels=smooth_levels, grid=grid, theta_dir=theta_dir,
+        strength_tol=strength_tol, pattern_radius=pattern_radius,
+        b_radius=b_radius)
     # pack device levels; n_next records the size the level below was
     # built at (for reshape bookkeeping)
     dev = []
-    for i, (Ah, B, C, dinv, lmax, n_c, gr) in enumerate(levels):
+    for i, (Ah, B, C, dinv, lmax, n_c, agg) in enumerate(levels):
         A_dia = _to_dia(Ah, dtype, max_diags)
         tri = None
         if smoother == "line":
@@ -236,7 +365,7 @@ def sa_setup(A: CSR, g: int = 4, max_levels: int = 12,
             C=_to_dia(C, dtype, max_diags) if C is not None else None,
             dinv=jnp.asarray(dinv.astype(dtype)),
             lmax=float(lmax), g=g, smoother=smoother, degree=degree,
-            n_next=n_c, grid=gr, tri=tri))
+            n_next=n_c, agg=agg, tri=tri))
     coarse_inv = jnp.asarray(np.linalg.inv(Al.toarray()).astype(dtype))
     return SAHierarchy(levels=tuple(dev), coarse_inv=coarse_inv,
                        n_top=n_top)
@@ -282,23 +411,48 @@ def _smooth(lev: SALevel, x, b):
 
 def _restrict(lev: SALevel, r):
     """rc = P0ᵀ·(C·r): one DIA SpMV + a reshape-sum (no SpMV when the
-    level uses the tentative prolongator; 2×2 box-sum in grid mode)."""
+    level uses the tentative prolongator; grid modes pad ragged edges)."""
     t = spmv(lev.C, r) if lev.C is not None else r
-    if lev.grid is not None:
-        gy, gx = lev.grid
-        return t.reshape(gy // 2, 2, gx // 2, 2).sum(axis=(1, 3)).reshape(-1)
-    return t.reshape(lev.n_next, lev.g).sum(axis=1)
+    a = lev.agg
+    if a is None:
+        return t.reshape(lev.n_next, lev.g).sum(axis=1)
+    if a[0] == "x":
+        _, g, gy, gx, gxc = a
+        T = t.reshape(gy, gx)
+        if gxc * g != gx:
+            T = jnp.pad(T, ((0, 0), (0, gxc * g - gx)))
+        return T.reshape(gy, gxc, g).sum(axis=2).reshape(-1)
+    if a[0] == "y":
+        _, g, gy, gx, gyc = a
+        T = t.reshape(gy, gx)
+        if gyc * g != gy:
+            T = jnp.pad(T, ((0, gyc * g - gy), (0, 0)))
+        return T.reshape(gyc, g, gx).sum(axis=1).reshape(-1)
+    _, gy, gx, gyc, gxc = a
+    T = t.reshape(gy, gx)
+    if gyc * 2 != gy or gxc * 2 != gx:
+        T = jnp.pad(T, ((0, gyc * 2 - gy), (0, gxc * 2 - gx)))
+    return T.reshape(gyc, 2, gxc, 2).sum(axis=(1, 3)).reshape(-1)
 
 
 def _prolong(lev: SALevel, ec):
     """e = B·(P0·ec): a broadcast-reshape + one DIA SpMV (reshape only for
-    tentative-P levels; 2×2 box-broadcast in grid mode)."""
-    if lev.grid is not None:
-        gy, gx = lev.grid
-        t = jnp.broadcast_to(ec.reshape(gy // 2, 1, gx // 2, 1),
-                             (gy // 2, 2, gx // 2, 2)).reshape(-1)
-    else:
+    tentative-P levels; grid modes slice ragged edges)."""
+    a = lev.agg
+    if a is None:
         t = jnp.broadcast_to(ec[:, None], (lev.n_next, lev.g)).reshape(-1)
+    elif a[0] == "x":
+        _, g, gy, gx, gxc = a
+        t = jnp.broadcast_to(ec.reshape(gy, gxc, 1), (gy, gxc, g))
+        t = t.reshape(gy, gxc * g)[:, :gx].reshape(-1)
+    elif a[0] == "y":
+        _, g, gy, gx, gyc = a
+        t = jnp.broadcast_to(ec.reshape(gyc, 1, gx), (gyc, g, gx))
+        t = t.reshape(gyc * g, gx)[:gy].reshape(-1)
+    else:
+        _, gy, gx, gyc, gxc = a
+        t = jnp.broadcast_to(ec.reshape(gyc, 1, gxc, 1), (gyc, 2, gxc, 2))
+        t = t.reshape(gyc * 2, gxc * 2)[:gy, :gx].reshape(-1)
     return spmv(lev.B, t) if lev.B is not None else t
 
 

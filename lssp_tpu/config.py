@@ -140,10 +140,16 @@ class PCOptions:
                                           # per V-cycle at 1M rows)
     saamg_aggregate: int = 4              # structured-SA aggregate size
                                           # (contiguous ranges; see amg/sa.py)
-    saamg_grid: Any = None                # (gy, gx) row-major grid dims =>
-                                          # 2-D box aggregation (requires the
-                                          # matrix NOT be reordered; pass
-                                          # reorder=None to solve())
+    saamg_grid: Any = None                # grid-aware saamg aggregation:
+                                          # None = auto-detect (gy, gx) from
+                                          # the sparsity; (gy, gx) = explicit
+                                          # row-major dims (pins the original
+                                          # ordering); False = force flat
+                                          # contiguous ranges.  Grid mode
+                                          # chooses x/y semicoarsening or 2x2
+                                          # box per level from the measured
+                                          # coupling strengths (anisotropy-
+                                          # robust direction-aware coarsening)
     # user-PC hooks (parity with LSSP_PC_USER, /root/reference/src/pc.cxx:219-227)
     user_setup: Optional[Callable] = None
     user_apply: Optional[Callable] = None

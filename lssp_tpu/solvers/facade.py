@@ -39,6 +39,16 @@ def needs_transpose_pc(method: str) -> bool:
     return method.lower() in TRANSPOSE_METHODS
 
 
+def saamg_keeps_ordering(pc, pc_options) -> bool:
+    """Whether an EXPLICIT saamg grid (user-supplied (gy, gx) dims) pins
+    the original row ordering — reordering would scramble the boxes.  ONE
+    predicate for every entry point (solve / solve_multi / Solver.assemble
+    / solve_ir).  ``saamg_grid=None`` (auto-detect from the reordered
+    sparsity) and ``False`` (forced flat) impose no ordering constraint."""
+    return (pc == "saamg" and pc_options is not None
+            and pc_options.saamg_grid not in (None, False))
+
+
 def _unpermute(x, perm):
     if perm is None:
         return x
@@ -212,9 +222,8 @@ def solve(A, b, x0=None, method: str = "gmres", pc: Optional[str] = "none",
     user_history = opts.record_history
     if host_trace and not opts.record_history:
         opts = dataclasses.replace(opts, record_history=True)
-    if (pc == "saamg" and pc_options is not None
-            and pc_options.saamg_grid is not None and reorder == "auto"):
-        reorder = None   # grid-aware aggregation needs the original ordering
+    if saamg_keeps_ordering(pc, pc_options) and reorder == "auto":
+        reorder = None   # explicit grid dims need the original ordering
     if method.lower() in ("direct", "splu") and pc in (None, "none") and M is None:
         pc = "lu"   # direct solve = one application of the exact-LU PC
     A_host, A_dev, perm = _prepare_matrix(A, reorder=reorder)
@@ -282,9 +291,8 @@ def solve_multi(A, B, X0=None, method: str = "cg",
     user_history = opts.record_history
     if host_trace and not opts.record_history:
         opts = dataclasses.replace(opts, record_history=True)
-    if (pc == "saamg" and pc_options is not None
-            and pc_options.saamg_grid is not None and reorder == "auto"):
-        reorder = None   # grid-aware aggregation needs the original ordering
+    if saamg_keeps_ordering(pc, pc_options) and reorder == "auto":
+        reorder = None   # explicit grid dims need the original ordering
     if method.lower() in ("direct", "splu") and pc in (None, "none") \
             and M is None:
         pc = "lu"   # direct solve = one application of the exact-LU PC
@@ -379,10 +387,9 @@ class Solver:
         """Convert the matrix, build the PC (factorization cost lives here —
         reference lssp_solver_assemble → lssp_pc_assemble, lssp.cxx:142-189)."""
         from lssp_tpu.utils.log import Timer
-        if (self.pc_type == "saamg" and self.pc_options is not None
-                and self.pc_options.saamg_grid is not None
-                and reorder == "auto"):
-            reorder = None   # grid-aware aggregation needs original ordering
+        if saamg_keeps_ordering(self.pc_type, self.pc_options) \
+                and reorder == "auto":
+            reorder = None   # explicit grid dims need the original ordering
         # timing prints mirror the reference: assemble at verb>1
         # (lssp.cxx:162-184), pc assemble at verb>0 (pc.cxx:83-236)
         with Timer("solver: assemble (matrix conversion)", level=2):

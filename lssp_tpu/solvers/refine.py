@@ -111,10 +111,10 @@ def solve_ir(A, b, x0=None, method: str = "gmres",
     opts = (options or SolverOptions()).resolved()
     if method.lower() in ("direct", "splu") and pc in (None, "none"):
         pc = "lu"   # IR around a direct solve: exact fp32 LU inner
-    if (pc == "saamg" and pc_options is not None
-            and pc_options.saamg_grid is not None and reorder == "auto"):
-        reorder = None   # grid-aware aggregation needs the original
-        # ordering (same guard as solve()/Solver.assemble — the grid
+    from lssp_tpu.solvers.facade import saamg_keeps_ordering
+    if saamg_keeps_ordering(pc, pc_options) and reorder == "auto":
+        reorder = None   # explicit grid dims need the original ordering
+        # (same shared predicate as solve()/Solver.assemble — the grid
         # transpose would scramble user-supplied (gy, gx) boxes)
 
     # repeated solve_ir calls with the same container must not re-reorder,

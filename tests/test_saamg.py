@@ -90,14 +90,19 @@ class TestBoxAggregation:
         assert nits[1] <= nits[0] + 4          # near grid-independence
         assert nits[1] <= 15
 
-    def test_box_beats_range_isotropic(self):
+    def test_grid_beats_flat_isotropic(self):
+        """Grid-aware aggregation (auto-detected — the default) beats
+        forced-flat contiguous ranges, and explicit dims match detection."""
         N = 128
         A = laplacian_2d(N)
         b = jnp.ones(A.shape[0], dtype=jnp.float64)
         _, i_box = solve(A, b, method="cg", pc="saamg",
                          pc_options=PCOptions(saamg_grid=(N, N)))
-        _, i_rng = solve(A, b, method="cg", pc="saamg")
-        assert int(i_box.nits) < int(i_rng.nits)
+        _, i_auto = solve(A, b, method="cg", pc="saamg")
+        _, i_flat = solve(A, b, method="cg", pc="saamg",
+                          pc_options=PCOptions(saamg_grid=False))
+        assert int(i_auto.nits) == int(i_box.nits)   # detection == explicit
+        assert int(i_box.nits) < int(i_flat.nits)
 
     def test_wrong_grid_dims_fall_back(self):
         """grid dims not matching n: box mode silently disabled, still
