@@ -94,24 +94,23 @@ def _fused_ir(fn, A64, A32, M32, b, x, tol, inner_opts, max_outer,
     return x, res, r0n, tot
 
 
-def solve_ir(A, b, x0=None, method: str = "gmres",
-             pc: Optional[str] = "none",
-             options: Optional[SolverOptions] = None,
-             pc_options: Optional[PCOptions] = None,
-             inner_rtol: float = 1e-3, max_outer: int = 20,
-             inner_dtype=jnp.float32, reorder: str = "auto"):
-    """Solve to fp64 accuracy with fp32 inner Krylov solves.
-
-    ``A``: host CSR (fp64).  Returns (x fp64, SolveInfo) where nits counts
-    *total inner iterations* and the residual is the true fp64 residual.
-    """
-    from lssp_tpu.solvers.facade import _prepare_matrix, _jitted, _fingerprint
+def prepare_ir(A, method: str = "gmres", pc: Optional[str] = "none",
+               pc_options: Optional[PCOptions] = None,
+               inner_dtype=jnp.float32, reorder: str = "auto"):
+    """Setup phase of ``solve_ir`` alone: reorder, convert, device-upload
+    both precisions of the execution format, and factor/build the
+    preconditioner — filling the per-container memo so a following
+    ``solve_ir`` finds everything cached.  Returns (A_host, A64, A32,
+    perm, M32).  Lets callers time setup separately from compile+solve
+    (the reference's phase-timing protocol,
+    /root/reference/src/pc.cxx:83-236, example/exam.cxx:109-113)."""
+    from lssp_tpu.solvers.facade import (_prepare_matrix, _fingerprint,
+                                         needs_transpose_pc,
+                                         saamg_keeps_ordering)
     from lssp_tpu import pc as pc_mod
 
-    opts = (options or SolverOptions()).resolved()
     if method.lower() in ("direct", "splu") and pc in (None, "none"):
         pc = "lu"   # IR around a direct solve: exact fp32 LU inner
-    from lssp_tpu.solvers.facade import saamg_keeps_ordering
     if saamg_keeps_ordering(pc, pc_options) and reorder == "auto":
         reorder = None   # explicit grid dims need the original ordering
         # (same shared predicate as solve()/Solver.assemble — the grid
@@ -125,7 +124,6 @@ def solve_ir(A, b, x0=None, method: str = "gmres",
     # the matrix preparation (A_host/A64/A32 device uploads) depends only
     # on (reorder, dtype, backend) and is shared across methods/PCs —
     # keying it by pc would pin duplicate hundreds-of-MB device copies.
-    from lssp_tpu.solvers.facade import needs_transpose_pc
     transpose_pc = needs_transpose_pc(method)
     mat_key = ("ir-mat", reorder, str(np.dtype(inner_dtype)),
                jax.default_backend())
@@ -171,6 +169,29 @@ def solve_ir(A, b, x0=None, method: str = "gmres",
             M32 = pc_mod.setup(A_host.astype(np.dtype(inner_dtype)), pc,
                                pc_options)
         cache[pc_key] = M32
+    return A_host, A64, A32, perm, M32
+
+
+def solve_ir(A, b, x0=None, method: str = "gmres",
+             pc: Optional[str] = "none",
+             options: Optional[SolverOptions] = None,
+             pc_options: Optional[PCOptions] = None,
+             inner_rtol: float = 1e-3, max_outer: int = 20,
+             inner_dtype=jnp.float32, reorder: str = "auto"):
+    """Solve to fp64 accuracy with fp32 inner Krylov solves.
+
+    ``A``: host CSR (fp64).  Returns (x fp64, SolveInfo) where nits counts
+    *total inner iterations* and the residual is the true fp64 residual.
+    """
+    from lssp_tpu.solvers.facade import _jitted
+
+    opts = (options or SolverOptions()).resolved()
+    if method.lower() in ("direct", "splu") and pc in (None, "none"):
+        pc = "lu"   # IR around a direct solve: exact fp32 LU inner
+
+    A_host, A64, A32, perm, M32 = prepare_ir(
+        A, method=method, pc=pc, pc_options=pc_options,
+        inner_dtype=inner_dtype, reorder=reorder)
 
     b = jnp.asarray(b, jnp.float64)
     x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, jnp.float64)
