@@ -194,7 +194,8 @@ def sa_host_levels(A: CSR, g: int = 4, max_levels: int = 12,
                    grid=None, pad_mult: int = None, theta_dir: float = 4.0,
                    strength_tol: float = 0.02,
                    pattern_radius: Optional[Tuple[int, int]] = None,
-                   b_radius: Optional[Tuple[int, int]] = (1, 1)):
+                   b_radius: Optional[Tuple[int, int]] = (1, 1),
+                   shards: int = 1):
     """Host part of the structured-SA setup, shared by the single-device
     and distributed builders.  Returns (levels, Al_coarse, n_top) where
     each level is (A_scipy, B_scipy|None, C_scipy|None, dinv, lmax, n_c,
@@ -205,7 +206,10 @@ def sa_host_levels(A: CSR, g: int = 4, max_levels: int = 12,
     couplings below this (relative, √(a_ii·a_jj)-scaled) when smoothing
     the prolongator.  ``pad_mult``: flat mode pads every level to a
     multiple of this (defaults to ``g``; the distributed builder passes
-    P·g so shard-local reshapes stay aligned)."""
+    P·g so shard-local reshapes stay aligned).  ``shards``: restrict grid
+    modes to aggregations whose reshape groups stay inside one of P
+    row-shards (the distributed builder's constraint); coarsening stops
+    early if no aligned mode remains."""
     import scipy.sparse as sp
     from lssp_tpu.amg.setup import _lambda_max
 
@@ -220,17 +224,35 @@ def sa_host_levels(A: CSR, g: int = 4, max_levels: int = 12,
         if n <= coarse_size:
             break
         agg = next_grid = None
+        mode = None
         if grid is not None and max(grid) > 1:
             gy, gx = grid
             idx = np.arange(n, dtype=np.int64)
             iy, ix = idx // gx, idx % gx
             sx, sy = _grid_strengths(Al, gy, gx)
-            if gx == 1 or (gy > 1 and sy >= theta_dir * max(sx, 1e-300)):
-                mode = "y"
-            elif gy == 1 or sx >= theta_dir * max(sy, 1e-300):
-                mode = "x"
+            # shard-alignment feasibility: with `shards` row-shards, every
+            # reshape group must stay inside one shard — x-groups always do
+            # (whole grid rows per shard), y/box groups need the per-shard
+            # row count exactly divisible (no ragged padding across a
+            # shard boundary); shards == 1 allows ragged edges everywhere
+            ok = {
+                "x": gx > 1 and gy % shards == 0,
+                "y": gy > 1 and (shards == 1
+                                 or (gy % shards == 0
+                                     and (gy // shards) % g == 0)),
+                "box": gx > 1 and gy > 1
+                       and (shards == 1 or (gy % shards == 0
+                                            and (gy // shards) % 2 == 0)),
+            }
+            if sx >= theta_dir * max(sy, 1e-300):
+                order = ("x", "box", "y")
+            elif sy >= theta_dir * max(sx, 1e-300):
+                order = ("y", "box", "x")
             else:
-                mode = "box"
+                order = ("box", "x", "y")
+            mode = next((m for m in order if ok[m]), None)
+            if mode is None:
+                break    # alignment exhausted: current Al is the coarse op
             if mode == "x":
                 gyc, gxc = gy, -(-gx // g)
                 cols = iy * gxc + ix // g
@@ -409,50 +431,76 @@ def _smooth(lev: SALevel, x, b):
     return x
 
 
-def _restrict(lev: SALevel, r):
-    """rc = P0ᵀ·(C·r): one DIA SpMV + a reshape-sum (no SpMV when the
-    level uses the tentative prolongator; grid modes pad ragged edges)."""
-    t = spmv(lev.C, r) if lev.C is not None else r
-    a = lev.agg
-    if a is None:
-        return t.reshape(lev.n_next, lev.g).sum(axis=1)
-    if a[0] == "x":
-        _, g, gy, gx, gxc = a
+def agg_restrict(agg, g, n_next, t):
+    """P0ᵀ·t as a pure reshape-sum (grid modes pad ragged edges).  Shared
+    by the single-device cycle and the distributed one (where ``agg``
+    carries shard-LOCAL dims and t is the shard's slice — reshape groups
+    never cross shards by construction, see sa_host_levels ``shards``)."""
+    if agg is None:
+        return t.reshape(n_next, g).sum(axis=1)
+    if agg[0] == "x":
+        _, g, gy, gx, gxc = agg
         T = t.reshape(gy, gx)
         if gxc * g != gx:
             T = jnp.pad(T, ((0, 0), (0, gxc * g - gx)))
         return T.reshape(gy, gxc, g).sum(axis=2).reshape(-1)
-    if a[0] == "y":
-        _, g, gy, gx, gyc = a
+    if agg[0] == "y":
+        _, g, gy, gx, gyc = agg
         T = t.reshape(gy, gx)
         if gyc * g != gy:
             T = jnp.pad(T, ((0, gyc * g - gy), (0, 0)))
         return T.reshape(gyc, g, gx).sum(axis=1).reshape(-1)
-    _, gy, gx, gyc, gxc = a
+    _, gy, gx, gyc, gxc = agg
     T = t.reshape(gy, gx)
     if gyc * 2 != gy or gxc * 2 != gx:
         T = jnp.pad(T, ((0, gyc * 2 - gy), (0, gxc * 2 - gx)))
     return T.reshape(gyc, 2, gxc, 2).sum(axis=(1, 3)).reshape(-1)
 
 
+def agg_prolong(agg, g, n_next, ec):
+    """P0·ec as a broadcast-reshape (grid modes slice ragged edges)."""
+    if agg is None:
+        return jnp.broadcast_to(ec[:, None], (n_next, g)).reshape(-1)
+    if agg[0] == "x":
+        _, g, gy, gx, gxc = agg
+        t = jnp.broadcast_to(ec.reshape(gy, gxc, 1), (gy, gxc, g))
+        return t.reshape(gy, gxc * g)[:, :gx].reshape(-1)
+    if agg[0] == "y":
+        _, g, gy, gx, gyc = agg
+        t = jnp.broadcast_to(ec.reshape(gyc, 1, gx), (gyc, g, gx))
+        return t.reshape(gyc * g, gx)[:gy].reshape(-1)
+    _, gy, gx, gyc, gxc = agg
+    t = jnp.broadcast_to(ec.reshape(gyc, 1, gxc, 1), (gyc, 2, gxc, 2))
+    return t.reshape(gyc * 2, gxc * 2)[:gy, :gx].reshape(-1)
+
+
+def agg_localize(agg, shards):
+    """Global → shard-local aggregation descriptor (divide the y dim by
+    the shard count; sa_host_levels' ``shards`` feasibility guarantees
+    exact divisibility)."""
+    if agg is None:
+        return None
+    if agg[0] == "x":
+        _, g, gy, gx, gxc = agg
+        return ("x", g, gy // shards, gx, gxc)
+    if agg[0] == "y":
+        _, g, gy, gx, gyc = agg
+        return ("y", g, gy // shards, gx, gyc // shards)
+    _, gy, gx, gyc, gxc = agg
+    return ("box", gy // shards, gx, gyc // shards, gxc)
+
+
+def _restrict(lev: SALevel, r):
+    """rc = P0ᵀ·(C·r): one DIA SpMV + a reshape-sum (no SpMV when the
+    level uses the tentative prolongator)."""
+    t = spmv(lev.C, r) if lev.C is not None else r
+    return agg_restrict(lev.agg, lev.g, lev.n_next, t)
+
+
 def _prolong(lev: SALevel, ec):
     """e = B·(P0·ec): a broadcast-reshape + one DIA SpMV (reshape only for
-    tentative-P levels; grid modes slice ragged edges)."""
-    a = lev.agg
-    if a is None:
-        t = jnp.broadcast_to(ec[:, None], (lev.n_next, lev.g)).reshape(-1)
-    elif a[0] == "x":
-        _, g, gy, gx, gxc = a
-        t = jnp.broadcast_to(ec.reshape(gy, gxc, 1), (gy, gxc, g))
-        t = t.reshape(gy, gxc * g)[:, :gx].reshape(-1)
-    elif a[0] == "y":
-        _, g, gy, gx, gyc = a
-        t = jnp.broadcast_to(ec.reshape(gyc, 1, gx), (gyc, g, gx))
-        t = t.reshape(gyc * g, gx)[:gy].reshape(-1)
-    else:
-        _, gy, gx, gyc, gxc = a
-        t = jnp.broadcast_to(ec.reshape(gyc, 1, gxc, 1), (gyc, 2, gxc, 2))
-        t = t.reshape(gyc * 2, gxc * 2)[:gy, :gx].reshape(-1)
+    tentative-P levels)."""
+    t = agg_prolong(lev.agg, lev.g, lev.n_next, ec)
     return spmv(lev.B, t) if lev.B is not None else t
 
 

@@ -37,6 +37,9 @@ class DistSALevel:
     g: int              # static
     smoother: str       # static
     degree: int         # static
+    n_next: int = 0     # static: shard-LOCAL size of the next level
+    agg: Any = None     # static shard-LOCAL aggregation descriptor
+                        # (amg/sa.py agg_localize; None = flat g-ranges)
     tri: Any = None     # (dl, d, du) each (P, R_l) — LINE smoother (only
                         # when no line crosses a shard boundary, checked
                         # at build time; shard-local PCR is then exact)
@@ -45,9 +48,10 @@ class DistSALevel:
 jax.tree_util.register_pytree_node(
     DistSALevel,
     lambda l: ((l.A, l.B, l.C, l.dinv, l.tri),
-               (l.lmax, l.g, l.smoother, l.degree)),
+               (l.lmax, l.g, l.smoother, l.degree, l.n_next, l.agg)),
     lambda aux, c: DistSALevel(*c[:4], tri=c[4], lmax=aux[0], g=aux[1],
-                               smoother=aux[2], degree=aux[3]))
+                               smoother=aux[2], degree=aux[3],
+                               n_next=aux[4], agg=aux[5]))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -120,24 +124,53 @@ def _dist_tri_parts(Ah, nshards: int, dtype):
 def build_dist_sa(A: CSR, nshards: int, g: int = 4, max_levels: int = 12,
                   coarse_size: int = 512, smoother: str = "chebyshev",
                   degree: int = 2, filter_tol: float = 1e-3,
-                  smooth_levels: int = 2, dtype=None) -> DistSA:
-    from lssp_tpu.amg.sa import sa_host_levels, _pad_identity
+                  smooth_levels=None, dtype=None, grid=None) -> DistSA:
+    """``grid``: (gy, gx) row-major dims → direction-aware grid
+    aggregation with shard-aligned reshape groups (None auto-detects,
+    False forces flat).  Grid mode needs gy % P == 0 (whole grid rows per
+    shard) and then no padding at all; flat mode pre-pads to the planned
+    P·gᴸ multiple as before.  ``smooth_levels=None``: all levels in grid
+    mode (grid-independent convergence; B is pattern-bounded), 2 flat."""
+    from lssp_tpu.amg.sa import (sa_host_levels, _pad_identity, detect_grid,
+                                 agg_localize)
 
     dtype = dtype or np.asarray(A.data).dtype
     n = A.shape[0]
-    n0 = planned_padded_size(n, nshards, g, coarse_size, max_levels)
-    # depth must be planned on the PADDED size (the fixed point guarantees
-    # the padded size's own plan agrees with itself)
-    L = planned_depth(n0, g, coarse_size, max_levels)
-    Ap = CSR.from_scipy(_pad_identity(A.to_scipy().tocsr(), n0 - n))
-    levels, Al, _ = sa_host_levels(
-        Ap, g=g, max_levels=L, coarse_size=0, filter_tol=filter_tol,
-        smooth_levels=smooth_levels, pad_mult=nshards * g)
+    if grid is None:
+        grid = detect_grid(A)
+    elif grid is False:
+        grid = None
+    if grid is not None and (grid[0] * grid[1] != n or n % nshards
+                             or grid[0] % nshards):
+        grid = None
+    if smooth_levels is None:
+        smooth_levels = max_levels if grid is not None else 2
+    if grid is not None:
+        levels, Al, _ = sa_host_levels(
+            A, g=g, max_levels=max_levels, coarse_size=coarse_size,
+            filter_tol=filter_tol, smooth_levels=smooth_levels,
+            grid=grid, shards=nshards)
+        if Al.shape[0] > max(4 * coarse_size, 4096):
+            from lssp_tpu.utils.log import warning
+            warning(f"distributed saamg: shard alignment stopped grid "
+                    f"coarsening at {Al.shape[0]} rows — the dense coarse "
+                    "solve will be large; consider a different shard count")
+    else:
+        n0 = planned_padded_size(n, nshards, g, coarse_size, max_levels)
+        # depth must be planned on the PADDED size (the fixed point
+        # guarantees the padded size's own plan agrees with itself)
+        L = planned_depth(n0, g, coarse_size, max_levels)
+        Ap = CSR.from_scipy(_pad_identity(A.to_scipy().tocsr(), n0 - n))
+        levels, Al, _ = sa_host_levels(
+            Ap, g=g, max_levels=L, coarse_size=0, filter_tol=filter_tol,
+            smooth_levels=smooth_levels, pad_mult=nshards * g)
 
     dlev = []
-    for (Ah, B, C, dinv, lmax, n_c, _gr) in levels:
+    for (Ah, B, C, dinv, lmax, n_c, agg) in levels:
         nl = Ah.shape[0]
-        assert nl % nshards == 0 and (nl // nshards) % g == 0
+        assert nl % nshards == 0
+        if agg is None:
+            assert (nl // nshards) % g == 0
         tri = None
         if smoother == "line":
             from lssp_tpu.utils.log import warning
@@ -154,6 +187,7 @@ def build_dist_sa(A: CSR, nshards: int, g: int = 4, max_levels: int = 12,
                if C is not None else None),
             dinv=jnp.asarray(dinv.astype(dtype).reshape(nshards, -1)),
             lmax=float(lmax), g=g, smoother=smoother, degree=degree,
+            n_next=n_c // nshards, agg=agg_localize(agg, nshards),
             tri=tri))
     nc = Al.shape[0]
     nc_pad = ((nc + nshards - 1) // nshards) * nshards
@@ -201,10 +235,12 @@ def dist_sa_vcycle(h: DistSA, b_local, axis: str):
         r = b_l - Aop(x_l)
         if lev.C is not None:
             r = apply_dist_spmv(lev.C, axis, r)
-        rc = r.reshape(-1, lev.g).sum(axis=1)       # shard-local P0ᵀ
+        # shard-local P0ᵀ / P0 — reshape groups never cross shards (flat
+        # by planned padding; grid modes by the builder's alignment rules)
+        from lssp_tpu.amg.sa import agg_restrict, agg_prolong
+        rc = agg_restrict(lev.agg, lev.g, lev.n_next, r)
         ec = cycle(l + 1, rc, jnp.zeros_like(rc))
-        # shard-local P0 (broadcast), then the banded B SpMV
-        e = jnp.broadcast_to(ec[:, None], (ec.shape[0], lev.g)).reshape(-1)
+        e = agg_prolong(lev.agg, lev.g, lev.n_next, ec)
         if lev.B is not None:
             e = apply_dist_spmv(lev.B, axis, e)
         x_l = x_l + e

@@ -176,10 +176,13 @@ def _dia_block_apply_t(data, x, offsets):
 
 
 def _build_dist_pc(A: CSR, pc_type, pc_opts: PCOptions, Pn: int, R: int,
-                   transpose: bool = False):
+                   transpose: bool = False, sa_grid=False):
     """Returns (kind, state_pytree) where state leaves have leading shard
     axis; kind selects the inside-shard_map apply.  ``transpose`` also
-    builds the shard-local M⁻ᵀ schedules (bicg/qmr/cgnr/lsqr)."""
+    builds the shard-local M⁻ᵀ schedules (bicg/qmr/cgnr/lsqr).
+    ``sa_grid``: the launcher's resolved saamg grid dims (False = flat) —
+    the launcher owns the decision because the system-padding it applies
+    must agree with the hierarchy's alignment plan."""
     if pc_type in (None, "none"):
         return "none", ()
     if pc_type == "jacobi":
@@ -214,7 +217,7 @@ def _build_dist_pc(A: CSR, pc_type, pc_opts: PCOptions, Pn: int, R: int,
                           max_levels=pc_opts.amg_max_levels,
                           coarse_size=pc_opts.amg_coarse_size,
                           smoother=sm,
-                          smooth_levels=2,
+                          grid=sa_grid,
                           degree=smoother_degree(
                               pc_opts.amg_presmooth,
                               pc_opts.amg_postsmooth),
@@ -337,18 +340,13 @@ def _shard_pc_apply(kind, state, R, op=None, cycles=1):
     raise ValueError(kind)
 
 
-def dist_solve(A: CSR, b, x0=None, method: str = "cg",
-               pc: Optional[str] = "none", mesh: Optional[Mesh] = None,
-               options: Optional[SolverOptions] = None,
-               pc_options: Optional[PCOptions] = None, fmt: str = "auto"):
-    """Distributed Ax=b over a 1-D mesh.  Returns (x (n,), SolveInfo).
-
-    ``fmt`` selects the distributed execution format: "auto" prefers
-    gather-free DIA streaming (banded matrices — the TPU-fast path), falling
-    back to padded-ELL halo exchange, then all-gather; "dia"/"halo"/
-    "allgather" force one.  ``n`` need not divide the device count — rows
-    are padded with identity equations (zero rhs) to the next multiple.
-    """
+def _dist_launch(A: CSR, b, x0, method: str, pc, mesh,
+                 options, pc_options, fmt: str, multi: bool):
+    """The one distributed launcher, parameterized on the rhs rank:
+    ``multi=False`` solves b (n,); ``multi=True`` solves B (n, k) with the
+    Krylov iteration vmapped over columns inside the same shard_map body
+    (the matrix streams once per iteration for all rhs, psum dots batch).
+    dist_solve / dist_solve_multi are thin wrappers."""
     opts = (options or SolverOptions()).resolved()
     pc_opts = (pc_options or PCOptions()).resolved()
     # backends without host callbacks can't run jax.debug.print inside the
@@ -359,8 +357,8 @@ def dist_solve(A: CSR, b, x0=None, method: str = "cg",
     user_history = opts.record_history
     if host_trace and not opts.record_history:
         opts = dataclasses.replace(opts, record_history=True)
-    transpose_method = method.lower() in ("bicg", "qmr", "cgnr", "cgn",
-                                          "lsqr")
+    from lssp_tpu.solvers.facade import needs_transpose_pc
+    transpose_method = needs_transpose_pc(method)
     if transpose_method and pc not in (None, "none", "jacobi", "bjilu",
                                        "iluk", "ilu0", "ilut"):
         raise ValueError(
@@ -369,50 +367,68 @@ def dist_solve(A: CSR, b, x0=None, method: str = "cg",
     if mesh is None:
         mesh = make_mesh()
     Pn = mesh.devices.size
-    n_orig = A.shape[0]
+
+    b = jnp.asarray(b)
+    if multi:
+        if b.ndim != 2:
+            raise ValueError(f"B must be (n, k), got {b.shape}")
+        n_orig, k = b.shape
+    else:
+        n_orig, k = b.shape[0], None
+    if x0 is not None:
+        x0 = jnp.asarray(x0)
+        if x0.shape != b.shape:
+            raise ValueError(f"x0 must match the rhs shape {b.shape}, "
+                             f"got {x0.shape}")
+
+    # system sizing.  saamg: a shard-aligned grid hierarchy (gy % P == 0)
+    # needs no padding at all — every level's reshape groups are whole by
+    # construction; otherwise pad to the flat plan's P·g^L multiple.  The
+    # launcher resolves the grid and passes it DOWN to build_dist_sa so
+    # the padding decision and the hierarchy's alignment plan cannot skew.
+    sa_grid = False
+    npad = 0
     if pc == "saamg":
-        # pad the whole system to the SA-planned size so every level's
-        # shard-local rows are whole aggregates (see parallel/dist_sa.py)
-        from lssp_tpu.parallel.dist_sa import planned_padded_size
-        from lssp_tpu.amg.sa import _pad_identity
-        # must use the same knobs as _build_dist_pc's build_dist_sa call, or
-        # the planned hierarchy depth (and thus the padded size) disagrees
-        n0 = planned_padded_size(n_orig, Pn, g=pc_opts.saamg_aggregate,
-                                 coarse_size=pc_opts.amg_coarse_size,
-                                 max_levels=pc_opts.amg_max_levels)
-        if n0 != n_orig:
-            A = CSR.from_scipy(_pad_identity(A.to_scipy().tocsr(),
-                                             n0 - n_orig))
-            b = jnp.concatenate([jnp.asarray(b),
-                                 jnp.zeros(n0 - n_orig,
-                                           dtype=jnp.asarray(b).dtype)])
-            if x0 is not None:
-                x0 = jnp.concatenate([jnp.asarray(x0),
-                                      jnp.zeros(n0 - n_orig,
-                                                dtype=jnp.asarray(x0).dtype)])
-    elif A.shape[0] % Pn:
+        from lssp_tpu.amg.sa import detect_grid
+        g0 = pc_opts.saamg_grid
+        if g0 is None:
+            g0 = detect_grid(A)
+        elif g0 is False or (g0 is not None
+                             and g0[0] * g0[1] != n_orig):
+            g0 = None
+        if (g0 is not None and n_orig % Pn == 0 and g0[0] % Pn == 0):
+            sa_grid = tuple(g0)
+        else:
+            from lssp_tpu.parallel.dist_sa import planned_padded_size
+            n0 = planned_padded_size(n_orig, Pn, g=pc_opts.saamg_aggregate,
+                                     coarse_size=pc_opts.amg_coarse_size,
+                                     max_levels=pc_opts.amg_max_levels)
+            npad = n0 - n_orig
+    elif n_orig % Pn:
         # general n: append identity equations (unit diagonal, zero rhs) up
         # to the next multiple of the device count — the padded components
         # start at 0 and stay 0 through every Krylov recurrence
+        npad = (-n_orig) % Pn
+    if npad:
         from lssp_tpu.amg.sa import _pad_identity
-        npad = (-A.shape[0]) % Pn
         A = CSR.from_scipy(_pad_identity(A.to_scipy().tocsr(), npad))
-        b = jnp.concatenate([jnp.asarray(b),
-                             jnp.zeros(npad, dtype=jnp.asarray(b).dtype)])
+        pad_shape = (npad, k) if multi else (npad,)
+        b = jnp.concatenate([b, jnp.zeros(pad_shape, dtype=b.dtype)], axis=0)
         if x0 is not None:
-            x0 = jnp.concatenate([jnp.asarray(x0),
-                                  jnp.zeros(npad,
-                                            dtype=jnp.asarray(x0).dtype)])
+            x0 = jnp.concatenate([x0, jnp.zeros(pad_shape, dtype=x0.dtype)],
+                                 axis=0)
     n = A.shape[0]
     R = n // Pn
     M = partition_matrix(A, Pn, fmt=fmt)
     kind, pc_state = _build_dist_pc(A, pc, pc_opts, Pn, R,
-                                    transpose=transpose_method)
+                                    transpose=transpose_method,
+                                    sa_grid=sa_grid)
     fn = get_solver(method)
 
-    b2 = jnp.asarray(np.asarray(b).reshape(Pn, R))
+    shp = (Pn, R, k) if multi else (Pn, R)
+    b2 = jnp.asarray(np.asarray(b).reshape(shp))
     x02 = (jnp.zeros_like(b2) if x0 is None
-           else jnp.asarray(np.asarray(x0).reshape(Pn, R)))
+           else jnp.asarray(np.asarray(x0).reshape(shp)))
 
     spmv_impl = make_dist_spmv(M, AXIS)
     pdot = make_psum_dot(AXIS)
@@ -432,6 +448,12 @@ def dist_solve(A: CSR, b, x0=None, method: str = "cg",
                                  lambda x: spmv_t_impl(*mat_l, x))
         pc_apply = _shard_pc_apply(kind, pc_state_l, R, op=op,
                                    cycles=max(1, int(pc_opts.amg_cycles)))
+        if multi:
+            def one(bl, x0l):
+                return fn(op, bl, x0l, pc_apply, opts=opts, dot=pdot)
+            X, info = jax.vmap(one, in_axes=1, out_axes=(1, 0))(b_sh[0],
+                                                                x0_sh[0])
+            return X[None], info
         x, info = fn(op, b_sh[0], x0_sh[0], pc_apply, opts=opts, dot=pdot)
         return x[None], info
 
@@ -447,10 +469,35 @@ def dist_solve(A: CSR, b, x0=None, method: str = "cg",
     x_sh, info = jax.jit(mapped)(*mat_leaves, b2, x02, pc_state)
     if host_trace:
         from lssp_tpu.solvers.base import history_print_host
-        history_print_host(info)
+        if multi:
+            from lssp_tpu.utils.log import log as _log_line
+            for kk in range(k):
+                _log_line(f"rhs {kk}:", level=0)
+                history_print_host(
+                    jax.tree_util.tree_map(lambda a: a[kk], info))
+        else:
+            history_print_host(info)
         if not user_history:
             info = dataclasses.replace(info, history=None)
+    if multi:
+        return jnp.reshape(x_sh, (n, k))[:n_orig, :], info
     return jnp.reshape(x_sh, (n,))[:n_orig], info
+
+
+def dist_solve(A: CSR, b, x0=None, method: str = "cg",
+               pc: Optional[str] = "none", mesh: Optional[Mesh] = None,
+               options: Optional[SolverOptions] = None,
+               pc_options: Optional[PCOptions] = None, fmt: str = "auto"):
+    """Distributed Ax=b over a 1-D mesh.  Returns (x (n,), SolveInfo).
+
+    ``fmt`` selects the distributed execution format: "auto" prefers
+    gather-free DIA streaming (banded matrices — the TPU-fast path), falling
+    back to padded-ELL halo exchange, then all-gather; "dia"/"halo"/
+    "allgather" force one.  ``n`` need not divide the device count — rows
+    are padded with identity equations (zero rhs) to the next multiple.
+    """
+    return _dist_launch(A, b, x0, method, pc, mesh, options, pc_options,
+                        fmt, multi=False)
 
 
 def dist_solve_multi(A: CSR, B, X0=None, method: str = "cg",
@@ -464,92 +511,7 @@ def dist_solve_multi(A: CSR, B, X0=None, method: str = "cg",
     body vmaps the Krylov iteration over the rhs columns, so the
     partitioned matrix streams once per iteration for all rhs and the
     psum dots batch over k.  Returns (X (n, k), SolveInfo with (k,)
-    fields).  Supports the transpose-free methods and pc in
-    (none, jacobi, bjilu/ilu*, amg, saamg is NOT yet supported here —
-    its level padding couples to the rhs layout)."""
-    opts = (options or SolverOptions()).resolved()
-    pc_opts = (pc_options or PCOptions()).resolved()
-    # NOTE: the setup scaffolding below intentionally mirrors dist_solve —
-    # a shared launcher parameterized on the rhs rank is the round-3
-    # cleanup; until then keep the two in sync
-    from lssp_tpu.utils.log import device_print_supported
-    host_trace = opts.verbosity >= 1 and not device_print_supported()
-    user_history = opts.record_history
-    if host_trace and not opts.record_history:
-        opts = dataclasses.replace(opts, record_history=True)
-    if pc == "saamg":
-        raise ValueError("dist_solve_multi does not support pc='saamg' "
-                         "yet; use pc='amg'/'bjilu' or per-rhs dist_solve")
-    from lssp_tpu.solvers.facade import needs_transpose_pc
-    if needs_transpose_pc(method):
-        raise ValueError("dist_solve_multi supports transpose-free "
-                         "methods; solve the rhs individually for "
-                         f"{method}")
-    if mesh is None:
-        mesh = make_mesh()
-    Pn = mesh.devices.size
-    B = jnp.asarray(B)
-    if B.ndim != 2:
-        raise ValueError(f"B must be (n, k), got {B.shape}")
-    n_orig, k = B.shape
-    if X0 is not None:
-        X0 = jnp.asarray(X0)
-        if X0.shape != (n_orig, k):
-            raise ValueError(f"X0 must be (n, k) = {(n_orig, k)}, "
-                             f"got {X0.shape}")
-    if A.shape[0] % Pn:
-        from lssp_tpu.amg.sa import _pad_identity
-        npad = (-A.shape[0]) % Pn
-        A = CSR.from_scipy(_pad_identity(A.to_scipy().tocsr(), npad))
-        B = jnp.concatenate([B, jnp.zeros((npad, k), dtype=B.dtype)], axis=0)
-        if X0 is not None:
-            X0 = jnp.concatenate([X0,
-                                  jnp.zeros((npad, k), dtype=X0.dtype)],
-                                 axis=0)
-    n = A.shape[0]
-    R = n // Pn
-    M = partition_matrix(A, Pn, fmt=fmt)
-    kind, pc_state = _build_dist_pc(A, pc, pc_opts, Pn, R)
-    fn = get_solver(method)
-
-    B2 = jnp.asarray(np.asarray(B).reshape(Pn, R, k))
-    X02 = (jnp.zeros_like(B2) if X0 is None
-           else jnp.asarray(np.asarray(X0).reshape(Pn, R, k)))
-
-    spmv_impl = make_dist_spmv(M, AXIS)
-    pdot = make_psum_dot(AXIS)
-    mat_leaves, _ = jax.tree_util.tree_flatten(M)
-    nleaf = len(mat_leaves)
-
-    def body(*args):
-        mat_l = [a[0] for a in args[:nleaf]]
-        b_sh, x0_sh, pc_state_sh = args[nleaf:]
-        pc_state_l = jax.tree_util.tree_map(lambda a: a[0], pc_state_sh)
-        op = lambda x: spmv_impl(*mat_l, x)
-        pc_apply = _shard_pc_apply(kind, pc_state_l, R, op=op,
-                                   cycles=max(1, int(pc_opts.amg_cycles)))
-
-        def one(bl, x0l):
-            return fn(op, bl, x0l, pc_apply, opts=opts, dot=pdot)
-        X, info = jax.vmap(one, in_axes=1, out_axes=(1, 0))(b_sh[0],
-                                                            x0_sh[0])
-        return X[None], info
-
-    in_specs = tuple(P(AXIS) for _ in range(nleaf)) + (
-        P(AXIS), P(AXIS),
-        jax.tree_util.tree_map(lambda _: P(AXIS), pc_state))
-    out_specs = (P(AXIS), jax.tree_util.tree_map(lambda _: P(), SolveInfo(
-        nits=0, residual=0.0, converged=False, r0norm=0.0, bnorm=0.0,
-        history=0.0 if opts.record_history else None)))
-    mapped = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
-                           out_specs=out_specs, check_vma=False)
-    X_sh, info = jax.jit(mapped)(*mat_leaves, B2, X02, pc_state)
-    if host_trace:
-        from lssp_tpu.solvers.base import history_print_host
-        from lssp_tpu.utils.log import log as _log_line
-        for kk in range(k):
-            _log_line(f"rhs {kk}:", level=0)
-            history_print_host(jax.tree_util.tree_map(lambda a: a[kk], info))
-        if not user_history:
-            info = dataclasses.replace(info, history=None)
-    return jnp.reshape(X_sh, (n, k))[:n_orig, :], info
+    fields).  Shares the full dist_solve method × pc matrix (including
+    saamg and the transpose methods with shard-local M⁻ᵀ)."""
+    return _dist_launch(A, B, X0, method, pc, mesh, options, pc_options,
+                        fmt, multi=True)

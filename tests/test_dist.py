@@ -555,11 +555,41 @@ class TestDistSolveMulti:
             r = np.linalg.norm(np.asarray(B[:, k]) - S @ np.asarray(X[:, k]))
             assert r <= 1e-4 * max(1.0, float(jnp.linalg.norm(B[:, k])))
 
-    def test_unsupported_raise(self, mesh8):
+    def test_saamg_multi(self, mesh8):
+        """Multi-rhs with the saamg hierarchy (was unsupported pre-r3):
+        per-rhs convergence + column-0 parity with the single-rhs solve."""
+        from lssp_tpu.parallel.dist_solve import dist_solve, dist_solve_multi
+        import lssp_tpu as lt
+        A = laplacian_2d(32)
+        n = A.shape[0]
+        B = jnp.stack([jnp.ones(n), jnp.arange(float(n)) % 5 + 1], axis=1)
+        o = lt.SolverOptions(maxit=100)
+        X, info = dist_solve_multi(A, B, method="cg", pc="saamg", mesh=mesh8,
+                                   options=o)
+        S = A.to_scipy()
+        for k in range(2):
+            assert bool(info.converged[k])
+            r = np.linalg.norm(np.asarray(B[:, k]) - S @ np.asarray(X[:, k]))
+            assert r <= 1e-4 * max(1.0, float(jnp.linalg.norm(B[:, k])))
+        _, i1 = dist_solve(A, B[:, 0], method="cg", pc="saamg", mesh=mesh8,
+                           options=o)
+        assert abs(int(info.nits[0]) - int(i1.nits)) <= 1
+
+    def test_transpose_method_multi(self, mesh8):
+        """Transpose methods (qmr + shard-local bjilu M⁻ᵀ) in the
+        multi-rhs launcher (was unsupported pre-r3)."""
         from lssp_tpu.parallel.dist_solve import dist_solve_multi
-        A = laplacian_2d(16)
-        B = jnp.ones((256, 2))
-        with pytest.raises(ValueError, match="saamg"):
-            dist_solve_multi(A, B, pc="saamg", mesh=mesh8)
-        with pytest.raises(ValueError, match="transpose-free"):
-            dist_solve_multi(A, B, method="qmr", mesh=mesh8)
+        import lssp_tpu as lt
+        A = lt.sparse.convection_diffusion_2d(24)
+        n = A.shape[0]
+        B = jnp.stack([jnp.ones(n),
+                       jnp.cos(jnp.arange(float(n)) * 0.1)], axis=1)
+        X, info = dist_solve_multi(
+            A, B, method="qmr", pc="bjilu", mesh=mesh8,
+            options=lt.SolverOptions(rtol=1e-8, atol=0.0, rbtol=0.0,
+                                     maxit=500))
+        S = A.to_scipy()
+        for k in range(2):
+            assert bool(info.converged[k])
+            r = np.linalg.norm(np.asarray(B[:, k]) - S @ np.asarray(X[:, k]))
+            assert r <= 1.1e-8 * float(info.r0norm[k]) + 1e-10
