@@ -236,4 +236,21 @@ def make_psum_dot(axis: str):
     lssp_tpu.solvers.base.vdot)."""
     def dot(x, y):
         return lax.psum(jnp.sum(x * y), axis)
+
+    def many(pairs):
+        # the communication-avoiding contract (solvers/base.py dot_many):
+        # all simultaneous inner products share ONE psum of the stacked
+        # local partials — k products cost one latency, not k
+        loc = jnp.stack([jnp.sum(a * b) for a, b in pairs])
+        glob = lax.psum(loc, axis)
+        return tuple(glob[i] for i in range(len(pairs)))
+
+    dot.many = many
+
+    def rows(V, w):
+        # all ⟨V[j], w⟩ in one psum of the coefficient vector (the
+        # cagmres classical-Gram-Schmidt reduction)
+        return lax.psum(jnp.sum(V * w, axis=1), axis)
+
+    dot.rows = rows
     return dot

@@ -52,6 +52,46 @@ def vdot(a, b):
     return jnp.sum(a * b)
 
 
+def _vdot_many(pairs):
+    return tuple(jnp.sum(a * b) for a, b in pairs)
+
+
+# single-device batch form (XLA fuses the independent reductions); the
+# distributed dot (make_psum_dot) overrides .many with a SINGLE psum of the
+# stacked partials — the communication-avoiding solvers (pipecg, cagmres)
+# route every group of simultaneous inner products through dot_many
+vdot.many = _vdot_many
+
+
+def dot_many(dot, pairs):
+    """Batch of inner products ⟨aᵢ,bᵢ⟩ with ONE cross-chip reduction when
+    the dot provides a ``.many`` (distributed: one psum of the stacked
+    local partial sums instead of one per product)."""
+    many = getattr(dot, "many", None)
+    if many is not None:
+        return many(pairs)
+    return tuple(dot(a, b) for a, b in pairs)
+
+
+def _vdot_rows(V, w):
+    return jnp.sum(V * w, axis=1)
+
+
+vdot.rows = _vdot_rows
+
+
+def dot_rows(dot, V, w):
+    """All basis inner products ⟨V[j], w⟩ at once: one fused elementwise
+    multiply + row reduction (mul+sum — NOT a matvec, same fp64
+    dot_general hazard as vdot), and in the distributed dot ONE psum of
+    the whole coefficient vector.  The classical-Gram-Schmidt primitive
+    behind cagmres."""
+    rows = getattr(dot, "rows", None)
+    if rows is not None:
+        return rows(V, w)
+    return jnp.sum(V * w, axis=1)
+
+
 def basis_combine(ym, V):
     """x-correction Σ ym[i]·V[i] as broadcast-multiply + reduce.
 

@@ -21,18 +21,23 @@ import jax
 import jax.numpy as jnp
 
 from lssp_tpu.solvers.base import (
-    vdot, basis_combine,
+    vdot, basis_combine, dot_rows,
     SolveInfo, init_state, stopping_tol, history_init, history_update,
 )
 from lssp_tpu.solvers.registry import register_solver
 
 
 def _arnoldi_cycle(op, pc, v0, beta_p, m, maxit, itr0, gstol, right, dot,
-                   breakdown):
+                   breakdown, cgs2=False):
     """One restart cycle.  Returns (V, H_rot, gg, kk, itr, gs_norm).
 
     ``kk`` is the number of usable columns (excludes a broken-down column,
     matching the reference's ``i--; break`` + ``kk = i==m ? m : i+1``).
+    ``cgs2``: orthogonalize by twice-iterated CLASSICAL Gram–Schmidt
+    instead of MGS — all i+1 basis coefficients come from ONE batched
+    reduction per pass (dot_rows), so the per-column cross-chip sync cost
+    is 3 reductions regardless of i (MGS pays i+1 dependent dots).  CGS2
+    is the standard low-sync choice with MGS-grade orthogonality.
     """
     n = v0.shape[0]
     dtype = v0.dtype
@@ -58,13 +63,22 @@ def _arnoldi_cycle(op, pc, v0, beta_p, m, maxit, itr0, gstol, right, dot,
         else:
             w = pc(op(vi))
 
-        # modified Gram–Schmidt against v[0..i]
-        def mgs(j, wh):
-            w, hcol = wh
-            hij = dot(w, V[j])
-            return (w - hij * V[j], hcol.at[j].set(hij))
-        w, hcol = jax.lax.fori_loop(0, i + 1, mgs,
-                                    (w, jnp.zeros(m + 1, dtype=dtype)))
+        if cgs2:
+            # twice-iterated classical Gram–Schmidt: rows of V beyond i are
+            # zero within a cycle, so the batched reductions need no mask
+            h1 = dot_rows(dot, V, w)
+            w = w - basis_combine(h1, V)
+            h2 = dot_rows(dot, V, w)
+            w = w - basis_combine(h2, V)
+            hcol = jnp.zeros(m + 1, dtype=dtype).at[:m].set(h1 + h2)
+        else:
+            # modified Gram–Schmidt against v[0..i]
+            def mgs(j, wh):
+                w, hcol = wh
+                hij = dot(w, V[j])
+                return (w - hij * V[j], hcol.at[j].set(hij))
+            w, hcol = jax.lax.fori_loop(0, i + 1, mgs,
+                                        (w, jnp.zeros(m + 1, dtype=dtype)))
         hnorm = jnp.sqrt(dot(w, w))
         hcol = hcol.at[i + 1].set(hnorm)
         brk_now = jnp.abs(hnorm) <= breakdown
@@ -121,7 +135,7 @@ def _solve_ym(H, gg, kk, m):
     return ym
 
 
-def _gmres(A, b, x0, M, opts, dot, right):
+def _gmres(A, b, x0, M, opts, dot, right, cgs2=False):
     m = opts.restart
     maxit = opts.maxit
     op, pc, x, rg = init_state(A, b, x0, M)
@@ -150,7 +164,7 @@ def _gmres(A, b, x0, M, opts, dot, right):
             gstol = jnp.where(itr == 0, rtol * bp * 0.5, gstol)
         V, H, gg, kk, itr, gs_norm = _arnoldi_cycle(
             op, pc, v0, bp, m, maxit, itr, gstol if not right else tol,
-            right, dot, opts.breakdown)
+            right, dot, opts.breakdown, cgs2=cgs2)
         ym = _solve_ym(H, gg, kk, m)
         vy = basis_combine(ym, V)
         if right:
@@ -184,3 +198,20 @@ def gmres(A, b, x0=None, M=None, opts=None, dot=vdot):
 def gmres_r(A, b, x0=None, M=None, opts=None, dot=vdot):
     """Right-preconditioned GMRES(m) (reference LSSP_SOLVER_RGMRES)."""
     return _gmres(A, b, x0, M, opts, dot, right=True)
+
+
+@register_solver("cagmres")
+def cagmres(A, b, x0=None, M=None, opts=None, dot=vdot):
+    """Communication-avoiding (merged-dot) GMRES(m): CGS2 orthogonalization
+    — 3 batched reductions per Arnoldi column regardless of the column
+    index, vs MGS's i+1 dependent dots.  The multi-chip latency answer for
+    restarted GMRES; iteration counts match gmres (CGS2 ≈ MGS
+    orthogonality).  No reference analog (the reference is serial)."""
+    return _gmres(A, b, x0, M, opts, dot, right=False, cgs2=True)
+
+
+@register_solver("cargmres")
+def cargmres(A, b, x0=None, M=None, opts=None, dot=vdot):
+    """Right-preconditioned merged-dot GMRES(m) (see cagmres) — the
+    variant solve_ir uses for fp32 inner solves."""
+    return _gmres(A, b, x0, M, opts, dot, right=True, cgs2=True)

@@ -210,7 +210,8 @@ def solve_ir(A, b, x0=None, method: str = "gmres",
     # residual).  Restarted GMRES variants finish healthy rounds well
     # under 2 restarts; non-restarted methods keep the wider budget
     # (restart is meaningless for them).
-    if method.lower() in ("gmres", "rgmres", "lgmres", "rlgmres", "fgmres"):
+    if method.lower() in ("gmres", "rgmres", "lgmres", "rlgmres", "fgmres",
+                          "cagmres", "cargmres"):
         inner_cap = max(2 * opts.restart, 64)
     else:
         inner_cap = 200
@@ -225,8 +226,8 @@ def solve_ir(A, b, x0=None, method: str = "gmres",
     # maxit per round).  Right preconditioning tracks the TRUE residual
     # norm, whose floor sits far lower; the outer fp64 loop is identical
     # either way (it only consumes the correction).
-    inner_method = {"gmres": "rgmres", "lgmres": "rlgmres"}.get(
-        method.lower(), method)
+    inner_method = {"gmres": "rgmres", "lgmres": "rlgmres",
+                    "cagmres": "cargmres"}.get(method.lower(), method)
     fn = get_solver(inner_method)
 
     if opts.verbosity < 1:

@@ -30,6 +30,9 @@ def _populate():
                 # capability parity with the reference's external-package
                 # solver tables (LASPACK/PETSc/LIS adapters, SURVEY §2.5)
                 "minres", "bicg", "qmr", "cgnr", "lsqr", "fgmres",
+                # communication-avoiding variants (multi-chip latency):
+                # single-reduction pipelined CG
+                "pipecg",
                 # native sparse direct LU (the reference's external
                 # UMFPACK/KLU/SuperLU/MUMPS/PARDISO capability)
                 "direct"):

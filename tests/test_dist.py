@@ -166,11 +166,11 @@ class TestDistMethodMatrix:
         "cg", "gmres", "rgmres", "fgmres", "bicgstab", "bicgstabl",
         "bicgsafe", "cgs", "gpbicg", "cr", "crs", "bicrstab", "bicrsafe",
         "gpbicr", "qmrcgstab", "tfqmr", "orthomin", "idrs", "lgmres",
-        "minres"])
+        "minres", "pipecg", "cagmres", "cargmres"])
     def test_method_distributed(self, method):
         import lssp_tpu as lt
         from lssp_tpu.parallel.dist_solve import dist_solve, make_mesh
-        sym = method in ("minres", "cg", "cr")
+        sym = method in ("minres", "cg", "cr", "pipecg")
         A = (lt.sparse.laplacian_2d(32) if sym
              else lt.sparse.convection_diffusion_2d(32, beta=10.0))
         b = jnp.ones(1024, dtype=jnp.float64)
@@ -179,6 +179,135 @@ class TestDistMethodMatrix:
                              options=lt.SolverOptions(maxit=2000, restart=30))
         res = float(np.linalg.norm(np.asarray(b) - A.to_scipy() @ np.asarray(x)))
         assert bool(info.converged) and res < 1e-4, (method, res)
+
+
+class TestCommAvoiding:
+    """Communication-avoiding Krylov variants: pipecg's per-iteration sync
+    cost is ONE psum (cg pays 3 — rho, <q,p>, and the norm — at two
+    dependent points per iteration, SURVEY §3.3)."""
+
+    def test_pipecg_matches_cg(self):
+        import lssp_tpu as lt
+        o = SolverOptions(rtol=1e-8, atol=0.0, rbtol=0.0, maxit=2000)
+        for gen, pc in [(lambda: laplacian_2d(64), "jacobi"),
+                        (lambda: laplacian_3d(16), "ilu0")]:
+            A = gen()
+            b = jnp.ones(A.shape[0], dtype=jnp.float64)
+            x1, i1 = lt.solve(A, b, method="cg", pc=pc, options=o)
+            x2, i2 = lt.solve(A, b, method="pipecg", pc=pc, options=o)
+            assert bool(i2.converged)
+            res = float(np.linalg.norm(
+                np.asarray(b) - A.to_scipy() @ np.asarray(x2)))
+            assert res <= 1.1e-8 * float(i2.r0norm) + 1e-10
+            # the pipelined norm is known one reduction late => +1 body
+            assert abs(int(i2.nits) - int(i1.nits)) <= 2, (pc, int(i1.nits),
+                                                           int(i2.nits))
+
+    @staticmethod
+    def _psums_in_while(method):
+        """Count psum equations inside while_loop bodies of the
+        shard_map'd iteration (trace inspection — the latency census)."""
+        import lssp_tpu as lt
+        from lssp_tpu.parallel.dist_solve import make_mesh, AXIS
+        from lssp_tpu.parallel.dist_ops import make_psum_dot
+        from lssp_tpu.solvers.registry import get_solver
+        from jax.sharding import PartitionSpec as P
+
+        fn = get_solver(method)
+
+        def prog(b):
+            op = lambda v: v * 2.0 - jnp.roll(v, 1) * 0.5
+            x, info = fn(op, b, jnp.zeros_like(b), None,
+                         opts=SolverOptions(maxit=10).resolved(),
+                         dot=make_psum_dot(AXIS))
+            return x, info.residual
+
+        jaxpr = jax.make_jaxpr(jax.shard_map(
+            prog, mesh=make_mesh(8), in_specs=P(AXIS), out_specs=(P(AXIS),
+                                                                  P()),
+            check_vma=False))(jnp.ones(1024))
+
+        def count(jx, inside):
+            tot = 0
+            for eq in jx.eqns:
+                if eq.primitive.name == "psum" and inside:
+                    tot += 1
+                for v in eq.params.values():
+                    # params hold raw Jaxprs (shard_map) or ClosedJaxprs
+                    # (while/cond/pjit) — unwrap both
+                    sub = v if hasattr(v, "eqns") else getattr(v, "jaxpr",
+                                                              None)
+                    if sub is not None:
+                        tot += count(sub, inside
+                                     or eq.primitive.name == "while")
+            return tot
+        return count(jaxpr.jaxpr, False)
+
+    def test_pipecg_single_reduction(self):
+        n_cg = self._psums_in_while("cg")
+        n_pipe = self._psums_in_while("pipecg")
+        assert n_pipe == 1, f"pipecg body must psum ONCE, traced {n_pipe}"
+        assert n_cg >= 3, f"census harness broken (cg traced {n_cg})"
+
+    def test_cagmres_matches_gmres(self):
+        import lssp_tpu as lt
+        o = SolverOptions(rtol=1e-8, atol=0.0, rbtol=0.0, maxit=2000,
+                          restart=30)
+        A = lt.sparse.convection_diffusion_2d(48)
+        b = jnp.ones(A.shape[0], dtype=jnp.float64)
+        for base, ca in (("gmres", "cagmres"), ("rgmres", "cargmres")):
+            _, i1 = lt.solve(A, b, method=base, pc="ilut", options=o)
+            x2, i2 = lt.solve(A, b, method=ca, pc="ilut", options=o)
+            assert bool(i2.converged)
+            res = float(np.linalg.norm(
+                np.asarray(b) - A.to_scipy() @ np.asarray(x2)))
+            assert res <= 1.1e-8 * float(i2.r0norm) + 1e-10
+            assert abs(int(i2.nits) - int(i1.nits)) <= 2
+
+    @staticmethod
+    def _psum_depths(method):
+        """Map while-nesting depth → psum count (the MGS loop's dependent
+        per-column dot shows up as a psum at depth ≥ 3)."""
+        import lssp_tpu as lt
+        from lssp_tpu.parallel.dist_solve import make_mesh, AXIS
+        from lssp_tpu.parallel.dist_ops import make_psum_dot
+        from lssp_tpu.solvers.registry import get_solver
+        from jax.sharding import PartitionSpec as P
+
+        fn = get_solver(method)
+
+        def prog(b):
+            op = lambda v: v * 2.0 - jnp.roll(v, 1) * 0.5
+            x, info = fn(op, b, jnp.zeros_like(b), None,
+                         opts=SolverOptions(maxit=10, restart=5).resolved(),
+                         dot=make_psum_dot(AXIS))
+            return x, info.residual
+
+        jaxpr = jax.make_jaxpr(jax.shard_map(
+            prog, mesh=make_mesh(8), in_specs=P(AXIS),
+            out_specs=(P(AXIS), P()), check_vma=False))(jnp.ones(1024))
+        depths = {}
+
+        def walk(jx, d):
+            for eq in jx.eqns:
+                if eq.primitive.name == "psum":
+                    depths[d] = depths.get(d, 0) + 1
+                for v in eq.params.values():
+                    sub = v if hasattr(v, "eqns") else getattr(v, "jaxpr",
+                                                              None)
+                    if sub is not None:
+                        walk(sub, d + (eq.primitive.name == "while"))
+            return depths
+        return walk(jaxpr.jaxpr, 0)
+
+    def test_cagmres_constant_reductions(self):
+        """gmres's MGS pays a psum inside the per-column j-loop (while
+        depth ≥ 3: outer restart → Arnoldi → MGS); cagmres's batched CGS2
+        reductions all sit in the Arnoldi body (depth ≤ 2)."""
+        d_mgs = self._psum_depths("gmres")
+        d_ca = self._psum_depths("cagmres")
+        assert any(k >= 3 and v > 0 for k, v in d_mgs.items()), d_mgs
+        assert not any(k >= 3 and v > 0 for k, v in d_ca.items()), d_ca
 
 
 class TestDistTranspose:
