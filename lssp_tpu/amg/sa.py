@@ -169,7 +169,12 @@ def detect_grid(A, max_halfwidth: int = 2) -> Optional[Tuple[int, int]]:
     cands = np.unique(np.abs(offs[np.abs(offs) > max_halfwidth]))[::-1]
     for N in cands:
         N = int(N)
-        if N <= 2 * max_halfwidth or n % N:
+        # N <= 2*hw+1 is DEGENERATE: every integer offset is then within
+        # ``max_halfwidth`` of a multiple of N (rint rounds to the nearest
+        # multiple, never farther than (N-1)/2 away), so the test would
+        # "detect" a grid in any sparsity with n % N == 0 — measured as a
+        # spurious (3125, 5) grid on the hierarchy-ordered coupled3d_25
+        if N <= 2 * max_halfwidth + 1 or n % N:
             continue
         dx = offs - np.rint(offs / N).astype(np.int64) * N
         if np.all(np.abs(dx) <= max_halfwidth):

@@ -18,7 +18,8 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_HERE, "src", "ilu.cpp"),
          os.path.join(_HERE, "src", "splu.cpp"),
-         os.path.join(_HERE, "src", "spqr.cpp")]
+         os.path.join(_HERE, "src", "spqr.cpp"),
+         os.path.join(_HERE, "src", "aggregate.cpp")]
 _BUILD_DIR = os.path.join(_HERE, "_build")
 _LIB_PATH = os.path.join(_BUILD_DIR, "liblssp_native.so")
 
@@ -99,6 +100,10 @@ def load():
         lib.lssp_spqr_fetch.argtypes = [ctypes.c_void_p, _i64p, _i64p, _f64p,
                                         _f64p]
         lib.lssp_spqr_free.argtypes = [ctypes.c_void_p]
+        lib.lssp_greedy_aggregate.argtypes = [
+            _i64p, _i64p, _f64p, _i64p, _i64p, _f64p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"), _i64p]
         _lib = lib
         return _lib
 
@@ -192,6 +197,26 @@ def spqr(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
     lib.lssp_spqr_fetch(h, Rp, Rj, Rx, crhs)
     lib.lssp_spqr_free(h)
     return Rp, Rj, Rx, crhs, float(res2.value)
+
+
+def greedy_aggregate(A, T, g: int, theta: float,
+                     virt: np.ndarray) -> np.ndarray:
+    """Raw greedy strength-BFS aggregate ids over the symmetrised strength
+    graph of CSR ``A`` (``T`` = A transposed, also CSR) — identical output
+    to the Python oracle in amg/aggregate.py (which does the exactness
+    fix-up for both paths)."""
+    lib = load()
+    n = A.shape[0]
+    ids = np.empty(n, dtype=np.int64)
+    lib.lssp_greedy_aggregate(
+        np.ascontiguousarray(A.indptr, np.int64),
+        np.ascontiguousarray(A.indices, np.int64),
+        np.ascontiguousarray(A.data, np.float64),
+        np.ascontiguousarray(T.indptr, np.int64),
+        np.ascontiguousarray(T.indices, np.int64),
+        np.ascontiguousarray(T.data, np.float64),
+        n, g, theta, np.ascontiguousarray(virt, np.uint8), ids)
+    return ids
 
 
 def ilut(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray, n: int,

@@ -49,6 +49,26 @@ def saamg_keeps_ordering(pc, pc_options) -> bool:
             and pc_options.saamg_grid not in (None, False))
 
 
+def resolve_reorder(pc, pc_options, reorder):
+    """ONE reorder-resolution rule for every entry point (solve /
+    solve_multi / Solver.assemble / solve_ir).  Explicit saamg grid dims
+    pin the original ordering; ``auto`` + a multigrid PC routes through
+    the hierarchical-aggregation ordering (``hier:g:coarse:levels`` —
+    amg/aggregate.py) so that on a matrix with NO detectable grid the flat
+    reshape aggregates are true strength aggregates at every level.  The
+    pc="amg" TPU route lands on saamg (pc/amg.py), so it gets the same
+    treatment there."""
+    if reorder != "auto" or not isinstance(pc, str):
+        return reorder
+    if saamg_keeps_ordering(pc, pc_options):
+        return None   # explicit grid dims need the original ordering
+    if pc == "saamg" or (pc == "amg" and jax.default_backend() == "tpu"):
+        o = pc_options or PCOptions()
+        return (f"hier:{o.saamg_aggregate}:{o.amg_coarse_size}:"
+                f"{o.amg_max_levels}")
+    return reorder
+
+
 def _unpermute(x, perm):
     if perm is None:
         return x
@@ -130,6 +150,37 @@ def _memoize_prepared(A, reorder, out):
         pass                       # non-dataclass containers: skip caching
 
 
+def _maybe_hierarchy(A, perm, mode):
+    """Apply the hierarchical-aggregation ordering (amg/aggregate.py) for a
+    ``hier:g:coarse:levels`` reorder mode.  Returns (reordered A or None,
+    composed perm).  Skipped when the (possibly RCM'd) matrix has a
+    detectable grid — direction-aware grid aggregation beats any flat
+    ordering there — and, on TPU, when the ordering would destroy a
+    streamable band the current ordering has (never trade the SpMV that
+    runs every iteration for aggregate quality)."""
+    from lssp_tpu.amg.sa import detect_grid
+    from lssp_tpu.amg.aggregate import hierarchy_perm
+    from lssp_tpu.sparse.reorder import permute_symmetric, band_coverage
+
+    if detect_grid(A) is not None:
+        return None, perm
+    g, coarse, levels = (int(v) for v in mode.split(":")[1:])
+    p2 = hierarchy_perm(A, g=g, coarse_size=coarse, max_levels=levels)
+    if np.array_equal(p2, np.arange(A.shape[0])):
+        return None, perm
+    A2 = permute_symmetric(A, p2)
+    if jax.default_backend() == "tpu":
+        cov_cur = band_coverage(A)
+        if band_coverage(A2) < min(0.5, cov_cur - 0.05):
+            from lssp_tpu.utils.log import warning
+            warning("hierarchy ordering rejected: it would un-band the "
+                    "execution format (band coverage "
+                    f"{band_coverage(A2):.2f} < {cov_cur:.2f}); keeping "
+                    "the current ordering with blind flat aggregates")
+            return None, perm
+    return A2, (p2 if perm is None else perm[p2])
+
+
 def _prepare_matrix(A, reorder="auto", build_device=True):
     """Host CSR → TPU execution format; COO → CSR first; device formats and
     callables pass through.
@@ -188,9 +239,14 @@ def _prepare_matrix(A, reorder="auto", build_device=True):
         A = sort_columns(A)
         perm = None
         on_tpu = jax.default_backend() == "tpu"
-        if reorder == "rcm" or (reorder == "auto" and on_tpu):
+        hier = isinstance(reorder, str) and reorder.startswith("hier:")
+        if reorder == "rcm" or ((reorder == "auto" or hier) and on_tpu):
             A2, perm = maybe_rcm(A)
             if perm is not None:
+                A = A2
+        if hier:
+            A2, perm = _maybe_hierarchy(A, perm, reorder)
+            if A2 is not None:
                 A = A2
         if not build_device:
             return A, None, perm
@@ -222,8 +278,7 @@ def solve(A, b, x0=None, method: str = "gmres", pc: Optional[str] = "none",
     user_history = opts.record_history
     if host_trace and not opts.record_history:
         opts = dataclasses.replace(opts, record_history=True)
-    if saamg_keeps_ordering(pc, pc_options) and reorder == "auto":
-        reorder = None   # explicit grid dims need the original ordering
+    reorder = resolve_reorder(pc, pc_options, reorder)
     if method.lower() in ("direct", "splu") and pc in (None, "none") and M is None:
         pc = "lu"   # direct solve = one application of the exact-LU PC
     A_host, A_dev, perm = _prepare_matrix(A, reorder=reorder)
@@ -291,8 +346,7 @@ def solve_multi(A, B, X0=None, method: str = "cg",
     user_history = opts.record_history
     if host_trace and not opts.record_history:
         opts = dataclasses.replace(opts, record_history=True)
-    if saamg_keeps_ordering(pc, pc_options) and reorder == "auto":
-        reorder = None   # explicit grid dims need the original ordering
+    reorder = resolve_reorder(pc, pc_options, reorder)
     if method.lower() in ("direct", "splu") and pc in (None, "none") \
             and M is None:
         pc = "lu"   # direct solve = one application of the exact-LU PC
@@ -387,9 +441,7 @@ class Solver:
         """Convert the matrix, build the PC (factorization cost lives here —
         reference lssp_solver_assemble → lssp_pc_assemble, lssp.cxx:142-189)."""
         from lssp_tpu.utils.log import Timer
-        if saamg_keeps_ordering(self.pc_type, self.pc_options) \
-                and reorder == "auto":
-            reorder = None   # explicit grid dims need the original ordering
+        reorder = resolve_reorder(self.pc_type, self.pc_options, reorder)
         # timing prints mirror the reference: assemble at verb>1
         # (lssp.cxx:162-184), pc assemble at verb>0 (pc.cxx:83-236)
         with Timer("solver: assemble (matrix conversion)", level=2):

@@ -106,15 +106,14 @@ def prepare_ir(A, method: str = "gmres", pc: Optional[str] = "none",
     /root/reference/src/pc.cxx:83-236, example/exam.cxx:109-113)."""
     from lssp_tpu.solvers.facade import (_prepare_matrix, _fingerprint,
                                          needs_transpose_pc,
-                                         saamg_keeps_ordering)
+                                         resolve_reorder)
     from lssp_tpu import pc as pc_mod
 
     if method.lower() in ("direct", "splu") and pc in (None, "none"):
         pc = "lu"   # IR around a direct solve: exact fp32 LU inner
-    if saamg_keeps_ordering(pc, pc_options) and reorder == "auto":
-        reorder = None   # explicit grid dims need the original ordering
-        # (same shared predicate as solve()/Solver.assemble — the grid
-        # transpose would scramble user-supplied (gy, gx) boxes)
+    # same shared rule as solve()/Solver.assemble: explicit grid dims pin
+    # the original ordering; auto + multigrid PC → hierarchy ordering
+    reorder = resolve_reorder(pc, pc_options, reorder)
 
     # repeated solve_ir calls with the same container must not re-reorder,
     # re-convert, re-upload, or re-FACTOR (the PC setup dominated measured

@@ -280,7 +280,12 @@ class TestGridTranspose:
             lt.sparse.anisotropic_poisson_2d(32, epsilon=0.01)) is None
         assert grid_transpose_perm(lt.sparse.laplacian_2d(32)) is None
 
-    def test_saamg_iterations_improve(self):
+    def test_saamg_handles_both_orientations(self):
+        """Pre-r3 the grid transpose was REQUIRED for strong-y operators
+        (range aggregation only semicoarsened x; 137 vs 34 its).  The
+        direction-aware coarsening now picks y-semicoarsening from the
+        measured strengths, so both orientations converge equally well —
+        with and without the transpose normalization."""
         import lssp_tpu as lt
         from lssp_tpu.sparse.reorder import maybe_rcm
         A = lt.sparse.anisotropic_poisson_2d(64, epsilon=100.0)
@@ -294,8 +299,9 @@ class TestGridTranspose:
         bt = jnp.asarray(np.asarray(b)[perm])
         x, i_t = lt.solve_ir(At, bt, method="cg", pc="saamg", options=o,
                              reorder=None)
-        assert bool(i_t.converged)
-        assert int(i_t.nits) < 0.6 * int(i_raw.nits)
+        assert bool(i_raw.converged) and bool(i_t.converged)
+        assert int(i_raw.nits) <= 40 and int(i_t.nits) <= 40
+        assert abs(int(i_t.nits) - int(i_raw.nits)) <= 5
         res = float(np.linalg.norm(np.asarray(bt)
                                    - At.to_scipy() @ np.asarray(x)))
         assert res <= 1.1e-8 * np.sqrt(n) + 1e-10
