@@ -110,12 +110,61 @@ def tridiag_parts(A_dia):
     return dl, d, du
 
 
-def line_jacobi_sweeps(tri, Aop, x, b, degree: int, damping: float = 0.7):
+def dist_pcr_solve(dl, d, du, b, axis: str, nshards: int):
+    """Distributed tridiagonal solve across a ``shard_map`` axis — the
+    Spike / substructuring algorithm, exact even when lines CROSS shard
+    boundaries (the restriction the shard-local smoother had):
+
+    1. shard-local PCR with three stacked rhs: y = T_loc⁻¹ b and the two
+       boundary spikes v = T_loc⁻¹(a_lo·e₁), w = T_loc⁻¹(a_hi·e_R), where
+       a_lo = dl[0], a_hi = du[-1] are the cross-shard couplings (T_loc is
+       the local tridiagonal with those zeroed);
+    2. ONE all_gather of six interface scalars per shard;
+    3. a redundant dense solve of the (2P, 2P) interface system coupling
+       each shard's first/last unknowns;
+    4. a local rank-2 correction  x = y − v·x_prev_last − w·x_next_first.
+
+    When no line crosses a boundary the spikes are identically zero and
+    the result equals plain per-shard PCR.  Inputs are this shard's (R,)
+    slices; the banded layout guarantees dl[0] = du[-1] = 0 on the global
+    edges, which is what makes the wrapped interface scatters below
+    harmless (they only ever add zeros)."""
+    P = nshards
+    a_lo = dl[0]
+    a_hi = du[-1]
+    dl_l = dl.at[0].set(0.0)
+    du_l = du.at[-1].set(0.0)
+    e1 = jnp.zeros_like(b).at[0].set(1.0)
+    eR = jnp.zeros_like(b).at[-1].set(1.0)
+    y, v, w = pcr_solve(dl_l, d, du_l,
+                        jnp.stack([b, a_lo * e1, a_hi * eR]))
+    vals = jnp.stack([y[0], y[-1], v[0], v[-1], w[0], w[-1]])
+    allv = jax.lax.all_gather(vals, axis)                     # (P, 6)
+    y0, yR, v0, vR, w0, wR = (allv[:, j] for j in range(6))
+    # interface unknowns u = [x_p[0], x_p[-1]] interleaved, length 2P:
+    #   u_{2p}   + v0_p·u_{2p-1} + w0_p·u_{2p+2} = y0_p
+    #   u_{2p+1} + vR_p·u_{2p-1} + wR_p·u_{2p+2} = yR_p
+    p2 = 2 * jnp.arange(P)
+    M = jnp.eye(2 * P, dtype=d.dtype)
+    M = M.at[p2, (p2 - 1) % (2 * P)].add(v0)
+    M = M.at[p2 + 1, (p2 - 1) % (2 * P)].add(vR)
+    M = M.at[p2, (p2 + 2) % (2 * P)].add(w0)
+    M = M.at[p2 + 1, (p2 + 2) % (2 * P)].add(wR)
+    u = jnp.linalg.solve(M, jnp.stack([y0, yR], axis=1).reshape(-1))
+    p = jax.lax.axis_index(axis)
+    u_prev = jnp.where(p > 0, u[(2 * p - 1) % (2 * P)], 0.0)
+    u_next = jnp.where(p < P - 1, u[(2 * p + 2) % (2 * P)], 0.0)
+    return y - v * u_prev - w * u_next
+
+
+def line_jacobi_sweeps(tri, Aop, x, b, degree: int, damping: float = 0.7,
+                       tri_solve=pcr_solve):
     """Damped line-Jacobi smoothing: ``degree`` sweeps of
     ``x += damping * T^{-1}(b - A x)`` with T the strong-direction
     tridiagonal part — THE shared kernel for the single-device and
-    distributed saamg line smoothers (one copy of the damping constant)."""
+    distributed saamg line smoothers (one copy of the damping constant;
+    the distributed path passes a ``dist_pcr_solve`` partial)."""
     dl, d0, du = tri
     for _ in range(degree):
-        x = x + damping * pcr_solve(dl, d0, du, b - Aop(x))
+        x = x + damping * tri_solve(dl, d0, du, b - Aop(x))
     return x

@@ -40,18 +40,21 @@ class DistSALevel:
     n_next: int = 0     # static: shard-LOCAL size of the next level
     agg: Any = None     # static shard-LOCAL aggregation descriptor
                         # (amg/sa.py agg_localize; None = flat g-ranges)
-    tri: Any = None     # (dl, d, du) each (P, R_l) — LINE smoother (only
-                        # when no line crosses a shard boundary, checked
-                        # at build time; shard-local PCR is then exact)
+    tri: Any = None     # (dl, d, du) each (P, R_l) — LINE smoother; lines
+                        # may cross shard boundaries (the Spike solve,
+                        # ops/tridiag.dist_pcr_solve, is exact either way)
+    nshards: int = 1    # static: mesh size (the Spike interface system
+                        # is (2P, 2P) — needs P at trace time)
 
 
 jax.tree_util.register_pytree_node(
     DistSALevel,
     lambda l: ((l.A, l.B, l.C, l.dinv, l.tri),
-               (l.lmax, l.g, l.smoother, l.degree, l.n_next, l.agg)),
+               (l.lmax, l.g, l.smoother, l.degree, l.n_next, l.agg,
+                l.nshards)),
     lambda aux, c: DistSALevel(*c[:4], tri=c[4], lmax=aux[0], g=aux[1],
                                smoother=aux[2], degree=aux[3],
-                               n_next=aux[4], agg=aux[5]))
+                               n_next=aux[4], agg=aux[5], nshards=aux[6]))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -98,11 +101,12 @@ def planned_padded_size(n: int, nshards: int, g: int = 4,
 
 
 def _dist_tri_parts(Ah, nshards: int, dtype):
-    """(dl, d, du) stacked (P, R) for the shard-local line smoother, or
-    None when a ±1 coupling crosses a shard boundary (shard-local PCR
-    would then be inexact — fall back to Chebyshev).  Grid operators
-    partitioned on whole grid rows satisfy the check automatically (the
-    ±1 entries at line ends are structural zeros).
+    """(dl, d, du) stacked (P, R) for the distributed line smoother.
+    Lines MAY cross shard boundaries: the cross couplings stay in this
+    shard's dl[0]/du[-1] slots, exactly where ops/tridiag.dist_pcr_solve
+    (Spike substructuring) expects them — no restriction, no fallback
+    (round 2 required boundary-aligned lines and silently dropped to
+    Chebyshev otherwise).
 
     O(nnz) extraction via the scipy diagonals — only the ±1/0 couplings
     matter here (the smoother's SpMV runs on the separately partitioned
@@ -112,10 +116,6 @@ def _dist_tri_parts(Ah, nshards: int, dtype):
     d0 = np.asarray(Ah.diagonal(0))
     dl = np.zeros(nl); dl[1:] = Ah.diagonal(-1)   # dl[i] = A[i, i-1]
     du = np.zeros(nl); du[:-1] = Ah.diagonal(1)   # du[i] = A[i, i+1]
-    # boundary check: row pR must not couple to pR-1 and row pR-1 not to pR
-    cuts = np.arange(1, nshards) * R
-    if np.any(dl[cuts] != 0) or np.any(du[cuts - 1] != 0):
-        return None
     return (jnp.asarray(dl.astype(dtype).reshape(nshards, R)),
             jnp.asarray(d0.astype(dtype).reshape(nshards, R)),
             jnp.asarray(du.astype(dtype).reshape(nshards, R)))
@@ -173,12 +173,7 @@ def build_dist_sa(A: CSR, nshards: int, g: int = 4, max_levels: int = 12,
             assert (nl // nshards) % g == 0
         tri = None
         if smoother == "line":
-            from lssp_tpu.utils.log import warning
             tri = _dist_tri_parts(Ah, nshards, dtype)
-            if tri is None:
-                warning(f"distributed saamg level {len(dlev)}: a ±1 "
-                        "coupling crosses a shard boundary — line smoother "
-                        "unavailable, using chebyshev there")
         dlev.append(DistSALevel(
             A=partition_matrix(CSR.from_scipy(Ah.astype(dtype)), nshards),
             B=(partition_matrix(CSR.from_scipy(B.astype(dtype)), nshards)
@@ -188,7 +183,7 @@ def build_dist_sa(A: CSR, nshards: int, g: int = 4, max_levels: int = 12,
             dinv=jnp.asarray(dinv.astype(dtype).reshape(nshards, -1)),
             lmax=float(lmax), g=g, smoother=smoother, degree=degree,
             n_next=n_c // nshards, agg=agg_localize(agg, nshards),
-            tri=tri))
+            tri=tri, nshards=nshards))
     nc = Al.shape[0]
     nc_pad = ((nc + nshards - 1) // nshards) * nshards
     ci = np.zeros((nc_pad, nc_pad), dtype=dtype)
@@ -203,10 +198,15 @@ def dist_sa_vcycle(h: DistSA, b_local, axis: str):
 
     def smooth(lev, Aop, x_l, b_l):
         if lev.smoother == "line" and lev.tri is not None:
-            # damped line Jacobi, shard-local PCR (exact: build time
-            # verified that no line crosses a shard boundary)
-            from lssp_tpu.ops.tridiag import line_jacobi_sweeps
-            return line_jacobi_sweeps(lev.tri, Aop, x_l, b_l, lev.degree)
+            # damped line Jacobi; the Spike tridiagonal solve is exact
+            # even when lines cross shard boundaries
+            import functools
+            from lssp_tpu.ops.tridiag import (line_jacobi_sweeps,
+                                              dist_pcr_solve)
+            solve_t = functools.partial(dist_pcr_solve, axis=axis,
+                                        nshards=lev.nshards)
+            return line_jacobi_sweeps(lev.tri, Aop, x_l, b_l, lev.degree,
+                                      tri_solve=solve_t)
         if lev.smoother == "jacobi" or lev.lmax <= 0:
             for _ in range(lev.degree):
                 x_l = x_l + (2.0 / 3.0) * lev.dinv * (b_l - Aop(x_l))

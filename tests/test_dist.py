@@ -610,6 +610,35 @@ class TestDistNeumannILU:
         assert res <= 1e-4
 
 
+def test_dist_pcr_solve_exact(mesh8):
+    """Spike substructured tridiagonal solve: machine-exact vs scipy for
+    couplings that cross every shard cut, and equal to the decoupled
+    per-shard solve when they don't."""
+    import scipy.sparse as sp
+    from jax.sharding import PartitionSpec as P
+    from lssp_tpu.ops.tridiag import dist_pcr_solve
+
+    n, Pn = 256, 8
+    rng = np.random.default_rng(0)
+    d = 4.0 + rng.uniform(0, 1, n)
+    dl = np.zeros(n); dl[1:] = -rng.uniform(0.5, 1.0, n - 1)
+    du = np.zeros(n); du[:-1] = -rng.uniform(0.5, 1.0, n - 1)
+    b = rng.standard_normal(n)
+    f = jax.shard_map(
+        lambda a, c, e, r: dist_pcr_solve(a, c, e, r, "shards", Pn),
+        mesh=mesh8, in_specs=(P("shards"),) * 4, out_specs=P("shards"))
+    for zero_cuts in (False, True):
+        dl2, du2 = dl.copy(), du.copy()
+        if zero_cuts:
+            cuts = np.arange(1, Pn) * (n // Pn)
+            dl2[cuts] = 0.0
+            du2[cuts - 1] = 0.0
+        T = sp.diags([dl2[1:], d, du2[:-1]], [-1, 0, 1]).tocsr()
+        x = np.asarray(f(jnp.asarray(dl2), jnp.asarray(d),
+                         jnp.asarray(du2), jnp.asarray(b)))
+        assert np.abs(x - sp.linalg.spsolve(T, b)).max() < 1e-12
+
+
 def test_dist_saamg_line_smoother(mesh8):
     """Distributed line smoother: shard-local PCR tridiagonal sweeps
     (valid because grid partitions keep whole lines in one shard)."""
@@ -630,11 +659,14 @@ def test_dist_saamg_line_smoother(mesh8):
     assert abs(int(info.nits) - int(i1.nits)) <= 4
 
 
-def test_dist_line_smoother_boundary_fallback(mesh8, capsys):
+def test_dist_line_smoother_crossing_lines(mesh8, capsys):
     """A 1-D chain partitioned across shards has ±1 couplings at every
-    shard cut: the line smoother must fall back to Chebyshev with a
-    warning and still converge (mixed tri=None levels through shard_map)."""
+    shard cut — round 2 fell back to Chebyshev with a warning there; the
+    Spike tridiagonal solve (ops/tridiag.dist_pcr_solve) now handles
+    crossing lines exactly: no warning, iteration parity with the
+    single-device line smoother."""
     import scipy.sparse as sp
+    import lssp_tpu as lt
     n = 512
     S = sp.diags([-np.ones(n - 1), 2.0 * np.ones(n), -np.ones(n - 1)],
                  [-1, 0, 1], format="csr")
@@ -645,9 +677,39 @@ def test_dist_line_smoother_boundary_fallback(mesh8, capsys):
                          pc_options=PCOptions(amg_smoother="line"))
     assert bool(info.converged)
     err = capsys.readouterr().err
-    assert "line smoother unavailable" in err
+    assert "line smoother unavailable" not in err
     res = np.linalg.norm(b - S @ np.asarray(x))
     assert res <= 5e-5
+    _, i1 = lt.solve(A, b, method="cg",
+                     M=lt.pc.setup(A, "saamg",
+                                   PCOptions(amg_smoother="line")),
+                     options=lt.SolverOptions(maxit=1000), reorder=None)
+    assert abs(int(info.nits) - int(i1.nits)) <= 4
+
+
+def test_dist_line_smoother_misaligned_grid(mesh8, capsys):
+    """A 2-D strong-x anisotropic grid whose rows do NOT align with the
+    shard cuts (gy % P != 0 forces flat mode; R % gx != 0 cuts lines
+    mid-row).  The Spike solve keeps whole-line smoothing across the
+    cuts: converges at line-smoother counts, no fallback warning."""
+    import lssp_tpu as lt
+    A = lt.sparse.anisotropic_poisson_2d(36, epsilon=0.01)   # strong x
+    n = A.shape[0]                                           # 1296, R=162
+    b = jnp.ones(n, dtype=jnp.float64)
+    x, info = dist_solve(A, b, method="cg", pc="saamg", mesh=mesh8,
+                         options=SolverOptions(maxit=300),
+                         pc_options=PCOptions(amg_smoother="line",
+                                              saamg_grid=False))
+    assert bool(info.converged)
+    assert "line smoother unavailable" not in capsys.readouterr().err
+    res = np.linalg.norm(b - A.to_scipy() @ np.asarray(x))
+    assert res <= 2e-6
+    # the whole point of line smoothing: beat the point smoother on the
+    # same flat hierarchy
+    _, ic = dist_solve(A, b, method="cg", pc="saamg", mesh=mesh8,
+                       options=SolverOptions(maxit=300),
+                       pc_options=PCOptions(saamg_grid=False))
+    assert int(info.nits) <= int(ic.nits)
 
 
 class TestDistSolveMulti:
