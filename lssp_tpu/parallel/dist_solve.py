@@ -107,6 +107,30 @@ jax.tree_util.register_pytree_node(
                                    sweeps=aux[2]))
 
 
+@dataclasses.dataclass(frozen=True)
+class _DistNeumannILUDyn:
+    """Per-SHARD offset sets as int32 data leaves (padded to the max
+    per-shard diagonal count, zero-offset slots carry zero data): keeps
+    the streaming Chow-sweep path when the cross-shard offset UNION blows
+    past the static cap but each shard's own factor stays narrow — the
+    unstructured-shard-blocks case that previously fell back to the slow
+    exact level schedules.  Streams use dynamic rolls + iota masks
+    (vectorised over the diagonal slots) instead of static shifts."""
+
+    Ldata: Any            # (P, ndl, R) strict lower
+    Loff: Any             # (P, ndl) int32
+    Udata: Any            # (P, ndu, R) strict upper scaled by 1/diag
+    Uoff: Any             # (P, ndu) int32
+    invdiag: Any          # (P, R)
+    sweeps: int           # static
+
+
+jax.tree_util.register_pytree_node(
+    _DistNeumannILUDyn,
+    lambda s: ((s.Ldata, s.Loff, s.Udata, s.Uoff, s.invdiag), (s.sweeps,)),
+    lambda aux, c: _DistNeumannILUDyn(*c, sweeps=aux[0]))
+
+
 def _csr_to_dia_rows(S: CSR, offsets, R: int) -> np.ndarray:
     """Shard-local CSR → row-aligned DIA data on a FIXED offset set."""
     ip = np.asarray(S.indptr).astype(np.int64)
@@ -150,20 +174,54 @@ def _build_dist_ilu_neumann(factors, Pn: int, R: int, sweeps: int,
                 np.asarray(S.indices).astype(np.int64) - rows).tolist())
     offL = tuple(sorted(offL)) or (0,)
     offU = tuple(sorted(offU)) or (0,)
-    if len(offL) > max_union or len(offU) > max_union:
-        return None
-    if sweeps == -1:
+
+    def resolve_sweeps():
+        if sweeps != -1:
+            return int(sweeps)
         # exact via the complete Neumann series: max dependency depth
         from lssp_tpu.ops.trisolve import neumann_exact_depth
-        sweeps = neumann_exact_depth(
+        return int(neumann_exact_depth(
             [(S.indptr, S.indices, R, lower)
              for S_list, lower in ((Ls_list, True), (Us_list, False))
-             for S in S_list])
+             for S in S_list]))
+
+    if len(offL) > max_union or len(offU) > max_union:
+        # the union blew the static cap — per-shard offset sets keep the
+        # streaming path as long as EACH shard's factor stays narrow
+        def shard_offs(S):
+            ipS = np.asarray(S.indptr).astype(np.int64)
+            rows = np.repeat(np.arange(R, dtype=np.int64),
+                             ipS[1:] - ipS[:-1])
+            return np.unique(np.asarray(S.indices).astype(np.int64) - rows)
+        offsL = [shard_offs(S) for S in Ls_list]
+        offsU = [shard_offs(S) for S in Us_list]
+        ndl = max(max((len(o) for o in offsL), default=0), 1)
+        ndu = max(max((len(o) for o in offsU), default=0), 1)
+        if ndl > max_union or ndu > max_union:
+            return None       # a single shard is too wide even alone
+        def pad(o, nd):
+            # pad with offset 0 (never a STRICT-factor offset, so the
+            # padding slots always carry zero data) and re-sort —
+            # _csr_to_dia_rows scatters via searchsorted, which needs
+            # sorted offsets and lands duplicates on the first slot
+            return np.sort(np.concatenate(
+                [o, np.zeros(nd - len(o), np.int64)]))
+        Ldata = np.stack([_csr_to_dia_rows(S, pad(o, ndl), R)
+                          for S, o in zip(Ls_list, offsL)])
+        Udata = np.stack([_csr_to_dia_rows(S, pad(o, ndu), R)
+                          for S, o in zip(Us_list, offsU)])
+        return _DistNeumannILUDyn(
+            Ldata=Ldata,
+            Loff=np.stack([pad(o, ndl) for o in offsL]).astype(np.int32),
+            Udata=Udata,
+            Uoff=np.stack([pad(o, ndu) for o in offsU]).astype(np.int32),
+            invdiag=np.stack(inv_list).astype(Ldata.dtype),
+            sweeps=resolve_sweeps())
     Ldata = np.stack([_csr_to_dia_rows(S, offL, R) for S in Ls_list])
     Udata = np.stack([_csr_to_dia_rows(S, offU, R) for S in Us_list])
     return _DistNeumannILU(Ldata=Ldata, Udata=Udata,
                            invdiag=np.stack(inv_list).astype(Ldata.dtype),
-                           offL=offL, offU=offU, sweeps=int(sweeps))
+                           offL=offL, offU=offU, sweeps=resolve_sweeps())
 
 
 def _dia_block_apply_t(data, x, offsets):
@@ -247,7 +305,13 @@ def _build_dist_pc(A: CSR, pc_type, pc_opts: PCOptions, Pn: int, R: int,
         if sweeps:
             st = _build_dist_ilu_neumann(factors, Pn, R, sweeps)
             if st is not None:
-                return "ilu_nm", st
+                return ("ilu_nmd" if isinstance(st, _DistNeumannILUDyn)
+                        else "ilu_nm"), st
+            from lssp_tpu.utils.log import warning
+            warning("distributed ILU: a single shard's factor exceeds the "
+                    "streaming diagonal cap — falling back to exact level "
+                    "schedules (slow scan path); consider RCM ordering or "
+                    "more shards")
         sls, sus, slts, suts = [], [], [], []
         for (L, U) in factors:
             sls.append(level_schedule(L, lower=True))
@@ -262,6 +326,18 @@ def _build_dist_pc(A: CSR, pc_type, pc_opts: PCOptions, Pn: int, R: int,
                              _stack_schedules(slts, R))
         return "ilu", state
     raise ValueError(f"unsupported distributed pc {pc_type!r}")
+
+
+def _sweep_repeat(step, k: int, x0):
+    """k applications of ``step`` — unrolled for the common small counts,
+    a single XLA while for large ones (exact Neumann depths can reach the
+    hundreds; unrolling those made compile time explode)."""
+    if k <= 8:
+        x = x0
+        for _ in range(k):
+            x = step(x)
+        return x
+    return jax.lax.fori_loop(0, k, lambda _, x: step(x), x0)
 
 
 def _shard_pc_apply(kind, state, R, op=None, cycles=1):
@@ -284,26 +360,63 @@ def _shard_pc_apply(kind, state, R, op=None, cycles=1):
             return _dia_local_spmv(data, jnp.pad(v, (lo, hi)), offs, lo, R)
 
         def fn(r):
-            y = r
-            for _ in range(st.sweeps):
-                y = r - _stream(st.Ldata, st.offL, y)
+            y = _sweep_repeat(lambda y: r - _stream(st.Ldata, st.offL, y),
+                              st.sweeps, r)
             zr = st.invdiag * y
-            z = zr
-            for _ in range(st.sweeps):
-                z = zr - _stream(st.Udata, st.offU, z)
-            return z
+            return _sweep_repeat(
+                lambda z: zr - _stream(st.Udata, st.offU, z), st.sweeps, zr)
 
         def fnt(r):
-            w = r
-            for _ in range(st.sweeps):
-                w = r - _dia_block_apply_t(st.Udata, w, st.offU)
+            w = _sweep_repeat(
+                lambda w: r - _dia_block_apply_t(st.Udata, w, st.offU),
+                st.sweeps, r)
             zr = st.invdiag * w
-            z = zr
-            for _ in range(st.sweeps):
-                z = zr - _dia_block_apply_t(st.Ldata, z, st.offL)
-            return z
+            return _sweep_repeat(
+                lambda z: zr - _dia_block_apply_t(st.Ldata, z, st.offL),
+                st.sweeps, zr)
 
         fn.t = fnt        # Neumann transpose needs no extra state
+        return fn
+    if kind == "ilu_nmd":
+        st = state
+        idx = jnp.arange(R)
+
+        def _stream_dyn(data, offs, v):
+            # y[i] = sum_k data[k, i] * v[i + off_k]: dynamic roll + iota
+            # mask per diagonal slot, vectorised over the (per-shard)
+            # offset axis — offsets are DATA here, not static shifts
+            sh = jax.vmap(lambda o: jnp.roll(v, -o))(offs)     # (nd, R)
+            valid = (idx[None, :] + offs[:, None] >= 0) \
+                & (idx[None, :] + offs[:, None] < R)
+            return jnp.sum(data * jnp.where(valid, sh, 0.0), axis=0)
+
+        def _stream_dyn_t(data, offs, v):
+            # y[j] = sum_k data[k, j - off_k] * v[j - off_k]
+            w = data * v[None, :]
+            sh = jax.vmap(jnp.roll)(w, offs)                   # (nd, R)
+            valid = (idx[None, :] - offs[:, None] >= 0) \
+                & (idx[None, :] - offs[:, None] < R)
+            return jnp.sum(jnp.where(valid, sh, 0.0), axis=0)
+
+        def fn(r):
+            y = _sweep_repeat(
+                lambda y: r - _stream_dyn(st.Ldata, st.Loff, y),
+                st.sweeps, r)
+            zr = st.invdiag * y
+            return _sweep_repeat(
+                lambda z: zr - _stream_dyn(st.Udata, st.Uoff, z),
+                st.sweeps, zr)
+
+        def fnt(r):
+            w = _sweep_repeat(
+                lambda w: r - _stream_dyn_t(st.Udata, st.Uoff, w),
+                st.sweeps, r)
+            zr = st.invdiag * w
+            return _sweep_repeat(
+                lambda z: zr - _stream_dyn_t(st.Ldata, st.Loff, z),
+                st.sweeps, zr)
+
+        fn.t = fnt
         return fn
     if kind == "ilu":
         (lr, lc, lv, lid), (ur, uc, uv, uid) = state[:2]
