@@ -22,6 +22,24 @@ protocol, /root/reference/include/lssp.h:44-53):
     >>> s.info.nits, s.info.residual
 """
 
+import os as _os
+
+# XLA:CPU MISCOMPILE GUARD — must run before the first jax computation
+# initializes the backend.  XLA CPU's concurrency-optimized scheduler races
+# two *independent* lax.scan level-sweeps inside one jit program over shared
+# scratch buffers: any program applying an exact (level-scheduled) ILU/BILU
+# twice to different vectors — every product-type Krylov solver — returned
+# O(1)-wrong results (bicrsafe+biluk diverged to 1e61; jit-vs-eager diff
+# 3.0 on `pc(v) + A@pc(2v)`; jax 0.9.0).  Chained applies, single applies,
+# and fully-unrolled scans are unaffected, which is why only the
+# multi-apply solvers saw it.  Disabling the scheduler restores correct
+# results at a minor CPU-only scheduling cost; the TPU backend ignores the
+# flag.  Regression: tests/test_ops.py::TestTriSweepCarryMiscompile.
+_flag = "--xla_cpu_enable_concurrency_optimized_scheduler=false"
+if _flag not in _os.environ.get("XLA_FLAGS", ""):
+    _os.environ["XLA_FLAGS"] = (
+        _os.environ.get("XLA_FLAGS", "") + " " + _flag).strip()
+
 from lssp_tpu import sparse
 from lssp_tpu import ops
 from lssp_tpu import solvers

@@ -84,6 +84,11 @@ def block_trisweep(sched: BlockTriSchedule, b):
         s = be[rows] - jnp.einsum("wkij,wkj->wi", vals, yv)
         return ye.at[rows].set(s), None
 
+    # NB: two independent copies of this scan in one jit program were
+    # miscompiled by XLA CPU's concurrency-optimized scheduler (shared
+    # scratch raced; bicrsafe+biluk diverged to 1e61).  The scheduler is
+    # disabled in lssp_tpu/__init__.py; the failing pattern is pinned by
+    # tests/test_ops.py::TestTriSweepCarryMiscompile.
     y0 = jnp.zeros((nrowb + 1, bs), dtype=b.dtype)
     ye, _ = jax.lax.scan(step, y0, (sched.rows, sched.cols, sched.vals))
     return ye[:nrowb].reshape(nrowb * bs)

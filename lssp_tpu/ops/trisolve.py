@@ -170,6 +170,11 @@ def _sweep(sched: TriSchedule, b):
         xe = xe.at[rows].set(s)
         return xe, None
 
+    # NB: two independent copies of this scan in one jit program were
+    # miscompiled by XLA CPU's concurrency-optimized scheduler (shared
+    # scratch raced; O(1)-wrong product-type solves).  lssp_tpu/__init__.py
+    # disables that scheduler; tests/test_ops.py::TestTriSweepCarryMiscompile
+    # pins the failing pattern.
     x0 = jnp.zeros(n + 1, dtype=b.dtype)
     xe, _ = jax.lax.scan(step, x0, (sched.rows, sched.cols, sched.vals))
     return xe[:n]

@@ -7,6 +7,12 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU concurrency-scheduler miscompile guard (also set by the package
+# import, but conftest runs first — see lssp_tpu/__init__.py for the note)
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_cpu_enable_concurrency_optimized_scheduler" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_cpu_enable_concurrency_optimized_scheduler=false").strip()
 
 import jax
 

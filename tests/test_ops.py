@@ -151,6 +151,65 @@ class TestPallasSpMV:
         np.testing.assert_allclose(np.asarray(y), ref, rtol=1e-4, atol=1e-4)
 
 
+class TestTriSweepCarryMiscompile:
+    """Regression for an XLA:CPU miscompile (jax 0.9.0): the
+    concurrency-optimized scheduler races two *independent* level-sweep
+    scans of one jit program over shared scratch buffers, so any program
+    applying an exact ILU/BILU twice to different vectors (every
+    product-type solver) returned O(1)-wrong results — bicrsafe+biluk
+    diverged to 1e61, tfqmr+biluk stalled.  Chained applies and single
+    applies were unaffected, which is how it escaped every per-op oracle
+    test.  lssp_tpu/__init__.py (and conftest) now disable that scheduler;
+    these tests pin the two exact failing patterns, jit vs eager."""
+
+    def test_block_parallel_applies_jit_matches_eager(self, rng):
+        from lssp_tpu.sparse import laplacian_2d, csr_to_bsr
+        from lssp_tpu.pc.biluk import biluk_factor_bsr
+        from lssp_tpu.ops.block_trisolve import (block_trisweep,
+                                                 block_diag_apply)
+        from lssp_tpu.solvers.base import operator
+        A = laplacian_2d(32)
+        op = operator(A)
+        B = csr_to_bsr(A, 4)
+        sched_l, inv, sched_u = biluk_factor_bsr(B, level=1)
+        dinv = jnp.asarray(inv)
+
+        def apply_(v):
+            return block_trisweep(
+                sched_u, block_diag_apply(dinv, block_trisweep(sched_l, v)))
+
+        def two(v):     # two *parallel* applies — the miscompiled shape
+            return apply_(v) + apply_(2.0 * v)
+
+        def two_op(v):  # the second observed shape: apply + A·apply
+            return apply_(v) + op(apply_(2.0 * v))
+
+        v = jnp.asarray(rng.standard_normal(1024))
+        for f in (two, two_op):
+            np.testing.assert_allclose(np.asarray(jax.jit(f)(v)),
+                                       np.asarray(f(v)), rtol=0, atol=1e-12)
+
+    def test_scalar_parallel_applies_jit_matches_eager(self, rng):
+        from lssp_tpu.pc.ilu_host import iluk_factor
+        from lssp_tpu.ops.trisolve import make_ilu_apply
+        from lssp_tpu.solvers.base import operator
+        A = laplacian_2d(32)
+        op = operator(A)
+        L, U = iluk_factor(A, level=1)
+        fn = make_ilu_apply(L, U)
+
+        def two(v):
+            return fn(v) + fn(2.0 * v)
+
+        def two_op(v):
+            return fn(v) + op(fn(2.0 * v))
+
+        v = jnp.asarray(rng.standard_normal(1024))
+        for f in (two, two_op):
+            np.testing.assert_allclose(np.asarray(jax.jit(f)(v)),
+                                       np.asarray(f(v)), rtol=0, atol=1e-12)
+
+
 class TestNeumannTriSolve:
     def test_neumann_converges_to_exact(self, rng):
         from lssp_tpu.pc.ilu_host import iluk_factor
