@@ -127,7 +127,14 @@ def bench_dist_spmv(A, n, ndiag, on_tpu):
 
 def bench_hyb_spmv(on_tpu, seed=5):
     """Nearly-banded matrix (stencil + random off-band sprinkle): the HYB
-    split streams the band, gathers only the remainder."""
+    split streams the band, gathers only the remainder.
+
+    Round-2 recorded a 2x run-to-run spread (325 vs 620 GB/s) on this
+    metric; the cause was measurement scale, not the kernel: at N=1024 the
+    per-iteration traffic is only 28 MB (~45 us at roofline), so the
+    10-vs-60-iteration marginal spanned ~2 ms — inside the tunnel's
+    dispatch jitter.  Now sized and iterated to match the plain-DIA bench
+    (N=2048, 100-iteration marginal, best-of-5)."""
     import jax
     import jax.numpy as jnp
     import scipy.sparse as sp
@@ -135,7 +142,7 @@ def bench_hyb_spmv(on_tpu, seed=5):
     from lssp_tpu.sparse.convert import csr_to_hyb
     from lssp_tpu.ops.spmv import spmv
 
-    N = 1024 if on_tpu else 64
+    N = 2048 if on_tpu else 64
     rng = np.random.default_rng(seed)
     S = laplacian_2d(N, dtype=np.float32).to_scipy().tocoo()
     n = S.shape[0]
@@ -157,11 +164,11 @@ def bench_hyb_spmv(on_tpu, seed=5):
             return jnp.sum(v)
         return run
 
-    i1, i2 = (10, 60) if on_tpu else (2, 6)
+    i1, i2 = (20, 120) if on_tpu else (2, 6)
     f1, f2 = make(i1), make(i2)
     float(f1(H, x)), float(f2(H, x))
     dt = _marginal_time(lambda: float(f1(H, x)), lambda: float(f2(H, x)),
-                        i1, i2)
+                        i1, i2, reps=5)
     ndiag = len(H.dia.offsets)
     nrem = int(np.asarray(H.rem_vals).shape[0])
     # traffic model: streamed diagonals + x + y + remainder triplets
