@@ -159,14 +159,20 @@ def _lump_to_pattern(Ac, gy, gx, ry, rx):
 def detect_grid(A, max_halfwidth: int = 2) -> Optional[Tuple[int, int]]:
     """(gy, gx) if A's sparsity matches a row-major 2-D grid stencil:
     every column offset within ``max_halfwidth`` of 0, +gx, or −gx.
-    Candidates are tried largest-first so a 9-point stencil's ±(gx±1)
-    corners resolve to gx, not gx−1.  Returns None when no candidate fits
-    (e.g. after RCM reordering, or genuinely unstructured sparsity)."""
+    Among the candidates that fit, the one with the TIGHTEST offset
+    decomposition (minimal Σ|dx|) wins: for a 9-point stencil the corner
+    offsets ±(gx−1), ±gx, ±(gx+1) can all pass the tolerance test
+    whenever n happens to divide them, but only the true gx decomposes
+    the stencil with total in-row distance 2·hw — largest-first selection
+    returned (gy', gx+1) on such grids.  Returns None when no candidate
+    fits (e.g. after RCM reordering, or genuinely unstructured
+    sparsity)."""
     n = A.shape[0]
     ip = np.asarray(A.indptr).astype(np.int64)
     rows = np.repeat(np.arange(n, dtype=np.int64), ip[1:] - ip[:-1])
     offs = np.unique(np.asarray(A.indices).astype(np.int64) - rows)
-    cands = np.unique(np.abs(offs[np.abs(offs) > max_halfwidth]))[::-1]
+    cands = np.unique(np.abs(offs[np.abs(offs) > max_halfwidth]))
+    best = None
     for N in cands:
         N = int(N)
         # N <= 2*hw+1 is DEGENERATE: every integer offset is then within
@@ -178,8 +184,10 @@ def detect_grid(A, max_halfwidth: int = 2) -> Optional[Tuple[int, int]]:
             continue
         dx = offs - np.rint(offs / N).astype(np.int64) * N
         if np.all(np.abs(dx) <= max_halfwidth):
-            return (n // N, N)
-    return None
+            cost = int(np.sum(np.abs(dx)))
+            if best is None or cost < best[0]:
+                best = (cost, N)
+    return (n // best[1], best[1]) if best else None
 
 
 def _grid_strengths(Al, gy, gx):

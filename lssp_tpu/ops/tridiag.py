@@ -157,6 +157,65 @@ def dist_pcr_solve(dl, d, du, b, axis: str, nshards: int):
     return y - v * u_prev - w * u_next
 
 
+def spike_interface_host(dl, d, du):
+    """Precompute the b-INDEPENDENT parts of the Spike solve on the host
+    at setup: per-shard boundary spikes v = T_loc⁻¹(a_lo·e₁),
+    w = T_loc⁻¹(a_hi·e_R), and the inverse of the (2P, 2P) interface
+    matrix they induce.  ``dl``/``d``/``du`` are the stacked (P, R)
+    shard slices (cross-shard couplings in dl[p, 0] / du[p, -1]).
+
+    Everything here is loop-invariant across smoothing sweeps — computed
+    per hierarchy level once, instead of re-running two extra PCR rhs,
+    a 6-scalar gather, the interface scatter-assembly, and a dense
+    ``jnp.linalg.solve`` inside every sweep of every V-cycle of every
+    Krylov iteration (relying on XLA LICM to hoist them)."""
+    import scipy.linalg as sla
+    dl = np.asarray(dl); d = np.asarray(d); du = np.asarray(du)
+    P, R = d.shape
+    v = np.zeros((P, R), d.dtype)
+    w = np.zeros((P, R), d.dtype)
+    for p in range(P):
+        ab = np.zeros((3, R), np.float64)
+        ab[0, 1:] = du[p, :-1]          # superdiag (du[i] = A[i, i+1])
+        ab[1] = d[p]
+        ab[2, :-1] = dl[p, 1:]          # subdiag (dl[i] = A[i, i-1])
+        ab[1, ab[1] == 0.0] = 1.0       # decoupled slots: keep solvable
+        rhs = np.zeros((R, 2), np.float64)
+        rhs[0, 0] = dl[p, 0]            # a_lo · e1
+        rhs[-1, 1] = du[p, -1]          # a_hi · eR
+        sol = sla.solve_banded((1, 1), ab, rhs)
+        v[p] = sol[:, 0]
+        w[p] = sol[:, 1]
+    p2 = 2 * np.arange(P)
+    M = np.eye(2 * P)
+    M[p2, (p2 - 1) % (2 * P)] += v[:, 0]
+    M[p2 + 1, (p2 - 1) % (2 * P)] += v[:, -1]
+    M[p2, (p2 + 2) % (2 * P)] += w[:, 0]
+    M[p2 + 1, (p2 + 2) % (2 * P)] += w[:, -1]
+    return v, w, np.linalg.inv(M).astype(d.dtype)
+
+
+def dist_spike_solve(dl, d, du, vspike, wspike, Minv, b, axis: str,
+                     nshards: int):
+    """Prepared-interface Spike solve: same algebra as ``dist_pcr_solve``
+    but with the spikes and interface inverse from
+    ``spike_interface_host`` — per application only ONE local PCR rhs,
+    a 2-scalar all_gather, and a small mul+sum matvec remain."""
+    P = nshards
+    dl_l = dl.at[0].set(0.0)
+    du_l = du.at[-1].set(0.0)
+    y = pcr_solve(dl_l, d, du_l, b)
+    allv = jax.lax.all_gather(jnp.stack([y[0], y[-1]]), axis)   # (P, 2)
+    rhs = allv.reshape(-1)
+    # mul+sum, not @: the smoother may run in fp64 where TPU dot_general
+    # is lossy (see solvers/base.py: vdot)
+    u = jnp.sum(Minv * rhs[None, :], axis=1)
+    p = jax.lax.axis_index(axis)
+    u_prev = jnp.where(p > 0, u[(2 * p - 1) % (2 * P)], 0.0)
+    u_next = jnp.where(p < P - 1, u[(2 * p + 2) % (2 * P)], 0.0)
+    return y - vspike * u_prev - wspike * u_next
+
+
 def line_jacobi_sweeps(tri, Aop, x, b, degree: int, damping: float = 0.7,
                        tri_solve=pcr_solve):
     """Damped line-Jacobi smoothing: ``degree`` sweeps of

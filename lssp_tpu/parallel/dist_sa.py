@@ -40,9 +40,11 @@ class DistSALevel:
     n_next: int = 0     # static: shard-LOCAL size of the next level
     agg: Any = None     # static shard-LOCAL aggregation descriptor
                         # (amg/sa.py agg_localize; None = flat g-ranges)
-    tri: Any = None     # (dl, d, du) each (P, R_l) — LINE smoother; lines
-                        # may cross shard boundaries (the Spike solve,
-                        # ops/tridiag.dist_pcr_solve, is exact either way)
+    tri: Any = None     # (dl, d, du, vspike, wspike, Minv_tiled) — LINE
+                        # smoother; (P, R_l) each except Minv (P, 2P, 2P).
+                        # Lines may cross shard boundaries (the Spike
+                        # solve, ops/tridiag.dist_spike_solve, is exact
+                        # either way; spikes precomputed at setup)
     nshards: int = 1    # static: mesh size (the Spike interface system
                         # is (2P, 2P) — needs P at trace time)
 
@@ -111,14 +113,22 @@ def _dist_tri_parts(Ah, nshards: int, dtype):
     O(nnz) extraction via the scipy diagonals — only the ±1/0 couplings
     matter here (the smoother's SpMV runs on the separately partitioned
     operator), so no DIA densification or diagonal-count cap applies."""
+    from lssp_tpu.ops.tridiag import spike_interface_host
     nl = Ah.shape[0]
     R = nl // nshards
     d0 = np.asarray(Ah.diagonal(0))
     dl = np.zeros(nl); dl[1:] = Ah.diagonal(-1)   # dl[i] = A[i, i-1]
     du = np.zeros(nl); du[:-1] = Ah.diagonal(1)   # du[i] = A[i, i+1]
-    return (jnp.asarray(dl.astype(dtype).reshape(nshards, R)),
-            jnp.asarray(d0.astype(dtype).reshape(nshards, R)),
-            jnp.asarray(du.astype(dtype).reshape(nshards, R)))
+    dls = dl.astype(dtype).reshape(nshards, R)
+    d0s = d0.astype(dtype).reshape(nshards, R)
+    dus = du.astype(dtype).reshape(nshards, R)
+    # b-independent Spike pieces once per level at setup (boundary spikes
+    # + interface inverse); Minv is tiled (P, 2P, 2P) so the launcher's
+    # uniform P(AXIS)-shard-then-[0] leaf convention replicates it
+    v, w, Minv = spike_interface_host(dls, d0s, dus)
+    return (jnp.asarray(dls), jnp.asarray(d0s), jnp.asarray(dus),
+            jnp.asarray(v), jnp.asarray(w),
+            jnp.asarray(np.tile(Minv[None], (nshards, 1, 1))))
 
 
 def build_dist_sa(A: CSR, nshards: int, g: int = 4, max_levels: int = 12,
@@ -199,14 +209,16 @@ def dist_sa_vcycle(h: DistSA, b_local, axis: str):
     def smooth(lev, Aop, x_l, b_l):
         if lev.smoother == "line" and lev.tri is not None:
             # damped line Jacobi; the Spike tridiagonal solve is exact
-            # even when lines cross shard boundaries
-            import functools
+            # even when lines cross shard boundaries.  Spikes + interface
+            # inverse were precomputed at setup (_dist_tri_parts), so each
+            # sweep runs one local PCR rhs + a 2-scalar all_gather
             from lssp_tpu.ops.tridiag import (line_jacobi_sweeps,
-                                              dist_pcr_solve)
-            solve_t = functools.partial(dist_pcr_solve, axis=axis,
-                                        nshards=lev.nshards)
-            return line_jacobi_sweeps(lev.tri, Aop, x_l, b_l, lev.degree,
-                                      tri_solve=solve_t)
+                                              dist_spike_solve)
+            dl, d0, du, vs, ws, mi = lev.tri
+            solve_t = lambda a, c, e, r: dist_spike_solve(
+                a, c, e, vs, ws, mi, r, axis, lev.nshards)
+            return line_jacobi_sweeps((dl, d0, du), Aop, x_l, b_l,
+                                      lev.degree, tri_solve=solve_t)
         if lev.smoother == "jacobi" or lev.lmax <= 0:
             for _ in range(lev.degree):
                 x_l = x_l + (2.0 / 3.0) * lev.dinv * (b_l - Aop(x_l))

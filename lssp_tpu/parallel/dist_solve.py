@@ -268,9 +268,9 @@ def _build_dist_pc(A: CSR, pc_type, pc_opts: PCOptions, Pn: int, R: int,
         sm = pc_opts.amg_smoother
         if sm == "l1jacobi":
             sm = "jacobi"
-        # "line" passes through: build_dist_sa verifies per level that no
-        # line crosses a shard boundary (shard-local PCR is then exact)
-        # and falls back to Chebyshev with a warning otherwise
+        # "line" passes through: lines that cross shard boundaries are
+        # solved exactly by the Spike substructured tridiagonal solve
+        # (ops/tridiag.py: dist_pcr_solve) — no alignment restriction
         h = build_dist_sa(A, Pn, g=pc_opts.saamg_aggregate,
                           max_levels=pc_opts.amg_max_levels,
                           coarse_size=pc_opts.amg_coarse_size,
@@ -384,7 +384,14 @@ def _shard_pc_apply(kind, state, R, op=None, cycles=1):
         def _stream_dyn(data, offs, v):
             # y[i] = sum_k data[k, i] * v[i + off_k]: dynamic roll + iota
             # mask per diagonal slot, vectorised over the (per-shard)
-            # offset axis — offsets are DATA here, not static shifts
+            # offset axis — offsets are DATA here, not static shifts.
+            # Lowering note vs the never-gather law: a dynamic roll is
+            # concatenate + CONTIGUOUS dynamic-slice (vmapped: one whole-
+            # row slice per diagonal, nd ≤ 96 of them), not the per-
+            # element random gather the law bans (the 340×-slower class
+            # was n·k random element gathers).  Still second-best to the
+            # static-shift stream — used only when shard offset sets
+            # genuinely differ.
             sh = jax.vmap(lambda o: jnp.roll(v, -o))(offs)     # (nd, R)
             valid = (idx[None, :] + offs[:, None] >= 0) \
                 & (idx[None, :] + offs[:, None] < R)

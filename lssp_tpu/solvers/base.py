@@ -89,7 +89,11 @@ def dot_rows(dot, V, w):
     rows = getattr(dot, "rows", None)
     if rows is not None:
         return rows(V, w)
-    return jnp.sum(V * w, axis=1)
+    # fall back THROUGH the provided dot, never to a local row-sum: a
+    # custom distributed dot without .rows must still get its cross-chip
+    # reduction per row, or every Arnoldi coefficient silently becomes
+    # shard-local (dot_many's fallback routes per pair the same way)
+    return jnp.stack([dot(V[j], w) for j in range(V.shape[0])])
 
 
 def basis_combine(ym, V):

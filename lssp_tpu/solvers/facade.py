@@ -45,8 +45,12 @@ def saamg_keeps_ordering(pc, pc_options) -> bool:
     predicate for every entry point (solve / solve_multi / Solver.assemble
     / solve_ir).  ``saamg_grid=None`` (auto-detect from the reordered
     sparsity) and ``False`` (forced flat) impose no ordering constraint."""
-    return (pc == "saamg" and pc_options is not None
-            and pc_options.saamg_grid not in (None, False))
+    if pc != "saamg" or pc_options is None:
+        return False
+    g = pc_options.saamg_grid
+    # identity checks, not `in (None, False)`: grid dims may be a numpy
+    # array, whose == against tuple members raises/broadcasts
+    return g is not None and g is not False
 
 
 def resolve_reorder(pc, pc_options, reorder):

@@ -163,3 +163,38 @@ class TestDetectGridDegenerateGuard:
     def test_true_grid_still_detected(self):
         from lssp_tpu.amg.sa import detect_grid
         assert detect_grid(lt.sparse.laplacian_2d(32)) == (32, 32)
+
+    def test_nine_point_corner_offsets_resolve_to_true_stride(self):
+        """9-point stencil on a (20, 9) grid: the corner offsets ±8/±10
+        also pass the tolerance test when n divides them (180 % 10 == 0),
+        so largest-first selection returned (18, 10); the minimal-Σ|dx|
+        rule must pick the true gx = 9."""
+        from lssp_tpu.amg.sa import detect_grid
+        gy, gx = 20, 9
+        n = gy * gx
+        offs = [0, -1, 1, -gx - 1, -gx, -gx + 1, gx - 1, gx, gx + 1]
+        rows, cols, vals = [], [], []
+        for o in offs:
+            i = np.arange(n)
+            j = i + o
+            m = (j >= 0) & (j < n)
+            rows.append(i[m]); cols.append(j[m])
+            vals.append(np.full(m.sum(), 8.0 if o == 0 else -1.0))
+        S = sp.coo_matrix((np.concatenate(vals),
+                           (np.concatenate(rows), np.concatenate(cols))),
+                          shape=(n, n)).tocsr()
+        assert detect_grid(CSR.from_scipy(S)) == (gy, gx)
+
+
+def test_saamg_grid_numpy_array_dims():
+    """saamg_grid as a numpy array must not crash the reorder predicate
+    (tuple membership against arrays raises) and must pin the ordering."""
+    from lssp_tpu.solvers.facade import saamg_keeps_ordering, resolve_reorder
+    from lssp_tpu import PCOptions
+    po = PCOptions(saamg_grid=np.array([32, 32]))
+    assert saamg_keeps_ordering("saamg", po)
+    assert resolve_reorder("saamg", po, "auto") is None
+    b = jnp.ones(1024, dtype=jnp.float64)
+    x, info = lt.solve(lt.sparse.laplacian_2d(32), b, method="cg",
+                       pc="saamg", pc_options=po)
+    assert bool(info.converged)

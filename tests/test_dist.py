@@ -727,6 +727,46 @@ def test_dist_pcr_solve_exact(mesh8):
         assert np.abs(x - sp.linalg.spsolve(T, b)).max() < 1e-12
 
 
+def test_dist_spike_solve_matches_unprepared(mesh8):
+    """The prepared-interface Spike solve (spikes + interface inverse
+    precomputed at setup, ops/tridiag.spike_interface_host) returns the
+    same solution as the all-in-the-loop dist_pcr_solve."""
+    import scipy.sparse as sp
+    from jax.sharding import PartitionSpec as P
+    from lssp_tpu.ops.tridiag import (dist_pcr_solve, dist_spike_solve,
+                                      spike_interface_host)
+
+    n, Pn = 256, 8
+    R = n // Pn
+    rng = np.random.default_rng(1)
+    d = 4.0 + rng.uniform(0, 1, n)
+    dl = np.zeros(n); dl[1:] = -rng.uniform(0.5, 1.0, n - 1)
+    du = np.zeros(n); du[:-1] = -rng.uniform(0.5, 1.0, n - 1)
+    b = rng.standard_normal(n)
+    v, w, Minv = spike_interface_host(dl.reshape(Pn, R),
+                                      d.reshape(Pn, R),
+                                      du.reshape(Pn, R))
+    vj, wj = jnp.asarray(v), jnp.asarray(w)
+    mij = jnp.asarray(np.tile(Minv[None], (Pn, 1, 1)))
+    f0 = jax.shard_map(
+        lambda a, c, e, r: dist_pcr_solve(a, c, e, r, "shards", Pn),
+        mesh=mesh8, in_specs=(P("shards"),) * 4, out_specs=P("shards"))
+    f1 = jax.shard_map(
+        lambda a, c, e, vs, ws, mi, r: dist_spike_solve(
+            a[0], c[0], e[0], vs[0], ws[0], mi[0], r[0], "shards", Pn)[None],
+        mesh=mesh8, in_specs=(P("shards"),) * 7, out_specs=P("shards"))
+    x0 = np.asarray(f0(jnp.asarray(dl), jnp.asarray(d), jnp.asarray(du),
+                       jnp.asarray(b)))
+    x1 = np.asarray(f1(jnp.asarray(dl.reshape(Pn, R)),
+                       jnp.asarray(d.reshape(Pn, R)),
+                       jnp.asarray(du.reshape(Pn, R)), vj, wj, mij,
+                       jnp.asarray(b.reshape(Pn, R)))).reshape(-1)
+    T = sp.diags([dl[1:], d, du[:-1]], [-1, 0, 1]).tocsr()
+    ref = sp.linalg.spsolve(T, b)
+    assert np.abs(x1 - ref).max() < 1e-10
+    np.testing.assert_allclose(x1, x0, rtol=1e-10, atol=1e-12)
+
+
 def test_dist_saamg_line_smoother(mesh8):
     """Distributed line smoother: shard-local PCR tridiagonal sweeps
     (valid because grid partitions keep whole lines in one shard)."""
