@@ -39,6 +39,20 @@ _flag = "--xla_cpu_enable_concurrency_optimized_scheduler=false"
 if _flag not in _os.environ.get("XLA_FLAGS", ""):
     _os.environ["XLA_FLAGS"] = (
         _os.environ.get("XLA_FLAGS", "") + " " + _flag).strip()
+    try:     # too late if a jax computation already initialized a backend
+        from jax._src import xla_bridge as _xb
+        if getattr(_xb, "_backends", None):
+            import warnings
+            warnings.warn(
+                "lssp_tpu: the jax backend was initialized before "
+                "`import lssp_tpu`, so the XLA:CPU miscompile guard "
+                f"({_flag}) could not take effect — exact level-scheduled "
+                "ILU/BILU preconditioners in product-type solvers may "
+                "return wrong results on CPU.  Import lssp_tpu before "
+                "running any jax computation, or set the flag in "
+                "XLA_FLAGS yourself.", RuntimeWarning)
+    except ImportError:
+        pass
 
 from lssp_tpu import sparse
 from lssp_tpu import ops

@@ -118,6 +118,61 @@ def greedy_aggregate_exact(S, g: int, virt=None) -> np.ndarray:
     return _fixup_exact(_bfs_ids(S, g, virt), g, virt)
 
 
+def _consolidate_taint(ids, vcount, g: int) -> np.ndarray:
+    """Repair ``ids`` so ALL tainted vertices (``vcount > 0``: they carry
+    original virtual padding rows) live in one trailing CHAIN: the
+    minimal ceil(k/g) aggregates, at most one of them mixed with real
+    vertices.  Without this, coarse-level greedy passes may group virtual
+    vertices with a second real chain (exact-g fill), creating two
+    disjoint tainted key-blocks — and no ordering of disjoint blocks can
+    put every virtual row in the trailing slots (measured: one real
+    level-0 group splitting across a chunk boundary on 11^3 Poisson).
+    The repair swaps at most g-1 real vertices per level into the mixed
+    aggregate — the same bounded quality concession the boundary group
+    already makes."""
+    nag = int(ids.max()) + 1
+    tv = np.where(vcount > 0)[0]
+    k = len(tv)
+    if k == 0:
+        return ids
+    ag_taint = np.bincount(ids[tv], minlength=nag)
+    if np.count_nonzero(ag_taint) <= 1:
+        return ids
+    need = (k + g - 1) // g
+    # designate the aggregates with the most tainted mass (tie: highest
+    # id — prefer the ones the greedy already put last)
+    desig = np.lexsort((np.arange(nag), -ag_taint))[:need]
+    desig_set = np.zeros(nag, dtype=bool)
+    desig_set[desig] = True
+    n_fill = need * g - k      # 0 <= n_fill < g: the mixed group's reals
+    # reals kept in the designated block: those already there (no
+    # displacement needed — in-designated reals number need*g - X >=
+    # n_fill since X <= k), most-tainted aggregate first
+    real_v = np.where(vcount == 0)[0]
+    in_desig = desig_set[ids[real_v]]
+    keep = real_v[in_desig][np.argsort(
+        -ag_taint[ids[real_v[in_desig]]], kind="stable")][:n_fill]
+    # displaced reals: currently in designated aggregates but not kept
+    kept = np.zeros(ids.shape[0], dtype=bool)
+    kept[keep] = True
+    displaced = real_v[desig_set[ids[real_v]] & ~kept[real_v]]
+    # freed slots: tainted vertices leaving non-designated aggregates
+    new_ids = ids.copy()
+    freed_slots = ids[tv[~desig_set[ids[tv]]]]
+    # lay the block out: the mixed aggregate (reals + partial taint)
+    # FIRST of the designated ids in rank order handled later by cat;
+    # here just assign: reals+t fill desig[0].., virtuals fill the rest
+    order_members = np.concatenate([keep, tv[np.argsort(vcount[tv],
+                                                        kind="stable")]])
+    slots = np.repeat(np.sort(desig), g)
+    new_ids[order_members] = slots[:len(order_members)]
+    # displaced reals (in designated but not kept) refill the slots the
+    # tainted vertices vacated in non-designated aggregates — counts are
+    # equal by conservation: (need*g - X) - n_fill == k - X
+    new_ids[displaced] = np.sort(freed_slots)[:len(displaced)]
+    return new_ids
+
+
 def hierarchy_perm(A, g: int = 4, coarse_size: int = 256,
                    max_levels: int = 12, theta: float = 0.08) -> np.ndarray:
     """Permutation (n,) ordering A's rows so that the greedy strength
@@ -149,7 +204,8 @@ def hierarchy_perm(A, g: int = 4, coarse_size: int = 256,
     use_native = native.available()
     virt = np.zeros(n_pad, dtype=bool)
     virt[n:] = True
-    keys = []          # per level: fine-vertex -> level aggregate id
+    vcount = virt.astype(np.int64)   # original virtual rows per vertex
+    keys = []          # per level: fine-vertex -> RANKED level aggregate id
     cur = np.arange(n_pad)
     levels = 0
     while Al.shape[0] > coarse_size and levels < max_levels:
@@ -162,24 +218,48 @@ def hierarchy_perm(A, g: int = 4, coarse_size: int = 256,
             ids = _fixup_exact(raw, g, virt)
         else:
             ids = greedy_aggregate_exact(_sym_strength(Al, theta), g, virt)
-        keys.append(ids[cur])
+        ids = _consolidate_taint(ids, vcount, g)
+        nag = Al.shape[0] // g
+        # SORT-KEY RANKING: aggregates containing NO original virtual
+        # row first, then the (single) mixed boundary chain, then pure
+        # virtual — at EVERY level.  The raw greedy ids do not guarantee
+        # this: the mixed group is classified real at the next level and
+        # can aggregate mid-order there, which put its virtual fine rows
+        # mid-permutation; after the final drop every later real row
+        # shifted one slot and the g-chunks misaligned (measured: 33/333
+        # level-0 chunks mixed on 11^3 Poisson).  Taint is counted in
+        # ORIGINAL virtual rows carried by each vertex (``vcount``) — the
+        # coarse virt flag alone launders the mixed vertex back to real
+        # one level up.  Ranked keys keep every virtual-containing
+        # aggregate trailing, so the dropped slots are exactly the ones
+        # sa_setup's end-of-vector padding re-fills.
+        vc_ag = np.bincount(ids, weights=vcount.astype(np.float64),
+                            minlength=nag).astype(np.int64)
+        tot = g * (n_pad // Al.shape[0])      # original rows per aggregate
+        cat = np.where(vc_ag == 0, 0, np.where(vc_ag >= tot, 2, 1))
+        rank = np.empty(nag, dtype=np.int64)
+        rank[np.lexsort((np.arange(nag), cat))] = np.arange(nag)
+        keys.append(rank[ids[cur]])
         cur = ids[cur]
         P0 = sp.csr_matrix((np.ones(Al.shape[0]), ids,
                             np.arange(Al.shape[0] + 1)),
-                           shape=(Al.shape[0], Al.shape[0] // g))
+                           shape=(Al.shape[0], nag))
         Al = (P0.T @ Al @ P0).tocsr()
-        # a coarse vertex is virtual iff its whole fine group was virtual
-        # (the at-most-one mixed boundary group counts as real; its
-        # identity mass just rides along) — the invariant that keeps
-        # virtuals in the trailing slots of every level
-        sizes = np.bincount(ids, minlength=Al.shape[0])
-        virt = np.bincount(ids, weights=virt.astype(np.float64),
-                           minlength=Al.shape[0]) >= np.maximum(sizes, 1)
+        # a coarse vertex is virtual (for greedy last-processing) iff its
+        # whole original slab is virtual; vcount carries the taint
+        vcount = vc_ag
+        virt = vc_ag >= tot
         levels += 1
     if not keys:
         return np.arange(n, dtype=np.int64)
     # lexicographic: coarsest id is the primary key (np.lexsort uses the
     # LAST key as primary), natural index breaks ties
     order = np.lexsort(tuple([np.arange(n_pad)] + keys))
+    # ALIGNMENT INVARIANT (what consolidation + ranked keys guarantee):
+    # the virtual padding slots occupy exactly the trailing positions, so
+    # dropping them leaves every real aggregate in the intact contiguous
+    # g-chunks that sa_setup's end-of-vector padding re-completes
+    assert n_pad == n or (order[n:] >= n).all(), \
+        "hierarchy_perm: virtual rows not trailing — alignment broken"
     return order[order < n].astype(np.int64) if n_pad != n \
         else order.astype(np.int64)

@@ -160,12 +160,20 @@ def build_dist_sa(A: CSR, nshards: int, g: int = 4, max_levels: int = 12,
             A, g=g, max_levels=max_levels, coarse_size=coarse_size,
             filter_tol=filter_tol, smooth_levels=smooth_levels,
             grid=grid, shards=nshards)
-        if Al.shape[0] > max(4 * coarse_size, 4096):
+        if Al.shape[0] > 4 * coarse_size:
+            # shard alignment stopped grid coarsening too early (e.g.
+            # (gy/P) % g != 0 after the x-direction is exhausted): a
+            # dense inverse of that operator would dominate setup and
+            # every V-cycle — rebuild with the flat planned-padding
+            # hierarchy, which coarsens any n to ~coarse_size
             from lssp_tpu.utils.log import warning
             warning(f"distributed saamg: shard alignment stopped grid "
-                    f"coarsening at {Al.shape[0]} rows — the dense coarse "
-                    "solve will be large; consider a different shard count")
-    else:
+                    f"coarsening at {Al.shape[0]} rows — falling back to "
+                    "the flat hierarchy (grid-aware smoothing lost; "
+                    "consider a shard count dividing the coarse grid)")
+            grid = None
+            smooth_levels = 2
+    if grid is None:
         n0 = planned_padded_size(n, nshards, g, coarse_size, max_levels)
         # depth must be planned on the PADDED size (the fixed point
         # guarantees the padded size's own plan agrees with itself)
@@ -199,7 +207,12 @@ def build_dist_sa(A: CSR, nshards: int, g: int = 4, max_levels: int = 12,
     ci = np.zeros((nc_pad, nc_pad), dtype=dtype)
     ci[:nc, :nc] = np.linalg.inv(Al.toarray()).astype(dtype)
     coarse_inv = jnp.asarray(ci.reshape(nshards, nc_pad // nshards, nc_pad))
-    return DistSA(levels=tuple(dlev), coarse_inv=coarse_inv, n_top=n)
+    # n_top = size the hierarchy was BUILT on.  Normally the caller's n
+    # (grid mode: unpadded; flat mode: the caller pre-padded), but after
+    # the grid→flat stall fallback the flat plan padded internally — the
+    # launcher compares n_top to its own size and re-pads the system
+    n_top = levels[0][0].shape[0] if levels else Al.shape[0]
+    return DistSA(levels=tuple(dlev), coarse_inv=coarse_inv, n_top=n_top)
 
 
 def dist_sa_vcycle(h: DistSA, b_local, axis: str):

@@ -543,6 +543,23 @@ def _dist_launch(A: CSR, b, x0, method: str, pc, mesh,
     kind, pc_state = _build_dist_pc(A, pc, pc_opts, Pn, R,
                                     transpose=transpose_method,
                                     sa_grid=sa_grid)
+    if kind == "saamg" and pc_state.n_top != n:
+        # grid coarsening stalled inside build_dist_sa and the hierarchy
+        # fell back to the flat plan, padding itself — grow the system to
+        # the hierarchy's size with the same identity-row padding
+        from lssp_tpu.amg.sa import _pad_identity
+        extra = pc_state.n_top - n
+        A = CSR.from_scipy(_pad_identity(A.to_scipy().tocsr(), extra))
+        pad_shape = (extra, k) if multi else (extra,)
+        b = jnp.concatenate([b, jnp.zeros(pad_shape, dtype=b.dtype)],
+                            axis=0)
+        if x0 is not None:
+            x0 = jnp.concatenate(
+                [x0, jnp.zeros(pad_shape, dtype=x0.dtype)], axis=0)
+        npad += extra
+        n = A.shape[0]
+        R = n // Pn
+        M = partition_matrix(A, Pn, fmt=fmt)
     fn = get_solver(method)
 
     shp = (Pn, R, k) if multi else (Pn, R)

@@ -185,8 +185,7 @@ def solve_ir(A, b, x0=None, method: str = "gmres",
     from lssp_tpu.solvers.facade import _jitted
 
     opts = (options or SolverOptions()).resolved()
-    if method.lower() in ("direct", "splu") and pc in (None, "none"):
-        pc = "lu"   # IR around a direct solve: exact fp32 LU inner
+    # direct/splu → pc="lu" happens inside prepare_ir (one copy of the rule)
 
     A_host, A64, A32, perm, M32 = prepare_ir(
         A, method=method, pc=pc, pc_options=pc_options,

@@ -186,6 +186,34 @@ class TestDetectGridDegenerateGuard:
         assert detect_grid(CSR.from_scipy(S)) == (gy, gx)
 
 
+def test_hierarchy_perm_padding_alignment():
+    """n not divisible by the planned g^L: the virtual padding slots must
+    be exactly the trailing positions of the hierarchy order (internal
+    assert), and every level-0 reshape chunk of the permuted-then-padded
+    sequence must contain real rows of ONE strength aggregate.  Broken
+    before round-3 consolidation: coarse greedy passes grouped virtual
+    vertices with a second real chain, splitting a real aggregate across
+    a chunk boundary (33/333 chunks on 11^3 Poisson)."""
+    from lssp_tpu.amg.aggregate import (hierarchy_perm,
+                                        greedy_aggregate_exact,
+                                        _sym_strength)
+    from lssp_tpu.parallel.dist_sa import planned_padded_size
+    A = lt.sparse.laplacian_3d(11)
+    n, g = A.shape[0], 4
+    perm = hierarchy_perm(A, g=g, coarse_size=256)
+    assert sorted(perm) == list(range(n))
+    n_pad = planned_padded_size(n, 1, g, 256, 12)
+    Alp = sp.bmat([[A.to_scipy().astype(np.float64), None],
+                   [None, sp.eye(n_pad - n, format="csr")]],
+                  format="csr")
+    virt = np.zeros(n_pad, bool); virt[n:] = True
+    ids0 = greedy_aggregate_exact(_sym_strength(Alp.tocsr(), 0.08), g, virt)
+    seq = np.concatenate([perm, np.arange(n, n_pad)])
+    for c in seq.reshape(-1, g):
+        real = c[c < n]
+        assert len(set(ids0[real])) <= 1, (c, ids0[c])
+
+
 def test_saamg_grid_numpy_array_dims():
     """saamg_grid as a numpy array must not crash the reorder predicate
     (tuple membership against arrays raises) and must pin the ordering."""

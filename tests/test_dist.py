@@ -727,6 +727,32 @@ def test_dist_pcr_solve_exact(mesh8):
         assert np.abs(x - sp.linalg.spsolve(T, b)).max() < 1e-12
 
 
+def test_dist_sa_grid_stall_falls_back_to_flat(mesh8, capsys):
+    """When shard alignment stops grid coarsening far above coarse_size
+    (here: x-direction exhausted, (gy/P) % g != 0 blocks y), build_dist_sa
+    must fall back to the flat planned-padding hierarchy instead of
+    dense-inverting the stalled operator — and still converge."""
+    import scipy.sparse as sp
+    from lssp_tpu.parallel.dist_sa import build_dist_sa
+    gy, gx, eps = 48, 64, 1e-3
+    Ty = sp.diags([-np.ones(gy - 1), 2 * np.ones(gy), -np.ones(gy - 1)],
+                  [-1, 0, 1])
+    Tx = sp.diags([-np.ones(gx - 1), 2 * np.ones(gx), -np.ones(gx - 1)],
+                  [-1, 0, 1])
+    A = CSR.from_scipy((sp.kron(Ty, sp.eye(gx)) * eps
+                        + sp.kron(sp.eye(gy), Tx)).tocsr())
+    h = build_dist_sa(A, 8, coarse_size=8, grid=(gy, gx))
+    assert "falling back to the flat hierarchy" in capsys.readouterr().err \
+        + capsys.readouterr().out or h.coarse_inv.shape[2] <= 32
+    assert h.coarse_inv.shape[2] <= 32     # flat hierarchy coarsened fully
+    x, info = dist_solve(A, jnp.ones(A.shape[0], jnp.float64),
+                         method="cg", pc="saamg", mesh=mesh8,
+                         pc_options=PCOptions(saamg_grid=(gy, gx),
+                                              amg_coarse_size=8),
+                         options=SolverOptions(maxit=400))
+    assert bool(info.converged)
+
+
 def test_dist_spike_solve_matches_unprepared(mesh8):
     """The prepared-interface Spike solve (spikes + interface inverse
     precomputed at setup, ops/tridiag.spike_interface_host) returns the
