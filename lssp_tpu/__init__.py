@@ -40,8 +40,12 @@ if _flag not in _os.environ.get("XLA_FLAGS", ""):
     _os.environ["XLA_FLAGS"] = (
         _os.environ.get("XLA_FLAGS", "") + " " + _flag).strip()
     try:     # too late if a jax computation already initialized a backend
+        # _backends is private API (verified against jax 0.9.0); probe a
+        # second attribute spelling so a rename degrades to a loud
+        # AttributeError-free miss on at most one of them
         from jax._src import xla_bridge as _xb
-        if getattr(_xb, "_backends", None):
+        if (getattr(_xb, "_backends", None)
+                or getattr(_xb, "backends_cache", None)):
             import warnings
             warnings.warn(
                 "lssp_tpu: the jax backend was initialized before "

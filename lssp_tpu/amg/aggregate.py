@@ -140,8 +140,9 @@ def _consolidate_taint(ids, vcount, g: int) -> np.ndarray:
         return ids
     need = (k + g - 1) // g
     # designate the aggregates with the most tainted mass (tie: highest
-    # id — prefer the ones the greedy already put last)
-    desig = np.lexsort((np.arange(nag), -ag_taint))[:need]
+    # id — prefer the ones the greedy already put last, disturbing the
+    # early strength-preferred real groupings least)
+    desig = np.lexsort((-np.arange(nag), -ag_taint))[:need]
     desig_set = np.zeros(nag, dtype=bool)
     desig_set[desig] = True
     n_fill = need * g - k      # 0 <= n_fill < g: the mixed group's reals

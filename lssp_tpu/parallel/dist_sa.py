@@ -63,7 +63,11 @@ jax.tree_util.register_pytree_node(
 class DistSA:
     levels: Tuple[DistSALevel, ...]
     coarse_inv: Any     # (P, Rc, nc) row-sharded dense inverse
-    n_top: int          # static: unpadded problem size
+    n_top: int          # static: size the hierarchy was BUILT on — the
+                        # caller's n, EXCEPT after the grid→flat stall
+                        # fallback, where the flat plan padded internally
+                        # (the launcher re-pads the system when
+                        # n_top != its own n)
 
 
 jax.tree_util.register_pytree_node(
@@ -153,6 +157,7 @@ def build_dist_sa(A: CSR, nshards: int, g: int = 4, max_levels: int = 12,
     if grid is not None and (grid[0] * grid[1] != n or n % nshards
                              or grid[0] % nshards):
         grid = None
+    smooth_levels_arg = smooth_levels        # caller's explicit choice
     if smooth_levels is None:
         smooth_levels = max_levels if grid is not None else 2
     if grid is not None:
@@ -172,7 +177,9 @@ def build_dist_sa(A: CSR, nshards: int, g: int = 4, max_levels: int = 12,
                     "the flat hierarchy (grid-aware smoothing lost; "
                     "consider a shard count dividing the coarse grid)")
             grid = None
-            smooth_levels = 2
+            # flat default only when the caller left the choice to us
+            if smooth_levels_arg is None:
+                smooth_levels = 2
     if grid is None:
         n0 = planned_padded_size(n, nshards, g, coarse_size, max_levels)
         # depth must be planned on the PADDED size (the fixed point

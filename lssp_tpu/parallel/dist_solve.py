@@ -529,37 +529,32 @@ def _dist_launch(A: CSR, b, x0, method: str, pc, mesh,
         # to the next multiple of the device count — the padded components
         # start at 0 and stay 0 through every Krylov recurrence
         npad = (-n_orig) % Pn
-    if npad:
+    def grow(A, b, x0, extra):
+        """Identity-row padding of the system (unit diagonal, zero rhs)."""
         from lssp_tpu.amg.sa import _pad_identity
-        A = CSR.from_scipy(_pad_identity(A.to_scipy().tocsr(), npad))
-        pad_shape = (npad, k) if multi else (npad,)
+        A = CSR.from_scipy(_pad_identity(A.to_scipy().tocsr(), extra))
+        pad_shape = (extra, k) if multi else (extra,)
         b = jnp.concatenate([b, jnp.zeros(pad_shape, dtype=b.dtype)], axis=0)
         if x0 is not None:
             x0 = jnp.concatenate([x0, jnp.zeros(pad_shape, dtype=x0.dtype)],
                                  axis=0)
+        return A, b, x0
+
+    if npad:
+        A, b, x0 = grow(A, b, x0, npad)
     n = A.shape[0]
     R = n // Pn
-    M = partition_matrix(A, Pn, fmt=fmt)
     kind, pc_state = _build_dist_pc(A, pc, pc_opts, Pn, R,
                                     transpose=transpose_method,
                                     sa_grid=sa_grid)
     if kind == "saamg" and pc_state.n_top != n:
         # grid coarsening stalled inside build_dist_sa and the hierarchy
         # fell back to the flat plan, padding itself — grow the system to
-        # the hierarchy's size with the same identity-row padding
-        from lssp_tpu.amg.sa import _pad_identity
-        extra = pc_state.n_top - n
-        A = CSR.from_scipy(_pad_identity(A.to_scipy().tocsr(), extra))
-        pad_shape = (extra, k) if multi else (extra,)
-        b = jnp.concatenate([b, jnp.zeros(pad_shape, dtype=b.dtype)],
-                            axis=0)
-        if x0 is not None:
-            x0 = jnp.concatenate(
-                [x0, jnp.zeros(pad_shape, dtype=x0.dtype)], axis=0)
-        npad += extra
+        # the hierarchy's size (result slicing uses n_orig either way)
+        A, b, x0 = grow(A, b, x0, pc_state.n_top - n)
         n = A.shape[0]
         R = n // Pn
-        M = partition_matrix(A, Pn, fmt=fmt)
+    M = partition_matrix(A, Pn, fmt=fmt)
     fn = get_solver(method)
 
     shp = (Pn, R, k) if multi else (Pn, R)
