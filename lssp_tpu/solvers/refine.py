@@ -224,7 +224,14 @@ def solve_ir(A, b, x0=None, method: str = "gmres",
     # maxit per round).  Right preconditioning tracks the TRUE residual
     # norm, whose floor sits far lower; the outer fp64 loop is identical
     # either way (it only consumes the correction).
+    # fgmres maps to rgmres too: solve_ir's preconditioner is always a
+    # FIXED operator, for which the two are mathematically identical —
+    # and fp32 fgmres has a measurably higher attainable-accuracy floor
+    # (512² aniso + saamg: restart cycles stall at ~0.8·rtol-target, 256
+    # vs 28 total inner iterations; the stored-Z update accumulates what
+    # rgmres's single end-of-cycle M⁻¹(Vy) apply does not)
     inner_method = {"gmres": "rgmres", "lgmres": "rlgmres",
+                    "fgmres": "rgmres",
                     "cagmres": "cargmres"}.get(method.lower(), method)
     fn = get_solver(inner_method)
 

@@ -80,3 +80,25 @@ def test_ir_gmres_uses_right_preconditioned_inner():
     assert int(info.nits) <= 120        # left-PC inner burned ~850
     res = float(np.linalg.norm(np.asarray(b) - A.to_scipy() @ np.asarray(x)))
     assert res <= 1.1e-8 * np.sqrt(n) + 1e-10
+
+
+def test_ir_fgmres_maps_to_rgmres_inner():
+    """solve_ir's PC is always a fixed operator, for which FGMRES and
+    right-GMRES are identical in exact arithmetic — and fp32 FGMRES has a
+    measurably higher attainable-accuracy floor (512^2 aniso + saamg:
+    restart cycles stalled just above the inner tolerance, 256 vs 28
+    total inner iterations).  Pin the mapped iteration count."""
+    import numpy as np
+    import jax.numpy as jnp
+    import lssp_tpu as lt
+
+    A = lt.sparse.anisotropic_poisson_2d(128, epsilon=0.001)
+    n = A.shape[0]
+    b = jnp.ones(n, dtype=jnp.float64)
+    o = lt.SolverOptions(rtol=1e-8, atol=0.0, rbtol=0.0, restart=30,
+                         maxit=4000)
+    x, info = lt.solve_ir(A, b, method="fgmres", pc="saamg", options=o)
+    assert bool(info.converged)
+    assert int(info.nits) <= 120
+    res = float(np.linalg.norm(np.asarray(b) - A.to_scipy() @ np.asarray(x)))
+    assert res <= 1.1e-8 * np.sqrt(n) + 1e-10
