@@ -363,7 +363,8 @@ def solve_multi(A, B, X0=None, method: str = "cg",
             pc_options = dataclasses.replace(pc_options or PCOptions(),
                                              transpose=True)
         M = pc_mod.setup(A_host, pc, pc_options)
-    fn = get_solver(method)
+    block = method.lower() in ("blockcg", "block_cg")
+    fn = None if block else get_solver(method)
     B = jnp.asarray(B)
     if B.ndim != 2:
         raise ValueError(f"B must be (n, k) for solve_multi, got {B.shape}")
@@ -374,6 +375,22 @@ def solve_multi(A, B, X0=None, method: str = "cg",
     a_bare = callable(A_dev) and not hasattr(A_dev, "shape")
     m_bare = (M is not None and callable(M)
               and not isinstance(M, Preconditioner))
+    if block:
+        # block-Krylov path: ONE shared search block for all rhs (k×k Gram
+        # reductions instead of k independent dot chains) — see
+        # solvers/block_cg.py.  SPD systems only, like cg.
+        from lssp_tpu.solvers.block_cg import block_cg
+
+        def bf(A_, B_, X0_, M_, opts):
+            return block_cg(A_ if not a_bare else A_dev, B_, X0_,
+                            M_ if not m_bare else M, opts=opts)
+        X, info = jax.jit(bf, static_argnames=("opts",))(
+            None if a_bare else A_dev, B, X0,
+            None if m_bare else M, opts=opts)
+        X = _unpermute(X, perm)
+        if host_trace and not user_history:
+            info = dataclasses.replace(info, history=None)
+        return X, info
     vf = _jitted_multi(fn, A_dev if a_bare else None, M if m_bare else None)
     X, info = vf(None if a_bare else A_dev, B.T, X0.T,
                  None if m_bare else M, opts=opts)

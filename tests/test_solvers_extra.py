@@ -437,3 +437,66 @@ class TestSolveMulti:
         A = lt.sparse.laplacian_2d(8)
         with pytest.raises(ValueError, match="n, k"):
             lt.solve_multi(A, jnp.ones(64))
+
+
+class TestBlockCG:
+    """Block Conjugate Gradient (solvers/block_cg.py): one shared Krylov
+    search block for all rhs — fewer iterations than k independent CGs
+    (information mixes across rhs), one k×k Gram reduction per step, and
+    an exit criterion pinned to the RECOMPUTED residual."""
+
+    def _setup(self, k=5, n_side=48):
+        import numpy as np
+        import jax.numpy as jnp
+        import lssp_tpu as lt
+        A = lt.sparse.laplacian_2d(n_side)
+        rng = np.random.default_rng(1)
+        B = jnp.asarray(rng.standard_normal((A.shape[0], k)))
+        o = lt.SolverOptions(rtol=1e-8, atol=0.0, rbtol=0.0, maxit=2000)
+        return lt, A, B, o
+
+    def test_true_residual_meets_tolerance(self):
+        import numpy as np
+        lt, A, B, o = self._setup()
+        X, info = lt.solve_multi(A, B, method="blockcg", pc="iluk",
+                                 options=o)
+        S = A.to_scipy()
+        res = np.linalg.norm(np.asarray(B) - S @ np.asarray(X), axis=0)
+        tol = 1e-8 * np.linalg.norm(np.asarray(B), axis=0)
+        assert np.asarray(info.converged).all()
+        # the exit criterion recomputes the residual, so the INDEPENDENT
+        # residual must meet the tolerance (not just the recursive one)
+        assert (res <= tol).all(), res / tol
+
+    def test_fewer_iterations_than_independent_cg(self):
+        import numpy as np
+        lt, A, B, o = self._setup()
+        _, ib = lt.solve_multi(A, B, method="blockcg", pc="iluk", options=o)
+        _, ic = lt.solve_multi(A, B, method="cg", pc="iluk", options=o)
+        assert int(np.max(np.asarray(ib.nits))) < \
+            int(np.min(np.asarray(ic.nits))), (ib.nits, ic.nits)
+
+    def test_duplicate_rhs_converge_in_lockstep(self):
+        """Identical columns make the residual block exactly rank-
+        deficient from step 0 — the Gram ridge must keep the solve
+        well-defined (duplicates converge together, not break down)."""
+        import numpy as np
+        import jax.numpy as jnp
+        lt, A, B, o = self._setup()
+        B2 = jnp.tile(B[:, :1], (1, 3))
+        X, info = lt.solve_multi(A, B2, method="blockcg", pc="iluk",
+                                 options=o)
+        assert np.asarray(info.converged).all()
+        S = A.to_scipy()
+        res = np.linalg.norm(np.asarray(B2) - S @ np.asarray(X), axis=0)
+        assert (res <= 1e-8 * np.linalg.norm(np.asarray(B2), axis=0)).all()
+        np.testing.assert_allclose(np.asarray(X[:, 0]), np.asarray(X[:, 2]),
+                                   rtol=1e-10, atol=1e-12)
+
+    def test_saamg_preconditioned(self):
+        import numpy as np
+        lt, A, B, o = self._setup()
+        X, info = lt.solve_multi(A, B, method="blockcg", pc="saamg",
+                                 options=o)
+        assert np.asarray(info.converged).all()
+        assert int(np.max(np.asarray(info.nits))) <= 15
