@@ -555,7 +555,8 @@ def _dist_launch(A: CSR, b, x0, method: str, pc, mesh,
         n = A.shape[0]
         R = n // Pn
     M = partition_matrix(A, Pn, fmt=fmt)
-    fn = get_solver(method)
+    block = multi and method.lower() in ("blockcg", "block_cg")
+    fn = None if block else get_solver(method)
 
     shp = (Pn, R, k) if multi else (Pn, R)
     b2 = jnp.asarray(np.asarray(b).reshape(shp))
@@ -581,6 +582,16 @@ def _dist_launch(A: CSR, b, x0, method: str, pc, mesh,
         pc_apply = _shard_pc_apply(kind, pc_state_l, R, op=op,
                                    cycles=max(1, int(pc_opts.amg_cycles)))
         if multi:
+            if block:
+                # block-Krylov shard program: the k×k Grams and residual
+                # norms reduce in ONE stacked psum each — the multi-chip
+                # latency win compounds with the shared-search-block
+                # convergence win (solvers/block_cg.py)
+                from lssp_tpu.solvers.block_cg import block_cg
+                X, info = block_cg(op, b_sh[0], x0_sh[0], M=pc_apply,
+                                   opts=opts,
+                                   reduce=lambda v: jax.lax.psum(v, AXIS))
+                return X[None], info
             def one(bl, x0l):
                 return fn(op, bl, x0l, pc_apply, opts=opts, dot=pdot)
             X, info = jax.vmap(one, in_axes=1, out_axes=(1, 0))(b_sh[0],
@@ -594,7 +605,7 @@ def _dist_launch(A: CSR, b, x0, method: str, pc, mesh,
         jax.tree_util.tree_map(lambda _: P(AXIS), pc_state))
     out_specs = (P(AXIS), jax.tree_util.tree_map(lambda _: P(), SolveInfo(
         nits=0, residual=0.0, converged=False, r0norm=0.0, bnorm=0.0,
-        history=0.0 if opts.record_history else None)))
+        history=(0.0 if opts.record_history and not block else None))))
 
     mapped = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
                            out_specs=out_specs, check_vma=False)

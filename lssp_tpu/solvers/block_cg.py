@@ -24,11 +24,12 @@ Preconditioned block CG recurrence (SPD A, SPD M):
              β = (ZᵀR)_old⁻¹ (ZᵀR)_new
              P = Z + P β
 
-Breakdown: PᵀQ goes singular iff the residual block loses rank (two rhs
-whose errors became linearly dependent).  We detect non-finite α/β and
-freeze (converged=False reported for unconverged columns) rather than
-deflate — exact dependence is a measure-zero event for real serving loads;
-pass distinct x0 columns to break symmetric ties.
+Breakdown: PᵀQ goes singular iff the residual block loses rank (duplicate
+rhs, or columns whose errors converged together).  Three defenses, all
+measured in: a relative O(eps) ridge on the k×k solves (duplicates then
+converge in lock-step), residual replacement pinning the exit criterion
+to a recomputed residual, and restart-on-breakdown (fresh search block);
+two consecutive post-restart breakdowns exit honestly unconverged.
 
 fp64-dot hazard: the k×k Grams are computed as mul+sum contractions via k
 batched column reductions, never one (n,k)ᵀ(n,k) dot_general (lossy
@@ -60,14 +61,20 @@ def _mm(P, S):
         [jnp.sum(P * S[:, j][None, :], axis=1) for j in range(k)], axis=1)
 
 
-def block_cg(A, B, X0=None, M=None, opts=None):
+def block_cg(A, B, X0=None, M=None, opts=None, reduce=None):
     """Solve A X = B for all columns of B (n, k) at once.
 
     Returns (X (n, k), SolveInfo with per-column (k,) nits/residual/
     converged).  Stopping rule matches ``cg``'s per column — the loop runs
-    until EVERY column meets its tolerance (or maxit / breakdown)."""
+    until EVERY column meets its tolerance (or maxit / breakdown).
+
+    ``reduce``: cross-shard reduction applied to every column-sum
+    contraction (Grams and residual norms²) — the distributed launcher
+    passes ``lambda v: lax.psum(v, axis)`` so ONE psum of a k×k (or (k,))
+    partial per reduction point replaces k independent dots."""
     op = operator(A)
     pc = M if M is not None else identity_pc
+    red = reduce if reduce is not None else (lambda v: v)
     # vmap the (vector) preconditioner and operator over rhs columns when
     # they aren't natively batched: both receive (n,) and return (n,)
     pc_b = jax.vmap(lambda c: pc(c), in_axes=1, out_axes=1)
@@ -76,8 +83,8 @@ def block_cg(A, B, X0=None, M=None, opts=None):
     n, k = B.shape
     X = jnp.zeros_like(B) if X0 is None else X0
     R = B - op_b(X)
-    bnorm = jnp.sqrt(jnp.sum(B * B, axis=0))
-    r0norm = jnp.sqrt(jnp.sum(R * R, axis=0))
+    bnorm = jnp.sqrt(red(jnp.sum(B * B, axis=0)))
+    r0norm = jnp.sqrt(red(jnp.sum(R * R, axis=0)))
     tol = jnp.maximum(jnp.maximum(opts.rtol * r0norm, opts.atol),
                       opts.rbtol * bnorm)
 
@@ -89,7 +96,7 @@ def block_cg(A, B, X0=None, M=None, opts=None):
     def body(carry):
         it, X, R, P, rho_old, res, nits, fresh, done = carry
         Z = pc_b(R)
-        rho = _gram(Z, R)                                   # (k, k)
+        rho = red(_gram(Z, R))                              # (k, k)
         # relative ridge on the k×k solves: a rank-deficient residual
         # block (duplicate or converged-together rhs) makes the Grams
         # singular; the ridge keeps the step well-defined on the dominant
@@ -103,10 +110,10 @@ def block_cg(A, B, X0=None, M=None, opts=None):
                          jnp.linalg.solve(ridge(rho_old), rho))
         P = Z + _mm(P, beta)
         Q = op_b(P)
-        alpha = jnp.linalg.solve(ridge(_gram(P, Q)), rho)
+        alpha = jnp.linalg.solve(ridge(red(_gram(P, Q))), rho)
         Xn = X + _mm(P, alpha)
         Rn = R - _mm(Q, alpha)
-        rec = jnp.sqrt(jnp.sum(Rn * Rn, axis=0))
+        rec = jnp.sqrt(red(jnp.sum(Rn * Rn, axis=0)))
         # breakdown = singular Gram (residual block lost rank, typically
         # right at convergence): roll the step back and RESTART the
         # conjugacy (fresh search block from the true residual) instead
@@ -124,7 +131,7 @@ def block_cg(A, B, X0=None, M=None, opts=None):
                           lambda Xn, Rn: B - op_b(Xn),
                           lambda Xn, Rn: Rn,
                           Xn, jnp.where(okstep, Rn, R))
-        res_new = jnp.sqrt(jnp.sum(Rn * Rn, axis=0))
+        res_new = jnp.sqrt(red(jnp.sum(Rn * Rn, axis=0)))
         nits = jnp.where((res > tol) & (res_new <= tol), it + 1, nits)
         # restart conjugacy only on BREAKDOWN — residual replacement
         # keeps the search block (van der Vorst/Ye); restarting on every
