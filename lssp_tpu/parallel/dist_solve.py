@@ -31,7 +31,7 @@ from lssp_tpu.parallel.dist_ops import (make_dist_spmv, make_dist_spmv_t,
 from lssp_tpu.pc.ilu_host import iluk_factor, ilut_factor
 from lssp_tpu.sparse.types import CSR
 from lssp_tpu.sparse.utils import diagonal
-from lssp_tpu.solvers.registry import get_solver
+from lssp_tpu.solvers.registry import get_solver, get_block_solver
 from lssp_tpu.solvers.base import SolveInfo
 
 AXIS = "shards"
@@ -555,7 +555,8 @@ def _dist_launch(A: CSR, b, x0, method: str, pc, mesh,
         n = A.shape[0]
         R = n // Pn
     M = partition_matrix(A, Pn, fmt=fmt)
-    block = multi and method.lower() in ("blockcg", "block_cg")
+    block_fn = get_block_solver(method) if multi else None
+    block = block_fn is not None
     fn = None if block else get_solver(method)
 
     shp = (Pn, R, k) if multi else (Pn, R)
@@ -583,12 +584,11 @@ def _dist_launch(A: CSR, b, x0, method: str, pc, mesh,
                                    cycles=max(1, int(pc_opts.amg_cycles)))
         if multi:
             if block:
-                # block-Krylov shard program: the k×k Grams and residual
-                # norms reduce in ONE stacked psum each — the multi-chip
+                # block-Krylov shard program: the stacked Grams and
+                # residual norms reduce in ONE psum each — the multi-chip
                 # latency win compounds with the shared-search-block
-                # convergence win (solvers/block_cg.py)
-                from lssp_tpu.solvers.block_cg import block_cg
-                X, info = block_cg(op, b_sh[0], x0_sh[0], M=pc_apply,
+                # convergence win (solvers/block_cg.py, block_gmres.py)
+                X, info = block_fn(op, b_sh[0], x0_sh[0], M=pc_apply,
                                    opts=opts,
                                    reduce=lambda v: jax.lax.psum(v, AXIS))
                 return X[None], info

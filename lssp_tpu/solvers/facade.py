@@ -25,7 +25,7 @@ from lssp_tpu.sparse.reorder import maybe_rcm
 from lssp_tpu.sparse.utils import sort_columns
 from lssp_tpu.solvers.base import SolveInfo, history_print_host
 from lssp_tpu.utils.log import device_print_supported
-from lssp_tpu.solvers.registry import get_solver
+from lssp_tpu.solvers.registry import get_solver, get_block_solver
 from lssp_tpu import pc as pc_mod
 
 
@@ -363,8 +363,8 @@ def solve_multi(A, B, X0=None, method: str = "cg",
             pc_options = dataclasses.replace(pc_options or PCOptions(),
                                              transpose=True)
         M = pc_mod.setup(A_host, pc, pc_options)
-    block = method.lower() in ("blockcg", "block_cg")
-    fn = None if block else get_solver(method)
+    block_fn = get_block_solver(method)
+    fn = None if block_fn is not None else get_solver(method)
     B = jnp.asarray(B)
     if B.ndim != 2:
         raise ValueError(f"B must be (n, k) for solve_multi, got {B.shape}")
@@ -375,14 +375,13 @@ def solve_multi(A, B, X0=None, method: str = "cg",
     a_bare = callable(A_dev) and not hasattr(A_dev, "shape")
     m_bare = (M is not None and callable(M)
               and not isinstance(M, Preconditioner))
-    if block:
-        # block-Krylov path: ONE shared search block for all rhs (k×k Gram
-        # reductions instead of k independent dot chains) — see
-        # solvers/block_cg.py.  SPD systems only, like cg.
-        from lssp_tpu.solvers.block_cg import block_cg
-
+    if block_fn is not None:
+        # block-Krylov path: ONE shared search block for all rhs (stacked
+        # Gram reductions instead of k independent dot chains) — see
+        # solvers/block_cg.py (SPD, like cg) and solvers/block_gmres.py
+        # (nonsymmetric, restarted).
         def bf(A_, B_, X0_, M_, opts):
-            return block_cg(A_ if not a_bare else A_dev, B_, X0_,
+            return block_fn(A_ if not a_bare else A_dev, B_, X0_,
                             M_ if not m_bare else M, opts=opts)
         X, info = jax.jit(bf, static_argnames=("opts",))(
             None if a_bare else A_dev, B, X0,

@@ -20,6 +20,21 @@ def get_solver(name: str):
     return SOLVERS[key]
 
 
+def get_block_solver(name: str):
+    """Block-Krylov methods (multi-rhs only: one SHARED search block, every
+    reduction a stacked Gram).  Returns None for ordinary per-rhs methods —
+    solve_multi/dist_solve_multi then vmap the registered solver instead.
+    Signature of a block solver: (A, B, X0, M=, opts=, reduce=)."""
+    key = name.lower().replace("_", "")
+    if key == "blockcg":
+        from lssp_tpu.solvers.block_cg import block_cg
+        return block_cg
+    if key == "blockgmres":
+        from lssp_tpu.solvers.block_gmres import block_gmres
+        return block_gmres
+    return None
+
+
 def _populate():
     """Import solver modules so their @register_solver decorators run."""
     from lssp_tpu.solvers import cg as _cg

@@ -500,3 +500,94 @@ class TestBlockCG:
                                  options=o)
         assert np.asarray(info.converged).all()
         assert int(np.max(np.asarray(info.nits))) <= 15
+
+
+class TestBlockGMRES:
+    """Restarted block GMRES (solvers/block_gmres.py): the nonsymmetric
+    block-Krylov path — one shared basis for all rhs, CholQR²+CGS2
+    orthogonalization (stacked mul+sum Grams), per-cycle block least
+    squares, exit on the RECOMPUTED per-column residual."""
+
+    def _setup(self, k=4, n_side=48, restart=30):
+        import numpy as np
+        import jax.numpy as jnp
+        import lssp_tpu as lt
+        A = lt.sparse.convection_diffusion_2d(n_side)   # nonsymmetric
+        rng = np.random.default_rng(0)
+        B = jnp.asarray(rng.standard_normal((A.shape[0], k)))
+        o = lt.SolverOptions(rtol=1e-8, atol=0.0, rbtol=0.0, maxit=2000,
+                             restart=restart)
+        return lt, A, B, o
+
+    def test_true_residual_meets_tolerance(self):
+        import numpy as np
+        lt, A, B, o = self._setup()
+        X, info = lt.solve_multi(A, B, method="blockgmres", pc="iluk",
+                                 options=o)
+        S = A.to_scipy()
+        res = np.linalg.norm(np.asarray(B) - S @ np.asarray(X), axis=0)
+        tol = 1e-8 * np.linalg.norm(np.asarray(B), axis=0)
+        assert np.asarray(info.converged).all()
+        assert (res <= tol).all(), res / tol
+
+    def test_no_worse_than_slowest_independent_gmres(self):
+        """The shared block subspace contains every column's own Krylov
+        directions, so (at restart granularity) the block converges no
+        later than the slowest independent GMRES run."""
+        import numpy as np
+        lt, A, B, o = self._setup()
+        _, ib = lt.solve_multi(A, B, method="blockgmres", pc="none",
+                               options=o)
+        _, ig = lt.solve_multi(A, B, method="gmres", pc="none", options=o)
+        assert np.asarray(ib.converged).all()
+        m = o.restart
+        worst_indep = int(np.max(np.asarray(ig.nits)))
+        # round the per-rhs count up to cycle granularity for a fair bound
+        worst_cycles = -(-worst_indep // m) * m
+        assert int(np.max(np.asarray(ib.nits))) <= worst_cycles, \
+            (ib.nits, ig.nits)
+
+    def test_duplicate_rhs_converge_in_lockstep(self):
+        """Duplicate columns make the block rank-deficient from step 0 —
+        the CholQR ridge must keep the recurrence well-defined."""
+        import numpy as np
+        import jax.numpy as jnp
+        lt, A, B, o = self._setup()
+        B2 = jnp.stack([B[:, 0], B[:, 0], B[:, 1]], axis=1)
+        X, info = lt.solve_multi(A, B2, method="blockgmres", pc="iluk",
+                                 options=o)
+        assert np.asarray(info.converged).all()
+        S = A.to_scipy()
+        res = np.linalg.norm(np.asarray(B2) - S @ np.asarray(X), axis=0)
+        assert (res <= 1e-8 * np.linalg.norm(np.asarray(B2), axis=0)).all()
+
+    def test_restart_cap_and_honest_unconverged(self):
+        """maxit below one restart shrinks the cycle; an impossible
+        tolerance exits honestly with converged=False."""
+        import numpy as np
+        import dataclasses
+        lt, A, B, o = self._setup()
+        o2 = dataclasses.replace(o, maxit=8, rtol=1e-14)
+        X, info = lt.solve_multi(A, B, method="blockgmres", pc="none",
+                                 options=o2)
+        assert not np.asarray(info.converged).any()
+        assert np.asarray(info.nits).max() <= 8
+        assert np.isfinite(np.asarray(X)).all()
+
+    def test_spd_matches_blockcg_quality(self):
+        """On an SPD system both block methods must reach the tolerance
+        (blockgmres is the general-matrix fallback of blockcg)."""
+        import numpy as np
+        import jax.numpy as jnp
+        import lssp_tpu as lt
+        A = lt.sparse.laplacian_2d(32)
+        rng = np.random.default_rng(3)
+        B = jnp.asarray(rng.standard_normal((A.shape[0], 3)))
+        o = lt.SolverOptions(rtol=1e-8, atol=0.0, rbtol=0.0, maxit=2000,
+                             restart=30)
+        X, info = lt.solve_multi(A, B, method="blockgmres", pc="saamg",
+                                 options=o)
+        assert np.asarray(info.converged).all()
+        S = A.to_scipy()
+        res = np.linalg.norm(np.asarray(B) - S @ np.asarray(X), axis=0)
+        assert (res <= 1e-8 * np.linalg.norm(np.asarray(B), axis=0)).all()
