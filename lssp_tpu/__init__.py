@@ -66,7 +66,7 @@ from lssp_tpu import amg
 from lssp_tpu import parallel
 from lssp_tpu.config import SolverOptions, PCOptions, Defaults
 from lssp_tpu.solvers.facade import solve, solve_multi, Solver, SolveInfo
-from lssp_tpu.solvers.refine import solve_ir, prepare_ir
+from lssp_tpu.solvers.refine import solve_ir, solve_ir_multi, prepare_ir
 from lssp_tpu.solvers.direct import solve_lsq
 from lssp_tpu.sparse import CSR, COO, BSR, ELL, DIA
 
@@ -75,6 +75,7 @@ __version__ = "0.1.0"
 __all__ = [
     "sparse", "ops", "solvers", "pc", "amg", "parallel",
     "SolverOptions", "PCOptions", "Defaults",
-    "solve", "solve_multi", "solve_ir", "prepare_ir", "solve_lsq", "Solver", "SolveInfo",
+    "solve", "solve_multi", "solve_ir", "solve_ir_multi", "prepare_ir",
+    "solve_lsq", "Solver", "SolveInfo",
     "CSR", "COO", "BSR", "ELL", "DIA",
 ]

@@ -94,6 +94,58 @@ def _fused_ir(fn, A64, A32, M32, b, x, tol, inner_opts, max_outer,
     return x, res, r0n, tot
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("fn", "block", "inner_opts", "max_outer",
+                                    "inner_dtype"))
+def _fused_ir_multi(fn, block, A64, A32, M32, B, X, tol, inner_opts,
+                    max_outer, inner_dtype):
+    """Device-side multi-rhs refinement loop (see solve_ir_multi).
+    Returns (X, final per-column res, r0 (k,), per-column inner its)."""
+    spmv_b = jax.vmap(lambda v: spmv(A64, v), in_axes=1, out_axes=1)
+
+    def norms64(V):
+        return jnp.sqrt(jnp.sum(V * V, axis=0))   # mul+sum, never a matvec
+
+    r0 = norms64(B - spmv_b(X))
+
+    def cond(c):
+        X, res, outer, tot = c
+        return jnp.any(res > tol) & (outer < max_outer)
+
+    def body(c):
+        X, res, outer, tot = c
+        R = B - spmv_b(X)
+        scale = norms64(R)
+        safe = jnp.where(scale == 0, 1.0, scale)
+        # freeze converged columns: their inner rhs becomes zero, so the
+        # inner solver exits at 0 iterations for them (r0 = 0 ≤ tol), the
+        # correction is exactly zero, and every column's trajectory is
+        # IDENTICAL to its own single-rhs solve_ir run — no tail
+        # perturbation while the slowest column finishes
+        active = scale > tol
+        R32 = jnp.where(active[None, :],
+                        R / safe[None, :], 0.0).astype(inner_dtype)
+        if block:
+            # ONE shared search block across all rhs corrections: the
+            # fp32 inner pays stacked-Gram reductions instead of k dot
+            # chains, and mixes information across columns
+            D32, info = fn(A32, R32, jnp.zeros_like(R32), M32,
+                           opts=inner_opts)
+        else:
+            def one(r32):
+                return fn(A32, r32, jnp.zeros_like(r32), M32,
+                          opts=inner_opts)
+            D32, info = jax.vmap(one, in_axes=1, out_axes=(1, 0))(R32)
+        X = X + D32.astype(jnp.float64) * safe[None, :]
+        res = norms64(B - spmv_b(X))
+        return (X, res, outer + 1, tot + info.nits)
+
+    k = B.shape[1]
+    X, res, _, tot = jax.lax.while_loop(
+        cond, body, (X, r0, jnp.int32(0), jnp.zeros(k, jnp.int32)))
+    return X, res, r0, tot
+
+
 def prepare_ir(A, method: str = "gmres", pc: Optional[str] = "none",
                pc_options: Optional[PCOptions] = None,
                inner_dtype=jnp.float32, reorder: str = "auto"):
@@ -171,6 +223,57 @@ def prepare_ir(A, method: str = "gmres", pc: Optional[str] = "none",
     return A_host, A64, A32, perm, M32
 
 
+def _inner_plan(method, opts, inner_rtol):
+    """Shared fp32-inner policy for solve_ir / solve_ir_multi: pick the
+    inner solver function and its options.
+
+    Inner cap: bounds the damage when the fp32 attainable-accuracy floor
+    sits just ABOVE inner_rtol — the solve then stalls and a generous cap
+    burns hundreds of useless iterations per round (the outer loop
+    re-measures in fp64 and collects the achieved progress either way, so
+    cutting a stalled round early costs one cheap fp64 residual).
+    Restarted GMRES variants finish healthy rounds well under 2 restarts;
+    non-restarted methods keep the wider budget.
+
+    Right preconditioning: fp32 inner GMRES must be the RIGHT-
+    preconditioned variant — the left-preconditioned Givens residual
+    estimate stalls on an fp32 floor well above inner_rtol with strong
+    preconditioners (measured 854 vs 60 total inner iterations for gmres
+    vs rgmres with saamg on a 512² anisotropic Poisson).  fgmres maps to
+    rgmres too: solve_ir's preconditioner is always a FIXED operator, for
+    which the two are mathematically identical — and fp32 fgmres has a
+    measurably higher attainable-accuracy floor (512² aniso + saamg: 256
+    vs 28 total inner iterations; the stored-Z update accumulates what
+    rgmres's single end-of-cycle M⁻¹(Vy) apply does not).
+    block_gmres is right-preconditioned by construction."""
+    from lssp_tpu.solvers.registry import get_block_solver
+
+    key = method.lower()
+    if key in ("gmres", "rgmres", "lgmres", "rlgmres", "fgmres",
+               "cagmres", "cargmres", "blockgmres", "block_gmres"):
+        inner_cap = max(2 * opts.restart, 64)
+    else:
+        inner_cap = 200
+    inner_opts = dataclasses.replace(
+        opts, rtol=inner_rtol, atol=0.0, rbtol=0.0,
+        maxit=min(opts.maxit, inner_cap))
+    if key in ("blockgmres", "block_gmres"):
+        # the block inner resolves at restart-cycle granularity, and the
+        # ~1e-3 inner target needs far fewer steps than an outer-solve
+        # restart — a full user cycle overshoots every fp32 round
+        # (measured on 48² convdiff+ilut: 60 total inner its at restart 30
+        # vs 24 at 12; weak-PC penalty of the shorter cycle is ~17%).
+        # Shorter cycles also shrink the (m+1)·n·k basis the fp32 round
+        # holds live.
+        inner_opts = dataclasses.replace(inner_opts,
+                                         restart=min(opts.restart, 16))
+    inner_method = {"gmres": "rgmres", "lgmres": "rlgmres",
+                    "fgmres": "rgmres",
+                    "cagmres": "cargmres"}.get(key, method)
+    fn = get_block_solver(inner_method) or get_solver(inner_method)
+    return fn, inner_opts
+
+
 def solve_ir(A, b, x0=None, method: str = "gmres",
              pc: Optional[str] = "none",
              options: Optional[SolverOptions] = None,
@@ -184,6 +287,10 @@ def solve_ir(A, b, x0=None, method: str = "gmres",
     """
     from lssp_tpu.solvers.facade import _jitted
 
+    if method.lower() in ("blockcg", "block_cg", "blockgmres",
+                          "block_gmres"):
+        raise ValueError(f"{method!r} is a multi-rhs block method; "
+                         "use solve_ir_multi for (n, k) right-hand sides")
     opts = (options or SolverOptions()).resolved()
     # direct/splu → pc="lu" happens inside prepare_ir (one copy of the rule)
 
@@ -200,40 +307,7 @@ def solve_ir(A, b, x0=None, method: str = "gmres",
     bnorm = float(jnp.linalg.norm(b))
     tol = max(opts.rtol * bnorm, opts.atol)
 
-    # The inner cap bounds the damage when the fp32 attainable-accuracy
-    # floor sits just ABOVE inner_rtol: the solve then stalls and a
-    # generous cap burns hundreds of useless iterations per round (the
-    # outer loop re-measures in fp64 and collects the achieved progress
-    # either way, so cutting a stalled round early costs one cheap fp64
-    # residual).  Restarted GMRES variants finish healthy rounds well
-    # under 2 restarts; non-restarted methods keep the wider budget
-    # (restart is meaningless for them).
-    if method.lower() in ("gmres", "rgmres", "lgmres", "rlgmres", "fgmres",
-                          "cagmres", "cargmres"):
-        inner_cap = max(2 * opts.restart, 64)
-    else:
-        inner_cap = 200
-    inner_opts = dataclasses.replace(
-        opts, rtol=inner_rtol, atol=0.0, rbtol=0.0,
-        maxit=min(opts.maxit, inner_cap))
-    # fp32 inner GMRES must be the RIGHT-preconditioned variant: the
-    # left-preconditioned Givens residual estimate stalls on an fp32 floor
-    # well above inner_rtol with strong preconditioners (measured 854 vs
-    # 60 total inner iterations for gmres vs rgmres with saamg on a 512²
-    # anisotropic Poisson — the estimate floors, the iteration burns
-    # maxit per round).  Right preconditioning tracks the TRUE residual
-    # norm, whose floor sits far lower; the outer fp64 loop is identical
-    # either way (it only consumes the correction).
-    # fgmres maps to rgmres too: solve_ir's preconditioner is always a
-    # FIXED operator, for which the two are mathematically identical —
-    # and fp32 fgmres has a measurably higher attainable-accuracy floor
-    # (512² aniso + saamg: restart cycles stall at ~0.8·rtol-target, 256
-    # vs 28 total inner iterations; the stored-Z update accumulates what
-    # rgmres's single end-of-cycle M⁻¹(Vy) apply does not)
-    inner_method = {"gmres": "rgmres", "lgmres": "rlgmres",
-                    "fgmres": "rgmres",
-                    "cagmres": "cargmres"}.get(method.lower(), method)
-    fn = get_solver(inner_method)
+    fn, inner_opts = _inner_plan(method, opts, inner_rtol)
 
     if opts.verbosity < 1:
         # fused path: the ENTIRE mixed-precision solve — fp64 residuals,
@@ -289,3 +363,63 @@ def solve_ir(A, b, x0=None, method: str = "gmres",
                         converged=jnp.bool_(res <= tol),
                         r0norm=jnp.float64(r0), bnorm=jnp.float64(bnorm),
                         history=None)
+
+
+def solve_ir_multi(A, B, X0=None, method: str = "blockgmres",
+                   pc: Optional[str] = "none",
+                   options: Optional[SolverOptions] = None,
+                   pc_options: Optional[PCOptions] = None,
+                   inner_rtol: float = 1e-3, max_outer: int = 20,
+                   inner_dtype=jnp.float32, reorder: str = "auto"):
+    """Mixed-precision refinement for k right-hand sides at once: fp64
+    outer residuals per column, ONE fp32 inner solve per round for the
+    whole block.  ``B``: (n, k).  Returns (X fp64 (n, k), SolveInfo with
+    per-column (k,) nits — total inner iterations — residuals, and
+    convergence flags).
+
+    The default inner is ``blockgmres`` (general matrices; ``blockcg``
+    for SPD): the k residual corrections share one block-Krylov basis, so
+    the fp32 hot loop pays stacked-Gram reductions instead of k dot
+    chains AND converges in fewer iterations than k independent inners.
+    Any ordinary method name runs the vmapped per-column inner instead
+    (the matrix still streams once per iteration for all columns).
+
+    The TPU-native serving answer for many-rhs fp64 workloads — no
+    reference analog (the serial library re-solves per rhs in fp64,
+    lssp_solver_reset_rhs, /root/reference/src/lssp.cxx:470-489)."""
+    from lssp_tpu.solvers.registry import get_block_solver
+
+    opts = (options or SolverOptions()).resolved()
+    A_host, A64, A32, perm, M32 = prepare_ir(
+        A, method=method, pc=pc, pc_options=pc_options,
+        inner_dtype=inner_dtype, reorder=reorder)
+
+    B = jnp.asarray(B, jnp.float64)
+    if B.ndim != 2:
+        raise ValueError(f"B must be (n, k) for solve_ir_multi, "
+                         f"got {B.shape}")
+    X = jnp.zeros_like(B) if X0 is None else jnp.asarray(X0, jnp.float64)
+    if perm is not None:
+        B = B[perm, :]
+        X = X[perm, :]
+
+    bnorm = jnp.sqrt(jnp.sum(B * B, axis=0))
+    tol = jnp.maximum(opts.rtol * bnorm, opts.atol)
+
+    fn, inner_opts = _inner_plan(method, opts, inner_rtol)
+    block = get_block_solver(method) is not None
+
+    X, res, r0, tot = _fused_ir_multi(
+        fn, block, A64, A32, M32, B, X, tol, inner_opts, max_outer,
+        inner_dtype)
+    if perm is not None:
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm))
+        X = X[inv, :]
+    if opts.verbosity >= 1:
+        from lssp_tpu.utils.log import log as _log_line
+        for j in range(B.shape[1]):
+            _log_line(f"ir rhs {j}: inner its {int(tot[j]):4d}, true res "
+                      f"{float(res[j]):.6e}", level=0)
+    return X, SolveInfo(nits=tot, residual=res, converged=res <= tol,
+                        r0norm=r0, bnorm=bnorm, history=None)

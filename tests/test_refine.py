@@ -102,3 +102,75 @@ def test_ir_fgmres_maps_to_rgmres_inner():
     assert int(info.nits) <= 120
     res = float(np.linalg.norm(np.asarray(b) - A.to_scipy() @ np.asarray(x)))
     assert res <= 1.1e-8 * np.sqrt(n) + 1e-10
+
+
+class TestIRMulti:
+    """solve_ir_multi: fp64-quality multi-rhs via fp32 block (or vmapped)
+    inner solves — per-column true residuals, honest per-column flags."""
+
+    def _setup(self, k=4, spd=False):
+        import numpy as np
+        import jax.numpy as jnp
+        import lssp_tpu as lt
+        A = (lt.sparse.laplacian_2d(48) if spd
+             else lt.sparse.convection_diffusion_2d(48))
+        rng = np.random.default_rng(2)
+        B = jnp.asarray(rng.standard_normal((A.shape[0], k)))
+        o = lt.SolverOptions(rtol=1e-8, atol=0.0, maxit=2000, restart=30)
+        return lt, A, B, o
+
+    def _rel(self, A, B, X):
+        import numpy as np
+        res = np.linalg.norm(np.asarray(B) - A.to_scipy() @ np.asarray(X),
+                             axis=0)
+        return res / np.linalg.norm(np.asarray(B), axis=0)
+
+    def test_block_gmres_inner_reaches_fp64(self):
+        import numpy as np
+        lt, A, B, o = self._setup()
+        X, info = lt.solve_ir_multi(A, B, method="blockgmres", pc="ilut",
+                                    options=o)
+        assert np.asarray(info.converged).all()
+        assert (self._rel(A, B, X) <= 1.1e-8).all()
+        assert X.dtype == np.float64
+
+    def test_block_cg_inner_spd(self):
+        import numpy as np
+        lt, A, B, o = self._setup(spd=True)
+        X, info = lt.solve_ir_multi(A, B, method="blockcg", pc="iluk",
+                                    options=o)
+        assert np.asarray(info.converged).all()
+        assert (self._rel(A, B, X) <= 1.1e-8).all()
+
+    def test_vmapped_inner_matches_per_rhs_solve_ir(self):
+        """An ordinary method name runs the vmapped per-column inner;
+        each column must match its own solve_ir run to the refinement
+        target (converged columns are FROZEN while the slowest finishes,
+        so the trajectories are the same up to batched-vs-single XLA
+        rounding — bitwise parity between a vmapped and an unbatched
+        program is not a JAX contract) with the same inner-policy cost
+        (±2 inner iterations)."""
+        import numpy as np
+        lt, A, B, o = self._setup(k=3)
+        X, info = lt.solve_ir_multi(A, B, method="gmres", pc="ilut",
+                                    options=o)
+        assert np.asarray(info.converged).all()
+        for j in range(3):
+            xj, ij = lt.solve_ir(A, B[:, j], method="gmres", pc="ilut",
+                                 options=o)
+            np.testing.assert_allclose(np.asarray(X[:, j]), np.asarray(xj),
+                                       rtol=1e-8, atol=1e-10)
+            assert abs(int(info.nits[j]) - int(ij.nits)) <= 2, \
+                (j, info.nits, ij.nits)
+
+    def test_solve_ir_rejects_block_methods(self):
+        import pytest
+        lt, A, B, o = self._setup()
+        with pytest.raises(ValueError, match="solve_ir_multi"):
+            lt.solve_ir(A, B[:, 0], method="blockgmres")
+
+    def test_rejects_1d_rhs(self):
+        import pytest
+        lt, A, B, o = self._setup()
+        with pytest.raises(ValueError, match=r"\(n, k\)"):
+            lt.solve_ir_multi(A, B[:, 0], method="blockgmres")
