@@ -460,20 +460,90 @@ def _shard_pc_apply(kind, state, R, op=None, cycles=1):
     raise ValueError(kind)
 
 
+def _shard_ir(op32, op64, pc_apply, fn, block_fn, b, x0, opts, inner_opts,
+              max_outer, inner_dtype, pdot, multi):
+    """Mixed-precision refinement loop INSIDE the shard body: fp64 outer
+    residuals via the fp64-partitioned distributed operator, fp32 inner
+    Krylov shard program, fp64 accumulation.  Mirrors
+    solvers/refine.py:_fused_ir(_multi) with psum reductions; converged
+    columns are frozen (zero inner rhs) exactly as in solve_ir_multi."""
+    x = jnp.zeros_like(b) if x0 is None else x0
+
+    if multi:
+        def norms(V):                     # per-column, ONE stacked psum
+            return jnp.sqrt(jax.lax.psum(jnp.sum(V * V, axis=0), AXIS))
+        op64_b = jax.vmap(op64, in_axes=1, out_axes=1)
+        k = b.shape[1]
+        tot0 = jnp.zeros(k, jnp.int32)
+    else:
+        def norms(v):
+            return jnp.sqrt(pdot(v, v))
+        op64_b = op64
+        tot0 = jnp.int32(0)
+
+    bnorm = norms(b)
+    r0 = norms(b - op64_b(x))
+    tol = jnp.maximum(opts.rtol * bnorm, opts.atol)
+
+    def cond(c):
+        x, res, outer, tot = c
+        return jnp.any(res > tol) & (outer < max_outer)
+
+    def body(c):
+        x, res, outer, tot = c
+        r = b - op64_b(x)
+        scale = norms(r)
+        safe = jnp.where(scale == 0, 1.0, scale)
+        if multi:
+            active = scale > tol
+            r32 = jnp.where(active[None, :],
+                            r / safe[None, :], 0.0).astype(inner_dtype)
+            if block_fn is not None:
+                d32, info = block_fn(op32, r32, jnp.zeros_like(r32),
+                                     M=pc_apply, opts=inner_opts,
+                                     reduce=lambda v: jax.lax.psum(v, AXIS))
+            else:
+                def one(rc):
+                    return fn(op32, rc, jnp.zeros_like(rc), pc_apply,
+                              opts=inner_opts, dot=pdot)
+                d32, info = jax.vmap(one, in_axes=1, out_axes=(1, 0))(r32)
+            x = x + d32.astype(jnp.float64) * safe[None, :]
+        else:
+            r32 = (r / safe).astype(inner_dtype)
+            d32, info = fn(op32, r32, jnp.zeros_like(r32), pc_apply,
+                           opts=inner_opts, dot=pdot)
+            x = x + d32.astype(jnp.float64) * safe
+        res = norms(b - op64_b(x))
+        return (x, res, outer + 1, tot + info.nits)
+
+    x, res, _, tot = jax.lax.while_loop(cond, body, (x, r0, jnp.int32(0),
+                                                     tot0))
+    return x, SolveInfo(nits=tot, residual=res, converged=res <= tol,
+                        r0norm=r0, bnorm=bnorm, history=None)
+
+
 def _dist_launch(A: CSR, b, x0, method: str, pc, mesh,
-                 options, pc_options, fmt: str, multi: bool):
+                 options, pc_options, fmt: str, multi: bool,
+                 ir: bool = False, inner_rtol: float = 1e-3,
+                 max_outer: int = 20, inner_dtype=jnp.float32):
     """The one distributed launcher, parameterized on the rhs rank:
     ``multi=False`` solves b (n,); ``multi=True`` solves B (n, k) with the
     Krylov iteration vmapped over columns inside the same shard_map body
     (the matrix streams once per iteration for all rhs, psum dots batch).
-    dist_solve / dist_solve_multi are thin wrappers."""
+    ``ir=True`` runs mixed-precision iterative refinement INSIDE the shard
+    body: fp64 outer residuals through a second fp64-partitioned matrix,
+    fp32 inner Krylov solves (the PC is factored/built in fp32), fp64
+    accumulation — the multi-chip answer to TPU's emulated fp64 (same
+    policy as solvers/refine.py, one shared _inner_plan).
+    dist_solve / dist_solve_multi / dist_solve_ir* are thin wrappers."""
     opts = (options or SolverOptions()).resolved()
     pc_opts = (pc_options or PCOptions()).resolved()
     # backends without host callbacks can't run jax.debug.print inside the
     # shard_map'd iteration: record the (shard-replicated) residual trace
     # and print it host-side after the solve, as the facade does
     from lssp_tpu.utils.log import device_print_supported
-    host_trace = opts.verbosity >= 1 and not device_print_supported()
+    host_trace = (opts.verbosity >= 1 and not ir
+                  and not device_print_supported())   # ir: no inner trace
     user_history = opts.record_history
     if host_trace and not opts.record_history:
         opts = dataclasses.replace(opts, record_history=True)
@@ -488,7 +558,7 @@ def _dist_launch(A: CSR, b, x0, method: str, pc, mesh,
         mesh = make_mesh()
     Pn = mesh.devices.size
 
-    b = jnp.asarray(b)
+    b = jnp.asarray(b, jnp.float64) if ir else jnp.asarray(b)
     if multi:
         if b.ndim != 2:
             raise ValueError(f"B must be (n, k), got {b.shape}")
@@ -496,7 +566,7 @@ def _dist_launch(A: CSR, b, x0, method: str, pc, mesh,
     else:
         n_orig, k = b.shape[0], None
     if x0 is not None:
-        x0 = jnp.asarray(x0)
+        x0 = jnp.asarray(x0, jnp.float64) if ir else jnp.asarray(x0)
         if x0.shape != b.shape:
             raise ValueError(f"x0 must match the rhs shape {b.shape}, "
                              f"got {x0.shape}")
@@ -544,7 +614,10 @@ def _dist_launch(A: CSR, b, x0, method: str, pc, mesh,
         A, b, x0 = grow(A, b, x0, npad)
     n = A.shape[0]
     R = n // Pn
-    kind, pc_state = _build_dist_pc(A, pc, pc_opts, Pn, R,
+    # ir: the preconditioner (and the solve matrix below) live in the
+    # inner dtype — factors, hierarchies, and the hot SpMV all run fp32
+    pc_src = A.astype(np.dtype(inner_dtype)) if ir else A
+    kind, pc_state = _build_dist_pc(pc_src, pc, pc_opts, Pn, R,
                                     transpose=transpose_method,
                                     sa_grid=sa_grid)
     if kind == "saamg" and pc_state.n_top != n:
@@ -554,10 +627,23 @@ def _dist_launch(A: CSR, b, x0, method: str, pc, mesh,
         A, b, x0 = grow(A, b, x0, pc_state.n_top - n)
         n = A.shape[0]
         R = n // Pn
-    M = partition_matrix(A, Pn, fmt=fmt)
-    block_fn = get_block_solver(method) if multi else None
-    block = block_fn is not None
-    fn = None if block else get_solver(method)
+    M = partition_matrix(A.astype(np.dtype(inner_dtype)) if ir else A,
+                         Pn, fmt=fmt)
+    M64 = partition_matrix(A, Pn, fmt=fmt) if ir else None
+    if ir:
+        from lssp_tpu.solvers.refine import _inner_plan
+        if not multi and get_block_solver(method) is not None:
+            raise ValueError(f"{method!r} is a multi-rhs block method; "
+                             "use dist_solve_ir_multi")
+        inner_fn, solver_opts = _inner_plan(method, opts, inner_rtol)
+        block = multi and get_block_solver(method) is not None
+        block_fn = inner_fn if block else None
+        fn = None if block else inner_fn
+    else:
+        solver_opts = opts
+        block_fn = get_block_solver(method) if multi else None
+        block = block_fn is not None
+        fn = None if block else get_solver(method)
 
     shp = (Pn, R, k) if multi else (Pn, R)
     b2 = jnp.asarray(np.asarray(b).reshape(shp))
@@ -567,13 +653,17 @@ def _dist_launch(A: CSR, b, x0, method: str, pc, mesh,
     spmv_impl = make_dist_spmv(M, AXIS)
     pdot = make_psum_dot(AXIS)
     spmv_t_impl = (make_dist_spmv_t(M, AXIS) if transpose_method else None)
+    spmv64_impl = make_dist_spmv(M64, AXIS) if ir else None
     mat_leaves, _ = jax.tree_util.tree_flatten(M)
     nleaf = len(mat_leaves)
+    mat64_leaves = (jax.tree_util.tree_flatten(M64)[0] if ir else [])
+    nleaf64 = len(mat64_leaves)
 
     def body(*args):
         # shard_map passes (1, ...)-shaped slices; drop the shard axis
         mat_l = [a[0] for a in args[:nleaf]]
-        b_sh, x0_sh, pc_state_sh = args[nleaf:]
+        mat64_l = [a[0] for a in args[nleaf:nleaf + nleaf64]]
+        b_sh, x0_sh, pc_state_sh = args[nleaf + nleaf64:]
         pc_state_l = jax.tree_util.tree_map(lambda a: a[0], pc_state_sh)
         op = lambda x: spmv_impl(*mat_l, x)
         if transpose_method:
@@ -582,6 +672,12 @@ def _dist_launch(A: CSR, b, x0, method: str, pc, mesh,
                                  lambda x: spmv_t_impl(*mat_l, x))
         pc_apply = _shard_pc_apply(kind, pc_state_l, R, op=op,
                                    cycles=max(1, int(pc_opts.amg_cycles)))
+        if ir:
+            op64 = lambda x: spmv64_impl(*mat64_l, x)
+            x, info = _shard_ir(op, op64, pc_apply, fn, block_fn,
+                                b_sh[0], x0_sh[0], opts, solver_opts,
+                                max_outer, inner_dtype, pdot, multi)
+            return x[None], info
         if multi:
             if block:
                 # block-Krylov shard program: the stacked Grams and
@@ -600,16 +696,18 @@ def _dist_launch(A: CSR, b, x0, method: str, pc, mesh,
         x, info = fn(op, b_sh[0], x0_sh[0], pc_apply, opts=opts, dot=pdot)
         return x[None], info
 
-    in_specs = tuple(P(AXIS) for _ in range(nleaf)) + (
+    in_specs = tuple(P(AXIS) for _ in range(nleaf + nleaf64)) + (
         P(AXIS), P(AXIS),
         jax.tree_util.tree_map(lambda _: P(AXIS), pc_state))
     out_specs = (P(AXIS), jax.tree_util.tree_map(lambda _: P(), SolveInfo(
         nits=0, residual=0.0, converged=False, r0norm=0.0, bnorm=0.0,
-        history=(0.0 if opts.record_history and not block else None))))
+        history=(0.0 if opts.record_history and not (block or ir)
+                 else None))))
 
     mapped = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
                            out_specs=out_specs, check_vma=False)
-    x_sh, info = jax.jit(mapped)(*mat_leaves, b2, x02, pc_state)
+    x_sh, info = jax.jit(mapped)(*mat_leaves, *mat64_leaves, b2, x02,
+                                 pc_state)
     if host_trace:
         from lssp_tpu.solvers.base import history_print_host
         if multi:
@@ -658,3 +756,39 @@ def dist_solve_multi(A: CSR, B, X0=None, method: str = "cg",
     saamg and the transpose methods with shard-local M⁻ᵀ)."""
     return _dist_launch(A, B, X0, method, pc, mesh, options, pc_options,
                         fmt, multi=True)
+
+
+def dist_solve_ir(A: CSR, b, x0=None, method: str = "gmres",
+                  pc: Optional[str] = "none", mesh: Optional[Mesh] = None,
+                  options: Optional[SolverOptions] = None,
+                  pc_options: Optional[PCOptions] = None, fmt: str = "auto",
+                  inner_rtol: float = 1e-3, max_outer: int = 20,
+                  inner_dtype=jnp.float32):
+    """Distributed mixed-precision refinement: fp64-quality x over the
+    mesh with the hot Krylov loop in fp32 (factors, hierarchy, SpMV all
+    inner-dtype) — the multi-chip production path on TPUs, which emulate
+    fp64.  The ENTIRE refinement (fp64 distributed residuals, fp32 inner
+    shard program, fp64 accumulation) is one shard_map program.  Same
+    inner policy as ``lssp_tpu.solve_ir`` (right-preconditioned mapping,
+    stall-bounded inner cap); ``nits`` counts total inner iterations."""
+    return _dist_launch(A, b, x0, method, pc, mesh, options, pc_options,
+                        fmt, multi=False, ir=True, inner_rtol=inner_rtol,
+                        max_outer=max_outer, inner_dtype=inner_dtype)
+
+
+def dist_solve_ir_multi(A: CSR, B, X0=None, method: str = "blockgmres",
+                        pc: Optional[str] = "none",
+                        mesh: Optional[Mesh] = None,
+                        options: Optional[SolverOptions] = None,
+                        pc_options: Optional[PCOptions] = None,
+                        fmt: str = "auto", inner_rtol: float = 1e-3,
+                        max_outer: int = 20, inner_dtype=jnp.float32):
+    """Distributed multi-rhs mixed-precision refinement (B: (n, k)) — the
+    row-sharded ``solve_ir_multi``: per-column fp64 residuals, ONE fp32
+    inner solve per round for the whole block (default: the blockgmres
+    shared-basis inner — every reduction a single stacked psum), converged
+    columns frozen.  Returns (X (n, k) fp64, SolveInfo with (k,) fields
+    counting total inner iterations)."""
+    return _dist_launch(A, B, X0, method, pc, mesh, options, pc_options,
+                        fmt, multi=True, ir=True, inner_rtol=inner_rtol,
+                        max_outer=max_outer, inner_dtype=inner_dtype)

@@ -987,3 +987,77 @@ class TestDistSolveMulti:
             assert bool(info.converged[k])
             r = np.linalg.norm(np.asarray(B[:, k]) - S @ np.asarray(X[:, k]))
             assert r <= 1.1e-8 * float(info.r0norm[k]) + 1e-10
+
+
+class TestDistIR:
+    """Distributed mixed-precision refinement (dist_solve_ir[_multi]):
+    fp64 outer residuals through the fp64-partitioned operator, fp32
+    inner shard solves — one shard_map program end to end."""
+
+    def test_single_rhs_reaches_fp64(self, mesh8):
+        from lssp_tpu.parallel.dist_solve import dist_solve_ir
+        import lssp_tpu as lt
+        A = lt.sparse.convection_diffusion_2d(32)
+        n = A.shape[0]
+        b = jnp.ones(n, dtype=jnp.float64)
+        o = lt.SolverOptions(rtol=1e-8, atol=0.0, maxit=2000, restart=30)
+        x, info = dist_solve_ir(A, b, method="gmres", pc="bjilu",
+                                mesh=mesh8, options=o)
+        assert np.asarray(x).dtype == np.float64
+        assert bool(info.converged)
+        res = float(np.linalg.norm(np.asarray(b)
+                                   - A.to_scipy() @ np.asarray(x)))
+        assert res <= 1.1e-8 * np.sqrt(n) + 1e-10
+
+    def test_multi_block_inner(self, mesh8, rng):
+        from lssp_tpu.parallel.dist_solve import dist_solve_ir_multi
+        import lssp_tpu as lt
+        A = lt.sparse.convection_diffusion_2d(24)
+        n = A.shape[0]
+        B = jnp.asarray(rng.standard_normal((n, 4)))
+        o = lt.SolverOptions(rtol=1e-8, atol=0.0, maxit=2000, restart=30)
+        X, info = dist_solve_ir_multi(A, B, pc="bjilu", mesh=mesh8,
+                                      options=o)   # default blockgmres
+        assert np.asarray(info.converged).all()
+        res = np.linalg.norm(np.asarray(B) - A.to_scipy() @ np.asarray(X),
+                             axis=0)
+        assert (res <= 1.1e-8 * np.linalg.norm(np.asarray(B), axis=0)
+                + 1e-10).all()
+
+    def test_multi_blockcg_saamg(self, mesh8, rng):
+        """SPD block inner under the distributed saamg hierarchy — the
+        strongest-PC composition of the fp32 shard program."""
+        from lssp_tpu.parallel.dist_solve import dist_solve_ir_multi
+        import lssp_tpu as lt
+        A = laplacian_2d(32)
+        B = jnp.asarray(rng.standard_normal((A.shape[0], 3)))
+        o = lt.SolverOptions(rtol=1e-8, atol=0.0, maxit=2000)
+        X, info = dist_solve_ir_multi(A, B, method="blockcg", pc="saamg",
+                                      mesh=mesh8, options=o)
+        assert np.asarray(info.converged).all()
+        res = np.linalg.norm(np.asarray(B) - A.to_scipy() @ np.asarray(X),
+                             axis=0)
+        assert (res <= 1.1e-8 * np.linalg.norm(np.asarray(B), axis=0)
+                + 1e-10).all()
+        assert int(np.asarray(info.nits).max()) <= 20
+
+    def test_general_n_padding(self, mesh8):
+        from lssp_tpu.parallel.dist_solve import dist_solve_ir
+        import lssp_tpu as lt
+        A = laplacian_2d(15)                 # 225 % 8 != 0
+        b = jnp.ones(A.shape[0], dtype=jnp.float64)
+        o = lt.SolverOptions(rtol=1e-8, atol=0.0, maxit=2000)
+        x, info = dist_solve_ir(A, b, method="cg", pc="jacobi",
+                                mesh=mesh8, options=o)
+        assert bool(info.converged)
+        res = float(np.linalg.norm(np.asarray(b)
+                                   - A.to_scipy() @ np.asarray(x)))
+        assert res <= 1.1e-8 * np.sqrt(A.shape[0]) + 1e-10
+
+    def test_single_rejects_block_method(self, mesh8):
+        from lssp_tpu.parallel.dist_solve import dist_solve_ir
+        import lssp_tpu as lt
+        A = laplacian_2d(8)
+        b = jnp.ones(A.shape[0], dtype=jnp.float64)
+        with pytest.raises(ValueError, match="dist_solve_ir_multi"):
+            dist_solve_ir(A, b, method="blockgmres", mesh=mesh8)
