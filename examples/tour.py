@@ -86,6 +86,19 @@ def main():
     print(f"  k=2 rhs: nits={[int(v) for v in im.nits]}  "
           f"res={[f'{np.linalg.norm(np.asarray(Bm[:, j]) - S.to_scipy() @ np.asarray(Xm[:, j])):.1e}' for j in range(2)]}")
 
+    print("== block Krylov: one SHARED search block for all rhs ==")
+    Xb, ib = lt.solve_multi(S, Bm, method="blockcg", pc="iluk")
+    print(f"  blockcg nits={[int(v) for v in ib.nits]} (vs vmapped "
+          f"{[int(v) for v in im.nits]}) — information mixes across rhs; "
+          "blockgmres is the nonsymmetric analog")
+
+    print("== multi-rhs mixed precision (fp32 block inner, fp64 answers) ==")
+    Xr, ir_ = lt.solve_ir_multi(S, Bm, method="blockcg", pc="iluk",
+                                options=lt.SolverOptions(rtol=1e-10,
+                                                         atol=0.0))
+    print(f"  inner its={[int(v) for v in ir_.nits]}  "
+          f"res={[f'{np.linalg.norm(np.asarray(Bm[:, j]) - S.to_scipy() @ np.asarray(Xr[:, j])):.1e}' for j in range(2)]}")
+
     print("== checkpoint / resume ==")
     # checkpointed_solve needs a path that may not exist yet, so a private
     # fresh directory (not racy mktemp) is the right shape
