@@ -176,6 +176,38 @@ def bench_hyb_spmv(on_tpu, seed=5):
     return bytes_per / dt / 1e9
 
 
+def bench_serving(A, k, on_tpu, pc="ilu0"):
+    """Multi-rhs serving: wall seconds (warm) for k rhs solved to relative
+    residual 1e-8 in ONE program — solve_ir_multi with the shared-block
+    fp32 inner — vs the same k rhs solved sequentially with solve_ir.
+    Returns (t_multi, t_seq, max rel res of the multi solve)."""
+    import jax.numpy as jnp
+    from lssp_tpu import solve_ir, solve_ir_multi, SolverOptions
+
+    n = A.shape[0]
+    rng = np.random.default_rng(0)
+    B = jnp.asarray(rng.standard_normal((n, k)))
+    opts = SolverOptions(rtol=1e-8, atol=0.0, rbtol=0.0, maxit=2000)
+    kw = dict(method="blockcg", pc=pc, options=opts)
+    X, info = solve_ir_multi(A, B, **kw)          # compile + warm caches
+    t0 = time.perf_counter()
+    X, info = solve_ir_multi(A, B, **kw)
+    t_multi = time.perf_counter() - t0
+
+    skw = dict(method="cg", pc=pc, options=opts)
+    x0, _ = solve_ir(A, B[:, 0], **skw)           # compile + warm caches
+    t0 = time.perf_counter()
+    for j in range(k):
+        xj, _ = solve_ir(A, B[:, j], **skw)
+    t_seq = time.perf_counter() - t0
+
+    S = A.to_scipy()
+    res = np.linalg.norm(np.asarray(B) - S @ np.asarray(X, np.float64),
+                         axis=0)
+    rel = float((res / np.linalg.norm(np.asarray(B), axis=0)).max())
+    return t_multi, t_seq, rel
+
+
 def bench_tts(A, method, pc, restart, on_tpu, pc_options=None):
     """Wall seconds (second call — compile cached) to relative residual
     1e-8 via mixed-precision iterative refinement; verifies the residual
@@ -229,6 +261,10 @@ def main():
     Aa = anisotropic_poisson_2d(1024 if on_tpu else 64, epsilon=0.01)
     tts_gm, rel_gm, nits_gm = bench_tts(Aa, "gmres", "saamg", 30, on_tpu)
 
+    # multi-rhs serving: 8 rhs in ONE block program vs 8 sequential solves
+    Asv = laplacian_3d(48 if on_tpu else 12)
+    t_multi, t_seq, rel_sv = bench_serving(Asv, 8, on_tpu)
+
     print(json.dumps({
         "metric": "spmv_gbps",
         "value": round(gbps, 2),
@@ -244,6 +280,10 @@ def main():
             "tts1e8_gmres_saamg_s": round(tts_gm, 4),
             "tts1e8_gmres_saamg_relres": float(f"{rel_gm:.2e}"),
             "tts1e8_gmres_saamg_nits": nits_gm,
+            "serving8_blockir_s": round(t_multi, 4),
+            "serving8_sequential_s": round(t_seq, 4),
+            "serving8_speedup": round(t_seq / max(t_multi, 1e-9), 2),
+            "serving8_relres": float(f"{rel_sv:.2e}"),
         },
     }))
 
