@@ -701,7 +701,7 @@ def _dist_launch(A: CSR, b, x0, method: str, pc, mesh,
         jax.tree_util.tree_map(lambda _: P(AXIS), pc_state))
     out_specs = (P(AXIS), jax.tree_util.tree_map(lambda _: P(), SolveInfo(
         nits=0, residual=0.0, converged=False, r0norm=0.0, bnorm=0.0,
-        history=(0.0 if opts.record_history and not (block or ir)
+        history=(0.0 if opts.record_history and not ir
                  else None))))
 
     mapped = jax.shard_map(body, mesh=mesh, in_specs=in_specs,

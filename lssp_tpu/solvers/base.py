@@ -198,6 +198,29 @@ def history_update(opts, hist, it, res, r0norm=None, bnorm=None):
     return hist.at[it].set(res)
 
 
+def history_init_block(opts, k, r0norm):
+    """Block-solver residual trace: per-column (k, maxit+1) buffer with the
+    same per-column layout as ``history_init`` (column c prints via
+    history_print_host on info[c]); dummy (1, 1) when disabled."""
+    if not opts.record_history:
+        return jnp.zeros((1, 1), dtype=r0norm.dtype)
+    h = jnp.full((k, opts.maxit + 1), jnp.nan, dtype=r0norm.dtype)
+    return h.at[:, 0].set(r0norm)
+
+
+def history_update_block(opts, hist, it, res):
+    """Record a block solver's per-column residual vector at iteration
+    ``it`` and, at verbosity >= 1 where device prints work, emit one trace
+    line with all k residuals (backends without host callbacks get the
+    host-side trace from the facade instead, as in history_update)."""
+    from lssp_tpu.utils.log import device_print_supported
+    if opts.verbosity >= 1 and device_print_supported():
+        jax.debug.print("itr: {it:5d}, abs res: {res}", it=it, res=res)
+    if not opts.record_history:
+        return hist
+    return hist.at[:, jnp.minimum(it, opts.maxit)].set(res)
+
+
 def history_print_host(info: "SolveInfo") -> None:
     """Host-side fallback for the per-iteration trace: print the recorded
     residual history in the reference's line format after the solve

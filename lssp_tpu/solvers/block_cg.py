@@ -40,7 +40,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from lssp_tpu.solvers.base import SolveInfo, operator, identity_pc
+from lssp_tpu.solvers.base import (SolveInfo, operator, identity_pc,
+                                  history_init_block, history_update_block)
 
 __all__ = ["block_cg"]
 
@@ -88,13 +89,15 @@ def block_cg(A, B, X0=None, M=None, opts=None, reduce=None):
     tol = jnp.maximum(jnp.maximum(opts.rtol * r0norm, opts.atol),
                       opts.rbtol * bnorm)
 
+    hist0 = history_init_block(opts, k, r0norm)
+
     def cond(carry):
-        it, X, R, P, rho_old, res, nits, fresh, done = carry
+        it, X, R, P, rho_old, res, nits, fresh, done, hist = carry
         return (it < opts.maxit) & jnp.logical_not(done) \
             & jnp.any(res > tol)
 
     def body(carry):
-        it, X, R, P, rho_old, res, nits, fresh, done = carry
+        it, X, R, P, rho_old, res, nits, fresh, done, hist = carry
         Z = pc_b(R)
         rho = red(_gram(Z, R))                              # (k, k)
         # relative ridge on the k×k solves: a rank-deficient residual
@@ -133,20 +136,31 @@ def block_cg(A, B, X0=None, M=None, opts=None, reduce=None):
                           Xn, jnp.where(okstep, Rn, R))
         res_new = jnp.sqrt(red(jnp.sum(Rn * Rn, axis=0)))
         nits = jnp.where((res > tol) & (res_new <= tol), it + 1, nits)
+        hist = history_update_block(opts, hist, it + 1, res_new)
         # restart conjugacy only on BREAKDOWN — residual replacement
         # keeps the search block (van der Vorst/Ye); restarting on every
         # periodic replacement measured 2.4× the unpreconditioned count
         return (it + 1, Xn, Rn,
                 jnp.where(okstep, P, jnp.zeros_like(P)),   # NaN-free restart
                 rho, res_new, nits, jnp.logical_not(okstep),
-                jnp.logical_not(okstep) & fresh)
+                jnp.logical_not(okstep) & fresh, hist)
 
     init = (jnp.int32(0), X, R, jnp.zeros_like(B),
             jnp.eye(k, dtype=B.dtype), r0norm,
             jnp.where(r0norm <= tol, 0, opts.maxit
-                      ).astype(jnp.int32), jnp.bool_(True), jnp.bool_(False))
+                      ).astype(jnp.int32), jnp.bool_(True), jnp.bool_(False),
+            hist0)
     out = jax.lax.while_loop(cond, body, init)
     it, X, R, P, rho, res, nits = out[:7]
-    return X, SolveInfo(nits=jnp.minimum(nits, it), residual=res,
+    hist = out[9]
+    # a maxit/breakdown exit can leave `res` resting on a recursive
+    # residual up to 31 steps stale for columns the jnp.all trigger never
+    # recomputed — pin the REPORTED residual and flags to a recomputed one
+    # unconditionally (one extra block SpMV per solve); columns the
+    # recompute un-converges report nits = it (ran the full budget)
+    Rf = B - op_b(X)
+    res = jnp.sqrt(red(jnp.sum(Rf * Rf, axis=0)))
+    nits = jnp.where(res <= tol, jnp.minimum(nits, it), it)
+    return X, SolveInfo(nits=nits, residual=res,
                         converged=res <= tol, r0norm=r0norm, bnorm=bnorm,
-                        history=None)
+                        history=hist if opts.record_history else None)

@@ -314,6 +314,17 @@ def solve(A, b, x0=None, method: str = "gmres", pc: Optional[str] = "none",
 
 
 @functools.lru_cache(maxsize=64)
+def _jitted_block(block_fn, A_op, M_op):
+    """jit of a block-Krylov solver; bare-callable A/M close over like
+    _jitted_closed.  Cached so repeated serving calls hit the compiled
+    executable instead of retracing the whole block while_loop."""
+    def g(A, B, X0, M, opts):
+        return block_fn(A if A_op is None else A_op, B, X0,
+                        M if M_op is None else M_op, opts=opts)
+    return jax.jit(g, static_argnames=("opts",))
+
+
+@functools.lru_cache(maxsize=64)
 def _jitted_multi(fn, A_op, M_op):
     """jit of the rhs-vmapped solver; bare-callable A/M close over like
     _jitted_closed."""
@@ -380,15 +391,19 @@ def solve_multi(A, B, X0=None, method: str = "cg",
         # Gram reductions instead of k independent dot chains) — see
         # solvers/block_cg.py (SPD, like cg) and solvers/block_gmres.py
         # (nonsymmetric, restarted).
-        def bf(A_, B_, X0_, M_, opts):
-            return block_fn(A_ if not a_bare else A_dev, B_, X0_,
-                            M_ if not m_bare else M, opts=opts)
-        X, info = jax.jit(bf, static_argnames=("opts",))(
-            None if a_bare else A_dev, B, X0,
-            None if m_bare else M, opts=opts)
+        bf = _jitted_block(block_fn, A_dev if a_bare else None,
+                           M if m_bare else None)
+        X, info = bf(None if a_bare else A_dev, B, X0,
+                     None if m_bare else M, opts=opts)
         X = _unpermute(X, perm)
-        if host_trace and not user_history:
-            info = dataclasses.replace(info, history=None)
+        if host_trace:
+            from lssp_tpu.utils.log import log as _log_line
+            for c in range(X.shape[1]):
+                _log_line(f"rhs {c}:", level=0)
+                history_print_host(jax.tree_util.tree_map(
+                    lambda a: a[c], info))
+            if not user_history:
+                info = dataclasses.replace(info, history=None)
         return X, info
     vf = _jitted_multi(fn, A_dev if a_bare else None, M if m_bare else None)
     X, info = vf(None if a_bare else A_dev, B.T, X0.T,

@@ -29,6 +29,7 @@ import numpy as np
 from lssp_tpu.config import SolverOptions, PCOptions
 from lssp_tpu.ops.spmv import spmv
 from lssp_tpu.solvers.base import SolveInfo
+from lssp_tpu.solvers.facade import _unpermute
 from lssp_tpu.solvers.registry import get_solver
 from lssp_tpu.sparse.types import CSR
 
@@ -287,8 +288,8 @@ def solve_ir(A, b, x0=None, method: str = "gmres",
     """
     from lssp_tpu.solvers.facade import _jitted
 
-    if method.lower() in ("blockcg", "block_cg", "blockgmres",
-                          "block_gmres"):
+    from lssp_tpu.solvers.registry import get_block_solver
+    if get_block_solver(method) is not None:
         raise ValueError(f"{method!r} is a multi-rhs block method; "
                          "use solve_ir_multi for (n, k) right-hand sides")
     opts = (options or SolverOptions()).resolved()
@@ -321,9 +322,7 @@ def solve_ir(A, b, x0=None, method: str = "gmres",
             max_outer, inner_dtype)
         res, r0, total_inner = float(res), float(r0), int(total_inner)
         if perm is not None:
-            inv = np.empty_like(perm)
-            inv[perm] = np.arange(len(perm))
-            x = x[inv]
+            x = _unpermute(x, perm)
         return x, SolveInfo(nits=jnp.int32(total_inner),
                             residual=jnp.float64(res),
                             converged=jnp.bool_(res <= tol),
@@ -356,9 +355,7 @@ def solve_ir(A, b, x0=None, method: str = "gmres",
                       level=0)
 
     if perm is not None:
-        inv = np.empty_like(perm)
-        inv[perm] = np.arange(len(perm))
-        x = x[inv]
+        x = _unpermute(x, perm)
     return x, SolveInfo(nits=jnp.int32(total_inner), residual=jnp.float64(res),
                         converged=jnp.bool_(res <= tol),
                         r0norm=jnp.float64(r0), bnorm=jnp.float64(bnorm),
@@ -413,9 +410,7 @@ def solve_ir_multi(A, B, X0=None, method: str = "blockgmres",
         fn, block, A64, A32, M32, B, X, tol, inner_opts, max_outer,
         inner_dtype)
     if perm is not None:
-        inv = np.empty_like(perm)
-        inv[perm] = np.arange(len(perm))
-        X = X[inv, :]
+        X = _unpermute(X, perm)
     if opts.verbosity >= 1:
         from lssp_tpu.utils.log import log as _log_line
         for j in range(B.shape[1]):

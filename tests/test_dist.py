@@ -931,11 +931,15 @@ class TestDistSolveMulti:
         assert np.asarray(info.converged).all()
         assert (res <= tol).all(), res / tol
         # iteration parity with the single-device block solve: jacobi is
-        # the same math in both paths and the shard program reduces the
-        # SAME Grams, so the cycle counts must match
+        # the same math in both paths, but the shard program sums each
+        # Gram as 8 psum'd partials vs one full-length jnp.sum — last-ulp
+        # residual differences can land a column one restart cycle apart,
+        # so parity is asserted to ±1 cycle, not bitwise
         _, i1 = lt.solve_multi(A, B, method="blockgmres", pc="jacobi",
                                options=o)
-        assert np.array_equal(np.asarray(info.nits), np.asarray(i1.nits))
+        assert (np.abs(np.asarray(info.nits, np.int64)
+                       - np.asarray(i1.nits, np.int64)) <= o.restart).all(), \
+            (info.nits, i1.nits)
 
     def test_general_n_and_amg(self, mesh8):
         from lssp_tpu.parallel.dist_solve import dist_solve_multi

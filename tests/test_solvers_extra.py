@@ -591,3 +591,34 @@ class TestBlockGMRES:
         S = A.to_scipy()
         res = np.linalg.norm(np.asarray(B) - S @ np.asarray(X), axis=0)
         assert (res <= 1e-8 * np.linalg.norm(np.asarray(B), axis=0)).all()
+
+    def test_history_and_jit_cache(self):
+        """Round-3 review fixes: (a) record_history on the block path
+        returns a per-column (k, maxit+1) trace ending at the reported
+        residual; (b) repeated solve_multi block calls reuse ONE compiled
+        executable (the inline jax.jit retrace bug)."""
+        import numpy as np
+        import dataclasses
+        from lssp_tpu.solvers.facade import _jitted_block
+        import jax.numpy as jnp
+        lt, A, B, o = self._setup(k=3)
+        o2 = dataclasses.replace(o, record_history=True)
+        for method, Ah in (("blockgmres", A),
+                           ("blockcg", lt.sparse.laplacian_2d(32))):
+            rng = np.random.default_rng(1)
+            Bh = jnp.asarray(rng.standard_normal((Ah.shape[0], 3)))
+            X, info = lt.solve_multi(Ah, Bh, method=method, pc="iluk",
+                                     options=o2)
+            h = np.asarray(info.history)
+            assert h.shape == (3, o.maxit + 1)
+            assert np.allclose(h[:, 0], np.asarray(info.r0norm))
+            for c in range(3):
+                col = h[c][np.isfinite(h[c])]
+                assert col[-1] <= 1e-8 * float(info.bnorm[c]) * 1.01 \
+                    or np.isclose(col[-1], float(info.residual[c]),
+                                  rtol=1e-3)
+        before = _jitted_block.cache_info().misses
+        lt.solve_multi(A, B, method="blockgmres", pc="iluk", options=o)
+        lt.solve_multi(A, B, method="blockgmres", pc="iluk", options=o)
+        after = _jitted_block.cache_info()
+        assert after.misses - before <= 1 and after.hits >= 1
