@@ -709,13 +709,10 @@ def _dist_launch(A: CSR, b, x0, method: str, pc, mesh,
     x_sh, info = jax.jit(mapped)(*mat_leaves, *mat64_leaves, b2, x02,
                                  pc_state)
     if host_trace:
-        from lssp_tpu.solvers.base import history_print_host
+        from lssp_tpu.solvers.base import (history_print_host,
+                                           history_print_host_multi)
         if multi:
-            from lssp_tpu.utils.log import log as _log_line
-            for kk in range(k):
-                _log_line(f"rhs {kk}:", level=0)
-                history_print_host(
-                    jax.tree_util.tree_map(lambda a: a[kk], info))
+            history_print_host_multi(info, k)
         else:
             history_print_host(info)
         if not user_history:

@@ -208,17 +208,36 @@ def history_init_block(opts, k, r0norm):
     return h.at[:, 0].set(r0norm)
 
 
-def history_update_block(opts, hist, it, res):
+def history_update_block(opts, hist, it, res, r0norm=None, bnorm=None):
     """Record a block solver's per-column residual vector at iteration
     ``it`` and, at verbosity >= 1 where device prints work, emit one trace
-    line with all k residuals (backends without host callbacks get the
-    host-side trace from the facade instead, as in history_update)."""
+    line with all k residuals in the scalar solvers' abs/rel/rbn format
+    (backends without host callbacks get the host-side trace from the
+    facade instead, as in history_update)."""
     from lssp_tpu.utils.log import device_print_supported
     if opts.verbosity >= 1 and device_print_supported():
-        jax.debug.print("itr: {it:5d}, abs res: {res}", it=it, res=res)
+        if r0norm is not None and bnorm is not None:
+            tiny = jnp.finfo(res.dtype).tiny
+            jax.debug.print(
+                "itr: {it:5d}, abs res: {res}, rel res: {rel}, rbn: {rbn}",
+                it=it, res=res, rel=res / jnp.maximum(r0norm, tiny),
+                rbn=res / jnp.maximum(bnorm, tiny))
+        else:
+            jax.debug.print("itr: {it:5d}, abs res: {res}", it=it, res=res)
     if not opts.record_history:
         return hist
     return hist.at[:, jnp.minimum(it, opts.maxit)].set(res)
+
+
+def history_print_host_multi(info: "SolveInfo", k: int) -> None:
+    """Per-rhs host-side trace for the multi/block paths: one ``rhs c:``
+    header + history_print_host per column (the single protocol shared by
+    solve_multi's vmapped and block branches and the distributed
+    launcher)."""
+    from lssp_tpu.utils.log import log as _log_line
+    for c in range(k):
+        _log_line(f"rhs {c}:", level=0)
+        history_print_host(jax.tree_util.tree_map(lambda a: a[c], info))
 
 
 def history_print_host(info: "SolveInfo") -> None:

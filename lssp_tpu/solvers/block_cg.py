@@ -136,7 +136,8 @@ def block_cg(A, B, X0=None, M=None, opts=None, reduce=None):
                           Xn, jnp.where(okstep, Rn, R))
         res_new = jnp.sqrt(red(jnp.sum(Rn * Rn, axis=0)))
         nits = jnp.where((res > tol) & (res_new <= tol), it + 1, nits)
-        hist = history_update_block(opts, hist, it + 1, res_new)
+        hist = history_update_block(opts, hist, it + 1, res_new,
+                                    r0norm, bnorm)
         # restart conjugacy only on BREAKDOWN — residual replacement
         # keeps the search block (van der Vorst/Ye); restarting on every
         # periodic replacement measured 2.4× the unpreconditioned count
@@ -161,6 +162,10 @@ def block_cg(A, B, X0=None, M=None, opts=None, reduce=None):
     Rf = B - op_b(X)
     res = jnp.sqrt(red(jnp.sum(Rf * Rf, axis=0)))
     nits = jnp.where(res <= tol, jnp.minimum(nits, it), it)
+    if opts.record_history:
+        # keep the trace self-consistent with the recomputed report: the
+        # tail entry would otherwise stay the (drifting) recursive value
+        hist = hist.at[:, jnp.minimum(it, opts.maxit)].set(res)
     return X, SolveInfo(nits=nits, residual=res,
                         converged=res <= tol, r0norm=r0norm, bnorm=bnorm,
                         history=hist if opts.record_history else None)

@@ -198,7 +198,8 @@ def block_gmres(A, B, X0=None, M=None, opts=None, reduce=None):
                                           | (res_new <= tol)))
         stall = jnp.where(improved, 0, stall + 1)
         nits = jnp.where((res > tol) & (res_new <= tol), it + m, nits)
-        hist = history_update_block(opts, hist, it + m, res_new)
+        hist = history_update_block(opts, hist, it + m, res_new,
+                                    r0norm, bnorm)
         return (it + m, Xn, Rn, res_new, nits,
                 stall, jnp.logical_not(ok) | (stall >= 3), hist)
 

@@ -23,7 +23,8 @@ from lssp_tpu.sparse.types import CSR, BSR, ELL, DIA, COO
 from lssp_tpu.sparse.convert import to_device_format, coo_to_csr
 from lssp_tpu.sparse.reorder import maybe_rcm
 from lssp_tpu.sparse.utils import sort_columns
-from lssp_tpu.solvers.base import SolveInfo, history_print_host
+from lssp_tpu.solvers.base import (SolveInfo, history_print_host,
+                                   history_print_host_multi)
 from lssp_tpu.utils.log import device_print_supported
 from lssp_tpu.solvers.registry import get_solver, get_block_solver
 from lssp_tpu import pc as pc_mod
@@ -314,17 +315,6 @@ def solve(A, b, x0=None, method: str = "gmres", pc: Optional[str] = "none",
 
 
 @functools.lru_cache(maxsize=64)
-def _jitted_block(block_fn, A_op, M_op):
-    """jit of a block-Krylov solver; bare-callable A/M close over like
-    _jitted_closed.  Cached so repeated serving calls hit the compiled
-    executable instead of retracing the whole block while_loop."""
-    def g(A, B, X0, M, opts):
-        return block_fn(A if A_op is None else A_op, B, X0,
-                        M if M_op is None else M_op, opts=opts)
-    return jax.jit(g, static_argnames=("opts",))
-
-
-@functools.lru_cache(maxsize=64)
 def _jitted_multi(fn, A_op, M_op):
     """jit of the rhs-vmapped solver; bare-callable A/M close over like
     _jitted_closed."""
@@ -391,17 +381,12 @@ def solve_multi(A, B, X0=None, method: str = "cg",
         # Gram reductions instead of k independent dot chains) — see
         # solvers/block_cg.py (SPD, like cg) and solvers/block_gmres.py
         # (nonsymmetric, restarted).
-        bf = _jitted_block(block_fn, A_dev if a_bare else None,
-                           M if m_bare else None)
-        X, info = bf(None if a_bare else A_dev, B, X0,
-                     None if m_bare else M, opts=opts)
+        # block solvers share the scalar (A, b, x0, M, opts=) positional
+        # signature, so the same bare-callable routing + jit caches apply
+        X, info = _dispatch_solve(block_fn, A_dev, B, X0, M, opts)
         X = _unpermute(X, perm)
         if host_trace:
-            from lssp_tpu.utils.log import log as _log_line
-            for c in range(X.shape[1]):
-                _log_line(f"rhs {c}:", level=0)
-                history_print_host(jax.tree_util.tree_map(
-                    lambda a: a[c], info))
+            history_print_host_multi(info, X.shape[1])
             if not user_history:
                 info = dataclasses.replace(info, history=None)
         return X, info
@@ -410,11 +395,7 @@ def solve_multi(A, B, X0=None, method: str = "cg",
                  None if m_bare else M, opts=opts)
     X = _unpermute(X.T, perm)
     if host_trace:
-        from lssp_tpu.utils.log import log as _log_line
-        for k in range(X.shape[1]):
-            _log_line(f"rhs {k}:", level=0)
-            history_print_host(jax.tree_util.tree_map(
-                lambda a: a[k], info))
+        history_print_host_multi(info, X.shape[1])
         if not user_history:
             info = dataclasses.replace(info, history=None)
     return X, info

@@ -599,7 +599,7 @@ class TestBlockGMRES:
         executable (the inline jax.jit retrace bug)."""
         import numpy as np
         import dataclasses
-        from lssp_tpu.solvers.facade import _jitted_block
+        from lssp_tpu.solvers.facade import _jitted
         import jax.numpy as jnp
         lt, A, B, o = self._setup(k=3)
         o2 = dataclasses.replace(o, record_history=True)
@@ -617,8 +617,11 @@ class TestBlockGMRES:
                 assert col[-1] <= 1e-8 * float(info.bnorm[c]) * 1.01 \
                     or np.isclose(col[-1], float(info.residual[c]),
                                   rtol=1e-3)
-        before = _jitted_block.cache_info().misses
+        # the block path dispatches through the same cached jit as the
+        # scalar path (_dispatch_solve → _jitted keyed on the solver fn):
+        # repeated serving calls must not retrace the block while_loop
+        before = _jitted.cache_info().misses
         lt.solve_multi(A, B, method="blockgmres", pc="iluk", options=o)
         lt.solve_multi(A, B, method="blockgmres", pc="iluk", options=o)
-        after = _jitted_block.cache_info()
+        after = _jitted.cache_info()
         assert after.misses - before <= 1 and after.hits >= 1
