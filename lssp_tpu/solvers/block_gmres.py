@@ -35,9 +35,11 @@ TPU-first choices:
   W = Σ VᵢHᵢⱼ holds exactly by construction regardless).
 - The (m+1)k × mk block-Hessenberg least squares runs once per CYCLE
   (dense QR + triangular solve — the subdiagonal blocks are ridge-Cholesky
-  factors, hence nonsingular, hence H̄ has full column rank), so per-column
-  iteration counts resolve at restart granularity; convergence is still
-  exact because the exit test uses the recomputed true residual.
+  factors, hence nonsingular, hence H̄ has full column rank); per-column
+  iteration counts are still STEP-granular because the one full QR yields
+  the LS residual of every block-column prefix for free (R triangular ⇒
+  span(H̄[:, :jk]) = span(Q[:, :jk])); convergence itself is exact — the
+  exit test uses the recomputed true residual.
 
 fp64-dot hazard: every large contraction (Grams, basis combines) is a
 column-broadcast mul+sum, never an (n,·)ᵀ(n,·) dot_general (lossy
@@ -91,12 +93,14 @@ def block_gmres(A, B, X0=None, M=None, opts=None, reduce=None):
     right-preconditioned block GMRES.
 
     Returns (X (n, k), SolveInfo with per-column (k,) nits/residual/
-    converged).  ``nits`` resolves at restart-cycle granularity (the block
-    least squares runs once per cycle); the loop runs until EVERY column
-    meets its tolerance, maxit total block iterations elapse, or three
-    consecutive cycles leave every active column's residual bit-stationary
-    (a numerically dead block — slow-but-monotone convergence is governed
-    by the maxit budget alone, never a progress heuristic).
+    converged).  ``nits`` is step-granular: within the cycle whose
+    recomputed residual confirms a column converged, the full-QR prefix
+    residual estimates locate the block-Arnoldi step it crossed its
+    tolerance at.  The loop runs until EVERY column meets its tolerance,
+    maxit total block iterations elapse, or three consecutive cycles
+    leave every active column's residual bit-stationary (a numerically
+    dead block — slow-but-monotone convergence is governed by the maxit
+    budget alone, never a progress heuristic).
 
     Basis memory is (m+1)·n·k; pick ``opts.restart`` accordingly.
 
@@ -162,12 +166,29 @@ def block_gmres(A, B, X0=None, M=None, opts=None, reduce=None):
         d = jnp.diagonal(Rt)
         Rt = Rt + jnp.diag(jnp.where(d == 0.0, jnp.ones_like(d),
                                      jnp.zeros_like(d)))
-        Y = jax.scipy.linalg.solve_triangular(
-            Rt, _gram_rect(Q, g), lower=False)
+        Qtg = _gram_rect(Q, g)
+        Y = jax.scipy.linalg.solve_triangular(Rt, Qtg, lower=False)
+        # step-granular residual estimates for free from the ONE full QR:
+        # R is upper triangular, so span(H̄[:, :jk]) = span(Q[:, :jk]) and
+        # the LS residual after j block-Arnoldi steps is per column
+        # sqrt(‖(I−QQᵀ)g_c‖² + Σ_{i≥jk} (Qᵀg)²_{ic}) — the standard GMRES
+        # estimate generalized to block prefixes, assembled as a SUFFIX
+        # sum plus an explicitly-computed complement so there is no
+        # ‖g‖²−cumsum cancellation (that form floors at ~‖g‖√eps and
+        # misses deep tolerances).  est[j-1, c] = estimate after step j;
+        # exact in exact arithmetic (the EXIT still uses the recomputed
+        # true residual).
+        tail = g - _mm_rect(Q, Qtg)                    # (I − QQᵀ)g
+        tail2 = jnp.sum(tail * tail, axis=0)           # (k,)
+        sq = Qtg * Qtg
+        suffix = jnp.flip(jnp.cumsum(jnp.flip(sq, 0), axis=0), 0)  # (mk, k)
+        suffix_at = jnp.concatenate(
+            [suffix[k::k, :], jnp.zeros((1, k), dtype)], axis=0)   # j=1..m
+        est = jnp.sqrt(tail2[None, :] + suffix_at)     # (m, k)
         C = _mm_rect(V.reshape(n, (m + 1) * k)[:, :m * k], Y)
         Xn = X + pc_b(C)
         Rn = B - op_b(Xn)
-        return Xn, Rn
+        return Xn, Rn, est
 
     # trace resolves at restart-cycle granularity (one entry per cycle)
     hist0 = history_init_block(opts, k, r0norm)
@@ -179,7 +200,7 @@ def block_gmres(A, B, X0=None, M=None, opts=None, reduce=None):
 
     def body(carry):
         it, X, R, res, nits, stall, done, hist = carry
-        Xn, Rn = cycle(X, R)
+        Xn, Rn, est = cycle(X, R)
         res_new = jnp.sqrt(red(jnp.sum(Rn * Rn, axis=0)))
         ok = jnp.all(jnp.isfinite(res_new))  # NaN/Inf in X surfaces via Rn
         Xn = jnp.where(ok, Xn, X)
@@ -197,7 +218,14 @@ def block_gmres(A, B, X0=None, M=None, opts=None, reduce=None):
         improved = ok & jnp.any(active & ((res_new < res * (1.0 - 16.0 * eps))
                                           | (res_new <= tol)))
         stall = jnp.where(improved, 0, stall + 1)
-        nits = jnp.where((res > tol) & (res_new <= tol), it + m, nits)
+        # step-granular count: within the cycle a column converged in, the
+        # LS estimates locate the first block-Arnoldi step that crossed
+        # its tolerance (fall back to the full cycle when only the
+        # recomputed end-of-cycle residual crossed — estimate drift)
+        hit = est <= tol[None, :]                           # (m, k)
+        jstar = jnp.where(jnp.any(hit, axis=0),
+                          jnp.argmax(hit, axis=0) + 1, m).astype(jnp.int32)
+        nits = jnp.where((res > tol) & (res_new <= tol), it + jstar, nits)
         hist = history_update_block(opts, hist, it + m, res_new,
                                     r0norm, bnorm)
         return (it + m, Xn, Rn, res_new, nits,

@@ -625,3 +625,22 @@ class TestBlockGMRES:
         lt.solve_multi(A, B, method="blockgmres", pc="iluk", options=o)
         after = _jitted.cache_info()
         assert after.misses - before <= 1 and after.hits >= 1
+
+    def test_step_granular_nits(self):
+        """nits resolve at block-Arnoldi STEP granularity via the full-QR
+        prefix residual estimates: in a single-cycle solve the block count
+        per column is no worse than that column's own GMRES count (the
+        block prefix space contains each column's Krylov space) and not
+        just a multiple of the restart length."""
+        import numpy as np
+        import lssp_tpu as lt
+        lt_, A, B, o = self._setup(k=3, restart=300)
+        import dataclasses
+        o = dataclasses.replace(o, restart=300)  # converge in ONE cycle
+        _, ib = lt.solve_multi(A, B, method="blockgmres", pc="iluk",
+                               options=o)
+        _, ig = lt.solve_multi(A, B, method="gmres", pc="iluk", options=o)
+        nb, ng = np.asarray(ib.nits), np.asarray(ig.nits)
+        assert np.asarray(ib.converged).all()
+        assert (nb <= ng).all(), (nb, ng)
+        assert (nb < 300).all() and (nb > 1).all(), nb
