@@ -25,6 +25,7 @@ remote-attach tunnel).  Solve timings are second-call wall times (compile
 cached), which is what a production resolve costs.
 """
 import json
+import os
 import time
 
 import numpy as np
@@ -235,10 +236,22 @@ def main():
     # fp64 outer residuals for the 1e-8 refinement targets (the kernel
     # benches pin fp32 explicitly, so this only affects the tts solves)
     jax.config.update("jax_enable_x64", True)
+    # persistent compilation cache + a warm-up dispatch, same protocol as
+    # benchmarks/acceptance.py: first-touch compile and the remote
+    # tunnel's cold start must not leak into any timed region
+    cache_dir = os.environ.get("LSSP_XLA_CACHE",
+                               os.path.expanduser("~/.cache/lssp_tpu_xla"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from lssp_tpu.sparse import (laplacian_2d, laplacian_3d,
                                  anisotropic_poisson_2d, csr_to_dia)
 
+    float(jnp.sum(jnp.ones(8)))                  # absorb tunnel cold start
     dev = jax.devices()[0]
     on_tpu = jax.default_backend() == "tpu"
     roof = chip_roofline(dev)
