@@ -25,7 +25,6 @@ remote-attach tunnel).  Solve timings are second-call wall times (compile
 cached), which is what a production resolve costs.
 """
 import json
-import os
 import time
 
 import numpy as np
@@ -239,14 +238,8 @@ def main():
     # persistent compilation cache + a warm-up dispatch, same protocol as
     # benchmarks/acceptance.py: first-touch compile and the remote
     # tunnel's cold start must not leak into any timed region
-    cache_dir = os.environ.get("LSSP_XLA_CACHE",
-                               os.path.expanduser("~/.cache/lssp_tpu_xla"))
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from lssp_tpu.utils.profile import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
     from lssp_tpu.sparse import (laplacian_2d, laplacian_3d,
                                  anisotropic_poisson_2d, csr_to_dia)

@@ -60,14 +60,8 @@ def main():
     jax.config.update("jax_enable_x64", True)
     # persistent compilation cache: first-touch time-to-solution is part
     # of the protocol, so amortize XLA compiles across processes
-    cache_dir = os.environ.get("LSSP_XLA_CACHE",
-                               os.path.expanduser("~/.cache/lssp_tpu_xla"))
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception as e:
-        print(f"warning: compilation cache unavailable: {e}", file=sys.stderr)
+    from lssp_tpu.utils.profile import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from lssp_tpu import solve, SolverOptions, PCOptions

@@ -198,13 +198,16 @@ def history_update(opts, hist, it, res, r0norm=None, bnorm=None):
     return hist.at[it].set(res)
 
 
-def history_init_block(opts, k, r0norm):
-    """Block-solver residual trace: per-column (k, maxit+1) buffer with the
-    same per-column layout as ``history_init`` (column c prints via
-    history_print_host on info[c]); dummy (1, 1) when disabled."""
+def history_init_block(opts, k, r0norm, extra=0):
+    """Block-solver residual trace: per-column (k, maxit+1+extra) buffer
+    with the same per-column layout as ``history_init`` (column c prints
+    via history_print_host on info[c]); dummy (1, 1) when disabled.
+    ``extra`` slack lets a cycle-stepped solver (block GMRES advances by
+    the restart length past the maxit check) write at true positions and
+    slice back to maxit+1 afterwards."""
     if not opts.record_history:
         return jnp.zeros((1, 1), dtype=r0norm.dtype)
-    h = jnp.full((k, opts.maxit + 1), jnp.nan, dtype=r0norm.dtype)
+    h = jnp.full((k, opts.maxit + 1 + extra), jnp.nan, dtype=r0norm.dtype)
     return h.at[:, 0].set(r0norm)
 
 
@@ -226,7 +229,7 @@ def history_update_block(opts, hist, it, res, r0norm=None, bnorm=None):
             jax.debug.print("itr: {it:5d}, abs res: {res}", it=it, res=res)
     if not opts.record_history:
         return hist
-    return hist.at[:, jnp.minimum(it, opts.maxit)].set(res)
+    return hist.at[:, jnp.minimum(it, hist.shape[1] - 1)].set(res)
 
 
 def history_print_host_multi(info: "SolveInfo", k: int) -> None:

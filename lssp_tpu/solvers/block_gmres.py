@@ -190,8 +190,11 @@ def block_gmres(A, B, X0=None, M=None, opts=None, reduce=None):
         Rn = B - op_b(Xn)
         return Xn, Rn, est
 
-    # trace resolves at restart-cycle granularity (one entry per cycle)
-    hist0 = history_init_block(opts, k, r0norm)
+    # step-granular trace: each cycle writes its m per-step LS estimates,
+    # then the recomputed end-of-cycle residual overwrites the last one;
+    # `extra=m` slack lets the final (possibly maxit-overrunning) cycle
+    # write at true positions — sliced back to maxit+1 below
+    hist0 = history_init_block(opts, k, r0norm, extra=m)
 
     def cond(carry):
         it, X, R, res, nits, stall, done, hist = carry
@@ -226,6 +229,12 @@ def block_gmres(A, B, X0=None, M=None, opts=None, reduce=None):
         jstar = jnp.where(jnp.any(hit, axis=0),
                           jnp.argmax(hit, axis=0) + 1, m).astype(jnp.int32)
         nits = jnp.where((res > tol) & (res_new <= tol), it + jstar, nits)
+        if opts.record_history:
+            # per-step estimates at positions it+1..it+m, so the host
+            # trace (which prints 1..nits) stays meaningful now that nits
+            # are step-granular
+            hist = jax.lax.dynamic_update_slice(
+                hist, est.T.astype(hist.dtype), (jnp.int32(0), it + 1))
         hist = history_update_block(opts, hist, it + m, res_new,
                                     r0norm, bnorm)
         return (it + m, Xn, Rn, res_new, nits,
@@ -239,6 +248,8 @@ def block_gmres(A, B, X0=None, M=None, opts=None, reduce=None):
     # it advances by m past the maxit check, so cap the report at the
     # user's budget (callers assert nits <= maxit)
     nits = jnp.minimum(jnp.minimum(nits, it), jnp.int32(opts.maxit))
+    if opts.record_history:
+        hist = hist[:, :opts.maxit + 1]      # drop the cycle-overrun slack
     return X, SolveInfo(nits=nits, residual=res,
                         converged=res <= tol, r0norm=r0norm, bnorm=bnorm,
                         history=hist if opts.record_history else None)

@@ -37,3 +37,26 @@ def spmv_counters(A, seconds: float, iters: int = 1) -> dict:
     t = seconds / max(1, iters)
     return {"nnz_per_s": nnz / t, "gbytes_per_s": bytes_per / t / 1e9,
             "seconds_per_iter": t}
+
+
+def enable_persistent_cache(warn=True):
+    """Point XLA's persistent compilation cache at ``$LSSP_XLA_CACHE``
+    (default ~/.cache/lssp_tpu_xla) so first-touch compiles amortize
+    across processes — the shared protocol of bench.py and
+    benchmarks/acceptance.py.  Returns the cache dir, or None when the
+    cache could not be configured (warned on stderr unless warn=False)."""
+    import os
+    import sys
+    import jax
+    cache_dir = os.environ.get("LSSP_XLA_CACHE",
+                               os.path.expanduser("~/.cache/lssp_tpu_xla"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        return cache_dir
+    except Exception as e:                                # noqa: BLE001
+        if warn:
+            print(f"warning: compilation cache unavailable: {e}",
+                  file=sys.stderr)
+        return None

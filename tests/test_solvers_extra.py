@@ -633,14 +633,14 @@ class TestBlockGMRES:
         block prefix space contains each column's Krylov space) and not
         just a multiple of the restart length."""
         import numpy as np
-        import lssp_tpu as lt
-        lt_, A, B, o = self._setup(k=3, restart=300)
-        import dataclasses
-        o = dataclasses.replace(o, restart=300)  # converge in ONE cycle
-        _, ib = lt.solve_multi(A, B, method="blockgmres", pc="iluk",
+        lt, A, B, o = self._setup(k=3, restart=300)   # converge in 1 cycle
+        # pc="none": the subspace-containment claim needs the SAME Krylov
+        # operator on both sides (registry gmres is left-preconditioned,
+        # blockgmres right — containment does not hold across PC sides)
+        _, ib = lt.solve_multi(A, B, method="blockgmres", pc="none",
                                options=o)
-        _, ig = lt.solve_multi(A, B, method="gmres", pc="iluk", options=o)
+        _, ig = lt.solve_multi(A, B, method="gmres", pc="none", options=o)
         nb, ng = np.asarray(ib.nits), np.asarray(ig.nits)
         assert np.asarray(ib.converged).all()
         assert (nb <= ng).all(), (nb, ng)
-        assert (nb < 300).all() and (nb > 1).all(), nb
+        assert (nb < 300).all() and (nb >= 1).all(), nb
