@@ -1045,6 +1045,25 @@ class TestDistIR:
                 + 1e-10).all()
         assert int(np.asarray(info.nits).max()) <= 20
 
+    def test_pipecg_and_cagmres_inner(self, mesh8):
+        """Communication-avoiding inners inside the distributed
+        refinement: pipecg (ONE psum per inner iteration) and cagmres
+        (mapped to cargmres by _inner_plan) compose with the fp32 shard
+        program — the two multi-chip latency stories end to end."""
+        from lssp_tpu.parallel.dist_solve import dist_solve_ir
+        import lssp_tpu as lt
+        for method, A in (("pipecg", laplacian_2d(32)),
+                          ("cagmres", lt.sparse.convection_diffusion_2d(24))):
+            n = A.shape[0]
+            b = jnp.ones(n, dtype=jnp.float64)
+            o = lt.SolverOptions(rtol=1e-8, atol=0.0, maxit=2000, restart=25)
+            x, info = dist_solve_ir(A, b, method=method, pc="bjilu",
+                                    mesh=mesh8, options=o)
+            assert bool(info.converged), method
+            res = float(np.linalg.norm(np.asarray(b)
+                                       - A.to_scipy() @ np.asarray(x)))
+            assert res <= 1.1e-8 * np.sqrt(n) + 1e-10, (method, res)
+
     def test_general_n_padding(self, mesh8):
         from lssp_tpu.parallel.dist_solve import dist_solve_ir
         import lssp_tpu as lt
