@@ -113,9 +113,13 @@ def main():
     ]
     if args.xl:
         # chip-max stretch: 16.8M rows ~ the largest fp32+fp64 pair one
-        # v5e chip holds with the saamg hierarchy
+        # v5e chip holds with the saamg hierarchy.  max_nits pins the
+        # round-3 grid-robust convergence (direction-aware semicoarsening
+        # measured 18/19/19 its at 512^2..2048^2; round 2 sat at 623 at
+        # 16.8M) — the xl-config iteration ratchet.
         configs.append(dict(
             name="cg_saamg_aniso_16m", method="cg", pc="saamg",
+            max_nits=250,
             gen=lambda: anisotropic_poisson_2d(4096 if full else 512,
                                                dtype=dtype)))
 
@@ -178,6 +182,8 @@ def main():
         rel_res = true_res / np.sqrt(float(n))       # ||b|| = sqrt(n)
         rec = dict(config=cfg["name"], n=n, nnz=A.nnz,
                    method=cfg["method"], pc=cfg["pc"],
+                   **({"max_nits": cfg["max_nits"]} if "max_nits" in cfg
+                      else {}),
                    backend=jax.default_backend(),
                    device=getattr(jax.devices()[0], "device_kind", "?"),
                    full=bool(full),
@@ -204,7 +210,8 @@ def main():
 
     if out_f:
         out_f.close()
-    ok = all(r["converged"] and r["rel_residual"] <= 1.1e-8 for r in results)
+    ok = all(r["converged"] and r["rel_residual"] <= 1.1e-8
+             and r["nits"] <= r.get("max_nits", 5000) for r in results)
     if not args.json:
         print("ALL CONVERGED to rel 1e-8" if ok else "SOME CONFIGS FAILED",
               file=sys.stderr)
