@@ -38,6 +38,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 MATDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "matrices")
 
+MAXIT = 5000        # iteration budget; the nits gate defaults to it
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -140,7 +142,7 @@ def main():
         opts = cfg.get("opts") or SolverOptions()
         # north-star target: relative residual 1e-8
         opts = dataclasses.replace(opts, rtol=1e-8, atol=0.0, rbtol=0.0,
-                                   maxit=5000)
+                                   maxit=MAXIT)
 
         if on_tpu:
             from lssp_tpu import solve_ir, prepare_ir
@@ -211,7 +213,7 @@ def main():
     if out_f:
         out_f.close()
     ok = all(r["converged"] and r["rel_residual"] <= 1.1e-8
-             and r["nits"] <= r.get("max_nits", 5000) for r in results)
+             and r["nits"] <= r.get("max_nits", MAXIT) for r in results)
     if not args.json:
         print("ALL CONVERGED to rel 1e-8" if ok else "SOME CONFIGS FAILED",
               file=sys.stderr)

@@ -232,9 +232,11 @@ def block_gmres(A, B, X0=None, M=None, opts=None, reduce=None):
         if opts.record_history:
             # per-step estimates at positions it+1..it+m, so the host
             # trace (which prints 1..nits) stays meaningful now that nits
-            # are step-granular
+            # are step-granular; a NaN/Inf-rejected cycle writes NaNs
+            # (skipped by the printer) instead of its poisoned estimates
+            est_w = jnp.where(ok, est.T.astype(hist.dtype), jnp.nan)
             hist = jax.lax.dynamic_update_slice(
-                hist, est.T.astype(hist.dtype), (jnp.int32(0), it + 1))
+                hist, est_w, (jnp.int32(0), it + 1))
         hist = history_update_block(opts, hist, it + m, res_new,
                                     r0norm, bnorm)
         return (it + m, Xn, Rn, res_new, nits,
