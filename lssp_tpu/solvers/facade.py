@@ -344,13 +344,7 @@ def solve_multi(A, B, X0=None, method: str = "cg",
     rule is met; per-lane counts report the true individual convergence.
     No reference analog (the serial library re-solves per rhs,
     lssp_solver_reset_rhs — which `Solver.reset_rhs` also provides)."""
-    from lssp_tpu.pc.base import Preconditioner
-
     opts = (options or SolverOptions()).resolved()
-    host_trace = opts.verbosity >= 1 and not device_print_supported()
-    user_history = opts.record_history
-    if host_trace and not opts.record_history:
-        opts = dataclasses.replace(opts, record_history=True)
     reorder = resolve_reorder(pc, pc_options, reorder)
     if method.lower() in ("direct", "splu") and pc in (None, "none") \
             and M is None:
@@ -364,6 +358,19 @@ def solve_multi(A, B, X0=None, method: str = "cg",
             pc_options = dataclasses.replace(pc_options or PCOptions(),
                                              transpose=True)
         M = pc_mod.setup(A_host, pc, pc_options)
+    return _run_multi(method, A_dev, M, B, X0, perm, opts)
+
+
+def _run_multi(method, A_dev, M, B, X0, perm, opts):
+    """Multi-rhs execution on PREPARED device state (shared by the
+    module-level solve_multi and the Solver lifecycle): block-Krylov or
+    vmapped dispatch, unpermute, host-side trace."""
+    from lssp_tpu.pc.base import Preconditioner
+
+    host_trace = opts.verbosity >= 1 and not device_print_supported()
+    user_history = opts.record_history
+    if host_trace and not opts.record_history:
+        opts = dataclasses.replace(opts, record_history=True)
     block_fn = get_block_solver(method)
     fn = None if block_fn is not None else get_solver(method)
     B = jnp.asarray(B)
@@ -373,9 +380,6 @@ def solve_multi(A, B, X0=None, method: str = "cg",
     if perm is not None:
         B = B[perm, :]
         X0 = X0[perm, :]
-    a_bare = callable(A_dev) and not hasattr(A_dev, "shape")
-    m_bare = (M is not None and callable(M)
-              and not isinstance(M, Preconditioner))
     if block_fn is not None:
         # block-Krylov path: ONE shared search block for all rhs (stacked
         # Gram reductions instead of k independent dot chains) — see
@@ -384,16 +388,16 @@ def solve_multi(A, B, X0=None, method: str = "cg",
         # block solvers share the scalar (A, b, x0, M, opts=) positional
         # signature, so the same bare-callable routing + jit caches apply
         X, info = _dispatch_solve(block_fn, A_dev, B, X0, M, opts)
-        X = _unpermute(X, perm)
-        if host_trace:
-            history_print_host_multi(info, X.shape[1])
-            if not user_history:
-                info = dataclasses.replace(info, history=None)
-        return X, info
-    vf = _jitted_multi(fn, A_dev if a_bare else None, M if m_bare else None)
-    X, info = vf(None if a_bare else A_dev, B.T, X0.T,
-                 None if m_bare else M, opts=opts)
-    X = _unpermute(X.T, perm)
+    else:
+        a_bare = callable(A_dev) and not hasattr(A_dev, "shape")
+        m_bare = (M is not None and callable(M)
+                  and not isinstance(M, Preconditioner))
+        vf = _jitted_multi(fn, A_dev if a_bare else None,
+                           M if m_bare else None)
+        X, info = vf(None if a_bare else A_dev, B.T, X0.T,
+                     None if m_bare else M, opts=opts)
+        X = X.T
+    X = _unpermute(X, perm)
     if host_trace:
         history_print_host_multi(info, X.shape[1])
         if not user_history:
@@ -492,6 +496,9 @@ class Solver:
 
     def solve(self, b=None, x0=None):
         assert self.assembled, "call assemble() first"
+        if get_block_solver(self.method) is not None:
+            raise ValueError(f"{self.method!r} is a multi-rhs block "
+                             "method; use Solver.solve_multi")
         if b is not None:
             self.b = jnp.asarray(b)
         if x0 is not None:
@@ -509,10 +516,7 @@ class Solver:
             b = b[perm]
             x0v = x0v[perm]
         x, info = _dispatch_solve(fn, self.A_dev, b, x0v, self.M, opts)
-        if perm is not None:
-            inv = np.empty_like(perm)
-            inv[perm] = np.arange(len(perm))
-            x = x[inv]
+        x = _unpermute(x, perm)
         if host_trace:
             history_print_host(info)
             if not user_history:
@@ -520,11 +524,33 @@ class Solver:
         self.x, self.info = x, info
         return x
 
+    def solve_multi(self, B, X0=None):
+        """Solve A·X = B for k right-hand sides (B: (n, k)) with the
+        ASSEMBLED matrix/preconditioner state — the lifecycle analog of
+        the module-level ``solve_multi`` (where the reference re-solves
+        per rhs via lssp_solver_reset_rhs, /root/reference/src/lssp.cxx:
+        470-489).  Block methods (blockcg/blockgmres) share one Krylov
+        search block; other methods run the vmapped per-rhs program.
+        Stores per-rhs SolveInfo arrays in ``self.info``; returns X."""
+        assert self.assembled, "call assemble() first"
+        X, info = _run_multi(self.method, self.A_dev, self.M, B, X0,
+                             getattr(self, "perm", None),
+                             self.options.resolved())
+        self.x, self.info = X, info
+        return X
+
     # -- getters (lssp_solver_get_residual/_nits, lssp.cxx:520-528) --
+    # scalar after solve(); per-rhs (k,) arrays after solve_multi()
     @property
     def residual(self):
-        return float(self.info.residual) if self.info is not None else None
+        if self.info is None:
+            return None
+        r = np.asarray(self.info.residual)
+        return float(r) if r.ndim == 0 else r
 
     @property
     def nits(self):
-        return int(self.info.nits) if self.info is not None else None
+        if self.info is None:
+            return None
+        n = np.asarray(self.info.nits)
+        return int(n) if n.ndim == 0 else n

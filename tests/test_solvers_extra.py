@@ -644,3 +644,33 @@ class TestBlockGMRES:
         assert np.asarray(ib.converged).all()
         assert (nb <= ng).all(), (nb, ng)
         assert (nb < 300).all() and (nb >= 1).all(), nb
+
+
+class TestSolverLifecycleMulti:
+    """Solver.solve_multi: multi-rhs solves on the ASSEMBLED lifecycle
+    state (matrix conversion + PC factorization reused across calls)."""
+
+    def test_matches_module_level(self):
+        import numpy as np
+        import jax.numpy as jnp
+        import lssp_tpu as lt
+        from lssp_tpu.solvers.facade import Solver
+        A = lt.sparse.laplacian_2d(32)
+        rng = np.random.default_rng(2)
+        B = jnp.asarray(rng.standard_normal((A.shape[0], 3)))
+        o = lt.SolverOptions(rtol=1e-8, atol=0.0, rbtol=0.0, maxit=2000)
+        s = Solver(method="cg", pc="iluk", options=o).assemble(
+            A, jnp.ones(A.shape[0]))
+        X = s.solve_multi(B)
+        Xm, im = lt.solve_multi(A, B, method="cg", pc="iluk", options=o)
+        np.testing.assert_allclose(np.asarray(X), np.asarray(Xm),
+                                   rtol=1e-12)
+        assert np.array_equal(np.asarray(s.nits), np.asarray(im.nits))
+        assert s.residual.shape == (3,)
+        # block method through the same lifecycle + scalar solve after
+        s2 = Solver(method="blockcg", pc="iluk", options=o).assemble(
+            A, jnp.ones(A.shape[0]))
+        Xb = s2.solve_multi(B)
+        res = np.linalg.norm(np.asarray(B) - A.to_scipy() @ np.asarray(Xb),
+                             axis=0)
+        assert (res <= 1e-8 * np.linalg.norm(np.asarray(B), axis=0)).all()
