@@ -522,6 +522,149 @@ def _shard_ir(op32, op64, pc_apply, fn, block_fn, b, x0, opts, inner_opts,
                         r0norm=r0, bnorm=bnorm, history=None)
 
 
+def _grow_identity(A: CSR, extra: int) -> CSR:
+    """Identity-row padding of the MATRIX (unit diagonal); the launcher
+    pads the rhs/x0 with zero rows to match — padded components start at
+    0 and stay 0 through every Krylov recurrence."""
+    from lssp_tpu.amg.sa import _pad_identity
+    return CSR.from_scipy(_pad_identity(A.to_scipy().tocsr(), extra))
+
+
+def _prepare_dist(A: CSR, mesh, Pn, fmt, method, pc, pc_opts, opts,
+                  multi, ir, inner_rtol, max_outer, inner_dtype,
+                  transpose_method, sa_grid, npad):
+    """The rhs-independent half of a distributed solve — identity
+    padding, per-shard PC build, matrix partitioning (both precisions
+    for ir), and the COMPILED shard_map program — memoized per container
+    with a content fingerprint (same pattern as facade._prepare_matrix).
+    Production re-solves with a new rhs skip repartitioning,
+    refactoring, re-upload, AND retracing: each was measured to dominate
+    warm time-to-solution on the single-device path (CLAUDE.md)."""
+    from lssp_tpu.solvers.facade import _fingerprint
+    from lssp_tpu.solvers.refine import _pc_options_key
+
+    key = (mesh, Pn, fmt, method, pc, _pc_options_key(pc_opts), opts,
+           multi, ir, float(inner_rtol), int(max_outer),
+           str(np.dtype(inner_dtype)), transpose_method, sa_grid, npad,
+           jax.default_backend())
+    cache = getattr(A, "_dist_cache", None)
+    if cache is not None:
+        hit = cache.get(key)
+        if hit is not None and hit[0] is not None \
+                and hit[0] == _fingerprint(A):
+            return hit[1]
+    out = _build_dist_program(A, mesh, Pn, fmt, method, pc, pc_opts,
+                              opts, multi, ir, inner_rtol, max_outer,
+                              inner_dtype, transpose_method, sa_grid,
+                              npad)
+    try:
+        if cache is None:
+            cache = {}
+            object.__setattr__(A, "_dist_cache", cache)
+        cache[key] = (_fingerprint(A), out)
+    except Exception:
+        pass                       # non-dataclass containers: skip caching
+    return out
+
+
+def _build_dist_program(A: CSR, mesh, Pn, fmt, method, pc, pc_opts, opts,
+                        multi, ir, inner_rtol, max_outer, inner_dtype,
+                        transpose_method, sa_grid, npad):
+    if npad:
+        A = _grow_identity(A, npad)
+    n = A.shape[0]
+    R = n // Pn
+    # ir: the preconditioner (and the solve matrix below) live in the
+    # inner dtype — factors, hierarchies, and the hot SpMV all run fp32
+    pc_src = A.astype(np.dtype(inner_dtype)) if ir else A
+    kind, pc_state = _build_dist_pc(pc_src, pc, pc_opts, Pn, R,
+                                    transpose=transpose_method,
+                                    sa_grid=sa_grid)
+    if kind == "saamg" and pc_state.n_top != n:
+        # grid coarsening stalled inside build_dist_sa and the hierarchy
+        # fell back to the flat plan, padding itself — grow the system to
+        # the hierarchy's size (result slicing uses n_orig either way)
+        A = _grow_identity(A, pc_state.n_top - n)
+        n = A.shape[0]
+        R = n // Pn
+    M = partition_matrix(A.astype(np.dtype(inner_dtype)) if ir else A,
+                         Pn, fmt=fmt)
+    M64 = partition_matrix(A, Pn, fmt=fmt) if ir else None
+    if ir:
+        from lssp_tpu.solvers.refine import _inner_plan
+        if not multi and get_block_solver(method) is not None:
+            raise ValueError(f"{method!r} is a multi-rhs block method; "
+                             "use dist_solve_ir_multi")
+        inner_fn, solver_opts = _inner_plan(method, opts, inner_rtol)
+        block = multi and get_block_solver(method) is not None
+        block_fn = inner_fn if block else None
+        fn = None if block else inner_fn
+    else:
+        solver_opts = opts
+        block_fn = get_block_solver(method) if multi else None
+        block = block_fn is not None
+        fn = None if block else get_solver(method)
+
+    spmv_impl = make_dist_spmv(M, AXIS)
+    pdot = make_psum_dot(AXIS)
+    spmv_t_impl = (make_dist_spmv_t(M, AXIS) if transpose_method else None)
+    spmv64_impl = make_dist_spmv(M64, AXIS) if ir else None
+    mat_leaves, _ = jax.tree_util.tree_flatten(M)
+    nleaf = len(mat_leaves)
+    mat64_leaves = (jax.tree_util.tree_flatten(M64)[0] if ir else [])
+    nleaf64 = len(mat64_leaves)
+
+    def body(*args):
+        # shard_map passes (1, ...)-shaped slices; drop the shard axis
+        mat_l = [a[0] for a in args[:nleaf]]
+        mat64_l = [a[0] for a in args[nleaf:nleaf + nleaf64]]
+        b_sh, x0_sh, pc_state_sh = args[nleaf + nleaf64:]
+        pc_state_l = jax.tree_util.tree_map(lambda a: a[0], pc_state_sh)
+        op = lambda x: spmv_impl(*mat_l, x)
+        if transpose_method:
+            from lssp_tpu.parallel.dist_ops import OpWithTranspose
+            op = OpWithTranspose(op,
+                                 lambda x: spmv_t_impl(*mat_l, x))
+        pc_apply = _shard_pc_apply(kind, pc_state_l, R, op=op,
+                                   cycles=max(1, int(pc_opts.amg_cycles)))
+        if ir:
+            op64 = lambda x: spmv64_impl(*mat64_l, x)
+            x, info = _shard_ir(op, op64, pc_apply, fn, block_fn,
+                                b_sh[0], x0_sh[0], opts, solver_opts,
+                                max_outer, inner_dtype, pdot, multi)
+            return x[None], info
+        if multi:
+            if block:
+                # block-Krylov shard program: the stacked Grams and
+                # residual norms reduce in ONE psum each — the multi-chip
+                # latency win compounds with the shared-search-block
+                # convergence win (solvers/block_cg.py, block_gmres.py)
+                X, info = block_fn(op, b_sh[0], x0_sh[0], M=pc_apply,
+                                   opts=opts,
+                                   reduce=lambda v: jax.lax.psum(v, AXIS))
+                return X[None], info
+            def one(bl, x0l):
+                return fn(op, bl, x0l, pc_apply, opts=opts, dot=pdot)
+            X, info = jax.vmap(one, in_axes=1, out_axes=(1, 0))(b_sh[0],
+                                                                x0_sh[0])
+            return X[None], info
+        x, info = fn(op, b_sh[0], x0_sh[0], pc_apply, opts=opts, dot=pdot)
+        return x[None], info
+
+    in_specs = tuple(P(AXIS) for _ in range(nleaf + nleaf64)) + (
+        P(AXIS), P(AXIS),
+        jax.tree_util.tree_map(lambda _: P(AXIS), pc_state))
+    out_specs = (P(AXIS), jax.tree_util.tree_map(lambda _: P(), SolveInfo(
+        nits=0, residual=0.0, converged=False, r0norm=0.0, bnorm=0.0,
+        history=(0.0 if opts.record_history and not ir
+                 else None))))
+
+    mapped = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False)
+    return dict(n=n, R=R, pc_state=pc_state, mat_leaves=mat_leaves,
+                mat64_leaves=mat64_leaves, run=jax.jit(mapped))
+
+
 def _dist_launch(A: CSR, b, x0, method: str, pc, mesh,
                  options, pc_options, fmt: str, multi: bool,
                  ir: bool = False, inner_rtol: float = 1e-3,
@@ -599,115 +742,24 @@ def _dist_launch(A: CSR, b, x0, method: str, pc, mesh,
         # to the next multiple of the device count — the padded components
         # start at 0 and stay 0 through every Krylov recurrence
         npad = (-n_orig) % Pn
-    def grow(A, b, x0, extra):
-        """Identity-row padding of the system (unit diagonal, zero rhs)."""
-        from lssp_tpu.amg.sa import _pad_identity
-        A = CSR.from_scipy(_pad_identity(A.to_scipy().tocsr(), extra))
+    prep = _prepare_dist(A, mesh, Pn, fmt, method, pc, pc_opts, opts,
+                         multi, ir, inner_rtol, max_outer, inner_dtype,
+                         transpose_method, sa_grid, npad)
+    n, R = prep["n"], prep["R"]
+    extra = n - n_orig
+    if extra:
         pad_shape = (extra, k) if multi else (extra,)
-        b = jnp.concatenate([b, jnp.zeros(pad_shape, dtype=b.dtype)], axis=0)
+        b = jnp.concatenate([b, jnp.zeros(pad_shape, dtype=b.dtype)],
+                            axis=0)
         if x0 is not None:
-            x0 = jnp.concatenate([x0, jnp.zeros(pad_shape, dtype=x0.dtype)],
-                                 axis=0)
-        return A, b, x0
-
-    if npad:
-        A, b, x0 = grow(A, b, x0, npad)
-    n = A.shape[0]
-    R = n // Pn
-    # ir: the preconditioner (and the solve matrix below) live in the
-    # inner dtype — factors, hierarchies, and the hot SpMV all run fp32
-    pc_src = A.astype(np.dtype(inner_dtype)) if ir else A
-    kind, pc_state = _build_dist_pc(pc_src, pc, pc_opts, Pn, R,
-                                    transpose=transpose_method,
-                                    sa_grid=sa_grid)
-    if kind == "saamg" and pc_state.n_top != n:
-        # grid coarsening stalled inside build_dist_sa and the hierarchy
-        # fell back to the flat plan, padding itself — grow the system to
-        # the hierarchy's size (result slicing uses n_orig either way)
-        A, b, x0 = grow(A, b, x0, pc_state.n_top - n)
-        n = A.shape[0]
-        R = n // Pn
-    M = partition_matrix(A.astype(np.dtype(inner_dtype)) if ir else A,
-                         Pn, fmt=fmt)
-    M64 = partition_matrix(A, Pn, fmt=fmt) if ir else None
-    if ir:
-        from lssp_tpu.solvers.refine import _inner_plan
-        if not multi and get_block_solver(method) is not None:
-            raise ValueError(f"{method!r} is a multi-rhs block method; "
-                             "use dist_solve_ir_multi")
-        inner_fn, solver_opts = _inner_plan(method, opts, inner_rtol)
-        block = multi and get_block_solver(method) is not None
-        block_fn = inner_fn if block else None
-        fn = None if block else inner_fn
-    else:
-        solver_opts = opts
-        block_fn = get_block_solver(method) if multi else None
-        block = block_fn is not None
-        fn = None if block else get_solver(method)
-
+            x0 = jnp.concatenate([x0, jnp.zeros(pad_shape,
+                                                dtype=x0.dtype)], axis=0)
     shp = (Pn, R, k) if multi else (Pn, R)
     b2 = jnp.asarray(np.asarray(b).reshape(shp))
     x02 = (jnp.zeros_like(b2) if x0 is None
            else jnp.asarray(np.asarray(x0).reshape(shp)))
-
-    spmv_impl = make_dist_spmv(M, AXIS)
-    pdot = make_psum_dot(AXIS)
-    spmv_t_impl = (make_dist_spmv_t(M, AXIS) if transpose_method else None)
-    spmv64_impl = make_dist_spmv(M64, AXIS) if ir else None
-    mat_leaves, _ = jax.tree_util.tree_flatten(M)
-    nleaf = len(mat_leaves)
-    mat64_leaves = (jax.tree_util.tree_flatten(M64)[0] if ir else [])
-    nleaf64 = len(mat64_leaves)
-
-    def body(*args):
-        # shard_map passes (1, ...)-shaped slices; drop the shard axis
-        mat_l = [a[0] for a in args[:nleaf]]
-        mat64_l = [a[0] for a in args[nleaf:nleaf + nleaf64]]
-        b_sh, x0_sh, pc_state_sh = args[nleaf + nleaf64:]
-        pc_state_l = jax.tree_util.tree_map(lambda a: a[0], pc_state_sh)
-        op = lambda x: spmv_impl(*mat_l, x)
-        if transpose_method:
-            from lssp_tpu.parallel.dist_ops import OpWithTranspose
-            op = OpWithTranspose(op,
-                                 lambda x: spmv_t_impl(*mat_l, x))
-        pc_apply = _shard_pc_apply(kind, pc_state_l, R, op=op,
-                                   cycles=max(1, int(pc_opts.amg_cycles)))
-        if ir:
-            op64 = lambda x: spmv64_impl(*mat64_l, x)
-            x, info = _shard_ir(op, op64, pc_apply, fn, block_fn,
-                                b_sh[0], x0_sh[0], opts, solver_opts,
-                                max_outer, inner_dtype, pdot, multi)
-            return x[None], info
-        if multi:
-            if block:
-                # block-Krylov shard program: the stacked Grams and
-                # residual norms reduce in ONE psum each — the multi-chip
-                # latency win compounds with the shared-search-block
-                # convergence win (solvers/block_cg.py, block_gmres.py)
-                X, info = block_fn(op, b_sh[0], x0_sh[0], M=pc_apply,
-                                   opts=opts,
-                                   reduce=lambda v: jax.lax.psum(v, AXIS))
-                return X[None], info
-            def one(bl, x0l):
-                return fn(op, bl, x0l, pc_apply, opts=opts, dot=pdot)
-            X, info = jax.vmap(one, in_axes=1, out_axes=(1, 0))(b_sh[0],
-                                                                x0_sh[0])
-            return X[None], info
-        x, info = fn(op, b_sh[0], x0_sh[0], pc_apply, opts=opts, dot=pdot)
-        return x[None], info
-
-    in_specs = tuple(P(AXIS) for _ in range(nleaf + nleaf64)) + (
-        P(AXIS), P(AXIS),
-        jax.tree_util.tree_map(lambda _: P(AXIS), pc_state))
-    out_specs = (P(AXIS), jax.tree_util.tree_map(lambda _: P(), SolveInfo(
-        nits=0, residual=0.0, converged=False, r0norm=0.0, bnorm=0.0,
-        history=(0.0 if opts.record_history and not ir
-                 else None))))
-
-    mapped = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
-                           out_specs=out_specs, check_vma=False)
-    x_sh, info = jax.jit(mapped)(*mat_leaves, *mat64_leaves, b2, x02,
-                                 pc_state)
+    x_sh, info = prep["run"](*prep["mat_leaves"], *prep["mat64_leaves"],
+                             b2, x02, prep["pc_state"])
     if host_trace:
         from lssp_tpu.solvers.base import (history_print_host,
                                            history_print_host_multi)

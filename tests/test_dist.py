@@ -1084,3 +1084,44 @@ class TestDistIR:
         b = jnp.ones(A.shape[0], dtype=jnp.float64)
         with pytest.raises(ValueError, match="dist_solve_ir_multi"):
             dist_solve_ir(A, b, method="blockgmres", mesh=mesh8)
+
+
+class TestDistPrepareMemo:
+    """The rhs-independent half of a distributed solve (padding, PC build,
+    partitioning, compiled shard program) is memoized per container with a
+    content fingerprint — production re-solves with a new rhs must not
+    repartition, refactor, or retrace."""
+
+    def test_resolve_hits_memo_and_mutation_invalidates(self, mesh8):
+        import lssp_tpu as lt
+        from lssp_tpu.parallel import dist_solve as ds
+        calls = {"n": 0}
+        orig = ds._build_dist_program
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return orig(*a, **k)
+
+        ds._build_dist_program = counting
+        try:
+            A = lt.sparse.laplacian_2d(24)
+            b = jnp.ones(A.shape[0], dtype=jnp.float64)
+            x1, _ = ds.dist_solve(A, b, method="cg", pc="bjilu", mesh=mesh8)
+            x2, i2 = ds.dist_solve(A, 2.0 * b, method="cg", pc="bjilu",
+                                   mesh=mesh8)
+            assert calls["n"] == 1, "re-solve rebuilt the dist program"
+            r = np.linalg.norm(2 * np.asarray(b)
+                               - A.to_scipy() @ np.asarray(x2))
+            assert bool(i2.converged) and r <= 1e-5
+            np.testing.assert_allclose(np.asarray(x2), 2 * np.asarray(x1),
+                                       rtol=1e-6)
+            # different options -> different key -> rebuild
+            ds.dist_solve(A, b, method="cg", pc="bjilu", mesh=mesh8,
+                          options=SolverOptions(rtol=1e-10))
+            assert calls["n"] == 2
+            # content mutation -> fingerprint invalidates
+            A.data[0] = A.data[0] + 0.125
+            ds.dist_solve(A, b, method="cg", pc="bjilu", mesh=mesh8)
+            assert calls["n"] == 3
+        finally:
+            ds._build_dist_program = orig
