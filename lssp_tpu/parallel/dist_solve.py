@@ -530,6 +530,53 @@ def _grow_identity(A: CSR, extra: int) -> CSR:
     return CSR.from_scipy(_pad_identity(A.to_scipy().tocsr(), extra))
 
 
+def _dist_sizing(A: CSR, n_orig: int, Pn: int, pc, pc_opts):
+    """Resolve (sa_grid, npad).  saamg: a shard-aligned grid hierarchy
+    (gy % P == 0) needs no padding at all — every level's reshape groups
+    are whole by construction; otherwise pad to the flat plan's P·g^L
+    multiple; other PCs pad to the device-count multiple.  detect_grid is
+    an O(nnz) host scan, so the result is memoized per container (same
+    fingerprint discipline as _prepare_dist — re-solves must be
+    rhs-work only)."""
+    if pc != "saamg":
+        return False, (-n_orig) % Pn if n_orig % Pn else 0
+
+    from lssp_tpu.solvers.facade import _fingerprint
+    from lssp_tpu.solvers.refine import _pc_options_key
+
+    key = ("sizing", Pn, _pc_options_key(pc_opts))
+    fp = _fingerprint(A)
+    cache = getattr(A, "_dist_cache", None)
+    if cache is not None:
+        hit = cache.get(key)
+        if hit is not None and hit[0] is not None and hit[0] == fp:
+            return hit[1]
+
+    from lssp_tpu.amg.sa import detect_grid
+    sa_grid, npad = False, 0
+    g0 = pc_opts.saamg_grid
+    if g0 is None:
+        g0 = detect_grid(A)
+    elif g0 is False or (g0 is not None and g0[0] * g0[1] != n_orig):
+        g0 = None
+    if (g0 is not None and n_orig % Pn == 0 and g0[0] % Pn == 0):
+        sa_grid = tuple(g0)
+    else:
+        from lssp_tpu.parallel.dist_sa import planned_padded_size
+        n0 = planned_padded_size(n_orig, Pn, g=pc_opts.saamg_aggregate,
+                                 coarse_size=pc_opts.amg_coarse_size,
+                                 max_levels=pc_opts.amg_max_levels)
+        npad = n0 - n_orig
+    try:
+        if cache is None:
+            cache = {}
+            object.__setattr__(A, "_dist_cache", cache)
+        cache[key] = (fp, (sa_grid, npad))
+    except Exception:
+        pass
+    return sa_grid, npad
+
+
 def _prepare_dist(A: CSR, mesh, Pn, fmt, method, pc, pc_opts, opts,
                   multi, ir, inner_rtol, max_outer, inner_dtype,
                   transpose_method, sa_grid, npad):
@@ -547,11 +594,11 @@ def _prepare_dist(A: CSR, mesh, Pn, fmt, method, pc, pc_opts, opts,
            multi, ir, float(inner_rtol), int(max_outer),
            str(np.dtype(inner_dtype)), transpose_method, sa_grid, npad,
            jax.default_backend())
+    fp = _fingerprint(A)
     cache = getattr(A, "_dist_cache", None)
     if cache is not None:
         hit = cache.get(key)
-        if hit is not None and hit[0] is not None \
-                and hit[0] == _fingerprint(A):
+        if hit is not None and hit[0] is not None and hit[0] == fp:
             return hit[1]
     out = _build_dist_program(A, mesh, Pn, fmt, method, pc, pc_opts,
                               opts, multi, ir, inner_rtol, max_outer,
@@ -561,7 +608,13 @@ def _prepare_dist(A: CSR, mesh, Pn, fmt, method, pc, pc_opts, opts,
         if cache is None:
             cache = {}
             object.__setattr__(A, "_dist_cache", cache)
-        cache[key] = (_fingerprint(A), out)
+        # bounded: each entry pins device copies of the partitioned
+        # matrix (two for ir), the PC state, and a compiled executable —
+        # a serving process varying options per request must not exhaust
+        # HBM (same rationale as the facade's lru_cache(maxsize=64))
+        while len(cache) >= 8:
+            cache.pop(next(iter(cache)))      # FIFO eviction
+        cache[key] = (fp, out)
     except Exception:
         pass                       # non-dataclass containers: skip caching
     return out
@@ -719,29 +772,7 @@ def _dist_launch(A: CSR, b, x0, method: str, pc, mesh,
     # construction; otherwise pad to the flat plan's P·g^L multiple.  The
     # launcher resolves the grid and passes it DOWN to build_dist_sa so
     # the padding decision and the hierarchy's alignment plan cannot skew.
-    sa_grid = False
-    npad = 0
-    if pc == "saamg":
-        from lssp_tpu.amg.sa import detect_grid
-        g0 = pc_opts.saamg_grid
-        if g0 is None:
-            g0 = detect_grid(A)
-        elif g0 is False or (g0 is not None
-                             and g0[0] * g0[1] != n_orig):
-            g0 = None
-        if (g0 is not None and n_orig % Pn == 0 and g0[0] % Pn == 0):
-            sa_grid = tuple(g0)
-        else:
-            from lssp_tpu.parallel.dist_sa import planned_padded_size
-            n0 = planned_padded_size(n_orig, Pn, g=pc_opts.saamg_aggregate,
-                                     coarse_size=pc_opts.amg_coarse_size,
-                                     max_levels=pc_opts.amg_max_levels)
-            npad = n0 - n_orig
-    elif n_orig % Pn:
-        # general n: append identity equations (unit diagonal, zero rhs) up
-        # to the next multiple of the device count — the padded components
-        # start at 0 and stay 0 through every Krylov recurrence
-        npad = (-n_orig) % Pn
+    sa_grid, npad = _dist_sizing(A, n_orig, Pn, pc, pc_opts)
     prep = _prepare_dist(A, mesh, Pn, fmt, method, pc, pc_opts, opts,
                          multi, ir, inner_rtol, max_outer, inner_dtype,
                          transpose_method, sa_grid, npad)

@@ -510,7 +510,11 @@ class Solver:
         if host_trace and not opts.record_history:
             opts = dataclasses.replace(opts, record_history=True)
         fn = get_solver(self.method)
-        x0v = self.x if self.x is not None else jnp.zeros_like(self.b)
+        # a prior solve_multi leaves an (n, k) solution in self.x — never
+        # a valid scalar warm start; only reuse a rank-1 previous x
+        x0v = (self.x if self.x is not None
+               and getattr(self.x, "ndim", 1) == 1
+               else jnp.zeros_like(self.b))
         b, perm = self.b, getattr(self, "perm", None)
         if perm is not None:
             b = b[perm]

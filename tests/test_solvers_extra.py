@@ -667,10 +667,19 @@ class TestSolverLifecycleMulti:
                                    rtol=1e-12)
         assert np.array_equal(np.asarray(s.nits), np.asarray(im.nits))
         assert s.residual.shape == (3,)
-        # block method through the same lifecycle + scalar solve after
+        # block method through the same lifecycle
         s2 = Solver(method="blockcg", pc="iluk", options=o).assemble(
             A, jnp.ones(A.shape[0]))
         Xb = s2.solve_multi(B)
         res = np.linalg.norm(np.asarray(B) - A.to_scipy() @ np.asarray(Xb),
                              axis=0)
         assert (res <= 1e-8 * np.linalg.norm(np.asarray(B), axis=0)).all()
+        # scalar solve AFTER a multi solve on the same instance: the
+        # (n, k) solution left in self.x must not pollute the scalar
+        # warm start (regression: rank mismatch inside the solver)
+        b1 = jnp.ones(A.shape[0])
+        x1 = s.solve(b1)
+        r1 = np.linalg.norm(np.asarray(b1)
+                            - A.to_scipy() @ np.asarray(x1))
+        assert bool(s.info.converged) and r1 <= 1e-5
+        assert isinstance(s.nits, int) and isinstance(s.residual, float)
