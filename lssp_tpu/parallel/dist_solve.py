@@ -33,6 +33,9 @@ from lssp_tpu.sparse.types import CSR
 from lssp_tpu.sparse.utils import diagonal
 from lssp_tpu.solvers.registry import get_solver, get_block_solver
 from lssp_tpu.solvers.base import SolveInfo
+from lssp_tpu.utils.memo import (fingerprint as _fingerprint,
+                                 memo_get as _memo_get,
+                                 memo_put as _memo_put)
 
 AXIS = "shards"
 
@@ -530,27 +533,25 @@ def _grow_identity(A: CSR, extra: int) -> CSR:
     return CSR.from_scipy(_pad_identity(A.to_scipy().tocsr(), extra))
 
 
-def _dist_sizing(A: CSR, n_orig: int, Pn: int, pc, pc_opts):
+def _dist_sizing(A: CSR, n_orig: int, Pn: int, pc, pc_opts, fp):
     """Resolve (sa_grid, npad).  saamg: a shard-aligned grid hierarchy
     (gy % P == 0) needs no padding at all — every level's reshape groups
     are whole by construction; otherwise pad to the flat plan's P·g^L
     multiple; other PCs pad to the device-count multiple.  detect_grid is
     an O(nnz) host scan, so the result is memoized per container (same
     fingerprint discipline as _prepare_dist — re-solves must be
-    rhs-work only)."""
+    rhs-work only).  Sizing plans are a few scalars, so they live in
+    their own UNBOUNDED cache attr — the bounded program cache's LRU
+    eviction must never cost a detect_grid re-scan."""
     if pc != "saamg":
         return False, (-n_orig) % Pn if n_orig % Pn else 0
 
-    from lssp_tpu.solvers.facade import _fingerprint
     from lssp_tpu.solvers.refine import _pc_options_key
 
-    key = ("sizing", Pn, _pc_options_key(pc_opts))
-    fp = _fingerprint(A)
-    cache = getattr(A, "_dist_cache", None)
-    if cache is not None:
-        hit = cache.get(key)
-        if hit is not None and hit[0] is not None and hit[0] == fp:
-            return hit[1]
+    key = (Pn, _pc_options_key(pc_opts))
+    hit = _memo_get(A, "_dist_sizing_cache", key, fp)
+    if hit is not None:
+        return hit
 
     from lssp_tpu.amg.sa import detect_grid
     sa_grid, npad = False, 0
@@ -567,56 +568,38 @@ def _dist_sizing(A: CSR, n_orig: int, Pn: int, pc, pc_opts):
                                  coarse_size=pc_opts.amg_coarse_size,
                                  max_levels=pc_opts.amg_max_levels)
         npad = n0 - n_orig
-    try:
-        if cache is None:
-            cache = {}
-            object.__setattr__(A, "_dist_cache", cache)
-        cache[key] = (fp, (sa_grid, npad))
-    except Exception:
-        pass
+    _memo_put(A, "_dist_sizing_cache", key, fp, (sa_grid, npad))
     return sa_grid, npad
 
 
 def _prepare_dist(A: CSR, mesh, Pn, fmt, method, pc, pc_opts, opts,
                   multi, ir, inner_rtol, max_outer, inner_dtype,
-                  transpose_method, sa_grid, npad):
+                  transpose_method, sa_grid, npad, fp):
     """The rhs-independent half of a distributed solve — identity
     padding, per-shard PC build, matrix partitioning (both precisions
     for ir), and the COMPILED shard_map program — memoized per container
     with a content fingerprint (same pattern as facade._prepare_matrix).
     Production re-solves with a new rhs skip repartitioning,
     refactoring, re-upload, AND retracing: each was measured to dominate
-    warm time-to-solution on the single-device path (CLAUDE.md)."""
-    from lssp_tpu.solvers.facade import _fingerprint
+    warm time-to-solution on the single-device path (CLAUDE.md).
+    Bounded (LRU, 8 entries): each entry pins device copies of the
+    partitioned matrix (two for ir), the PC state, and a compiled
+    executable — a serving process varying options per request must not
+    exhaust HBM (same rationale as the facade's lru_cache(maxsize=64))."""
     from lssp_tpu.solvers.refine import _pc_options_key
 
     key = (mesh, Pn, fmt, method, pc, _pc_options_key(pc_opts), opts,
            multi, ir, float(inner_rtol), int(max_outer),
            str(np.dtype(inner_dtype)), transpose_method, sa_grid, npad,
            jax.default_backend())
-    fp = _fingerprint(A)
-    cache = getattr(A, "_dist_cache", None)
-    if cache is not None:
-        hit = cache.get(key)
-        if hit is not None and hit[0] is not None and hit[0] == fp:
-            return hit[1]
+    hit = _memo_get(A, "_dist_cache", key, fp)
+    if hit is not None:
+        return hit
     out = _build_dist_program(A, mesh, Pn, fmt, method, pc, pc_opts,
                               opts, multi, ir, inner_rtol, max_outer,
                               inner_dtype, transpose_method, sa_grid,
                               npad)
-    try:
-        if cache is None:
-            cache = {}
-            object.__setattr__(A, "_dist_cache", cache)
-        # bounded: each entry pins device copies of the partitioned
-        # matrix (two for ir), the PC state, and a compiled executable —
-        # a serving process varying options per request must not exhaust
-        # HBM (same rationale as the facade's lru_cache(maxsize=64))
-        while len(cache) >= 8:
-            cache.pop(next(iter(cache)))      # FIFO eviction
-        cache[key] = (fp, out)
-    except Exception:
-        pass                       # non-dataclass containers: skip caching
+    _memo_put(A, "_dist_cache", key, fp, out, bound=8)
     return out
 
 
@@ -761,6 +744,12 @@ def _dist_launch(A: CSR, b, x0, method: str, pc, mesh,
         n_orig, k = b.shape
     else:
         n_orig, k = b.shape[0], None
+    if n_orig != A.shape[0]:
+        # must raise, not pad: the identity-padding below is ONLY for the
+        # launcher's own growth (device-count multiple / saamg plan) — a
+        # short user rhs silently zero-filled against real matrix rows
+        # would return a wrong answer
+        raise ValueError(f"rhs length {n_orig} != matrix rows {A.shape[0]}")
     if x0 is not None:
         x0 = jnp.asarray(x0, jnp.float64) if ir else jnp.asarray(x0)
         if x0.shape != b.shape:
@@ -772,10 +761,11 @@ def _dist_launch(A: CSR, b, x0, method: str, pc, mesh,
     # construction; otherwise pad to the flat plan's P·g^L multiple.  The
     # launcher resolves the grid and passes it DOWN to build_dist_sa so
     # the padding decision and the hierarchy's alignment plan cannot skew.
-    sa_grid, npad = _dist_sizing(A, n_orig, Pn, pc, pc_opts)
+    fp = _fingerprint(A)     # ONE content scan shared by both memo lookups
+    sa_grid, npad = _dist_sizing(A, n_orig, Pn, pc, pc_opts, fp)
     prep = _prepare_dist(A, mesh, Pn, fmt, method, pc, pc_opts, opts,
                          multi, ir, inner_rtol, max_outer, inner_dtype,
-                         transpose_method, sa_grid, npad)
+                         transpose_method, sa_grid, npad, fp)
     n, R = prep["n"], prep["R"]
     extra = n - n_orig
     if extra:

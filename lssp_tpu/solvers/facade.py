@@ -118,41 +118,16 @@ def _dispatch_solve(fn, A_dev, b, x0, M, opts):
         None if a_bare else A_dev, b, x0, None if m_bare else M, opts=opts)
 
 
-def _fingerprint(A):
-    """Full-content fingerprint (crc32 over the value/index buffers) so ANY
-    in-place mutation of a container's buffers invalidates the
-    prepared-format cache.  crc32 streams at ~1 GB/s on host memory —
-    negligible next to the format conversion + device upload it guards
-    (sampling-based hashing missed mutations outside the sampled stride and
-    silently validated a stale device matrix)."""
-    import zlib
-    try:
-        vals = getattr(A, "data", None)
-        if vals is None:
-            vals = getattr(A, "blocks", None)     # BSR stores block values
-        d = np.ascontiguousarray(np.asarray(vals))
-        parts = [d.shape, d.dtype.str, zlib.crc32(d)]
-        # ALL structure buffers participate: an indptr-only mutation (row
-        # boundary shift with identical data/indices bytes) must also
-        # invalidate
-        for name in ("indices", "indptr", "row", "col"):
-            buf = getattr(A, name, None)
-            if buf is not None:
-                parts.append(zlib.crc32(np.ascontiguousarray(np.asarray(buf))))
-        return tuple(parts)
-    except Exception:
-        return None
+# one shared memo discipline (content fingerprint + per-container cache)
+# for every prepared-state cache in the library — see utils/memo.py
+from lssp_tpu.utils.memo import fingerprint as _fingerprint
+from lssp_tpu.utils.memo import memo_get as _memo_get
+from lssp_tpu.utils.memo import memo_put as _memo_put
 
 
 def _memoize_prepared(A, reorder, out):
-    try:
-        cache = getattr(A, "_prepared_cache", None)
-        if cache is None:
-            cache = {}
-            object.__setattr__(A, "_prepared_cache", cache)
-        cache[(reorder, jax.default_backend())] = (_fingerprint(A), out)
-    except Exception:
-        pass                       # non-dataclass containers: skip caching
+    _memo_put(A, "_prepared_cache", (reorder, jax.default_backend()),
+              _fingerprint(A), out)
 
 
 def _maybe_hierarchy(A, perm, mode):
@@ -202,15 +177,12 @@ def _prepare_matrix(A, reorder="auto", build_device=True):
     # per call); the prepared triple is memoized on the container itself,
     # invalidated by a content fingerprint when buffers are mutated in place
     A_orig = A
-    cache = getattr(A, "_prepared_cache", None)
     backend = jax.default_backend()
-    if build_device and cache is not None:
-        hit = cache.get((reorder, backend))
-        # a None fingerprint means "content not hashable" — never a match
-        # (None == None must not validate a stale entry)
-        if hit is not None and hit[0] is not None \
-                and hit[0] == _fingerprint(A):
-            return hit[1]
+    if build_device:
+        hit = _memo_get(A, "_prepared_cache", (reorder, backend),
+                        _fingerprint(A))
+        if hit is not None:
+            return hit
     if isinstance(A, COO):
         A = coo_to_csr(A)
     if isinstance(A, BSR):

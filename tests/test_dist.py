@@ -1125,3 +1125,51 @@ class TestDistPrepareMemo:
             assert calls["n"] == 3
         finally:
             ds._build_dist_program = orig
+
+    def test_short_rhs_raises(self, mesh8):
+        # a short rhs must raise — the launcher's identity padding is for
+        # its OWN growth only; zero-filling user equations would silently
+        # return a wrong answer (568 % 8 == 0, so only the length check
+        # can catch it)
+        import lssp_tpu as lt
+        from lssp_tpu.parallel import dist_solve as ds
+        A = lt.sparse.laplacian_2d(24)           # n = 576
+        with pytest.raises(ValueError, match="576"):
+            ds.dist_solve(A, jnp.ones(568, dtype=jnp.float64), mesh=mesh8)
+        with pytest.raises(ValueError, match="576"):
+            ds.dist_solve_multi(A, jnp.ones((568, 2), dtype=jnp.float64),
+                                mesh=mesh8)
+
+    def test_program_cache_lru_and_sizing_survival(self, mesh8):
+        """The program cache is LRU-bounded at 8; a hot entry must survive
+        churn from 8+ other keys IF re-touched (LRU, not FIFO), and the
+        saamg sizing plan lives in its own unbounded cache so eviction
+        never re-runs the detect_grid host scan."""
+        import lssp_tpu as lt
+        from lssp_tpu.parallel import dist_solve as ds
+        from lssp_tpu.amg import sa as sa_mod
+        A = lt.sparse.laplacian_2d(24)
+        b = jnp.ones(A.shape[0], dtype=jnp.float64)
+        ds.dist_solve(A, b, method="cg", pc="saamg", mesh=mesh8)
+        scans = {"n": 0}
+        orig_dg = sa_mod.detect_grid
+
+        def counting_dg(*a, **k):
+            scans["n"] += 1
+            return orig_dg(*a, **k)
+
+        sa_mod.detect_grid = counting_dg
+        try:
+            # churn 8 distinct program keys; re-touch saamg between them
+            for i, rt in enumerate([1e-6, 1e-7, 1e-9, 1e-10]):
+                for m in ("cg", "bicgstab"):
+                    ds.dist_solve(A, b, method=m, pc="jacobi", mesh=mesh8,
+                                  options=SolverOptions(rtol=rt))
+                ds.dist_solve(A, b, method="cg", pc="saamg", mesh=mesh8)
+            assert scans["n"] == 0, "sizing plan was evicted/re-scanned"
+            assert len(A._dist_cache) <= 8
+            # the re-touched saamg program survived the churn (LRU)
+            key_pcs = [k[4] for k in A._dist_cache]
+            assert "saamg" in key_pcs
+        finally:
+            sa_mod.detect_grid = orig_dg
