@@ -23,13 +23,14 @@ if "JAX_PLATFORMS" not in os.environ and "TPU_WORKER_ID" not in os.environ:
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import jax
+import lssp_tpu as lt   # before any backend init: injects the XLA:CPU
+                        # scheduler guard flag (see lssp_tpu/__init__.py)
 
 jax.config.update("jax_enable_x64", jax.default_backend() != "tpu")
 
 import jax.numpy as jnp
 import numpy as np
 
-import lssp_tpu as lt
 from lssp_tpu.parallel.dist_solve import dist_solve, make_mesh
 
 
