@@ -104,11 +104,40 @@ def _pad_identity(A, m):
 
 def _to_dia(Ah, dtype, max_diags):
     from lssp_tpu.sparse.convert import csr_to_dia, csr_to_ell
-    csr = CSR.from_scipy(Ah.astype(dtype))
+    # dtype cast happens inside the DIA scatter — no intermediate
+    # full-precision CSR copy (measured ~11 s of pure astype at 4.2M rows)
+    csr = CSR.from_scipy(Ah)
     try:
-        return csr_to_dia(csr, max_diags=max_diags)
+        return csr_to_dia(csr, max_diags=max_diags, dtype=dtype)
     except ValueError:
-        return csr_to_ell(csr)          # fallback; still correct
+        return csr_to_ell(csr.astype(dtype))    # fallback; still correct
+
+
+def _subset_csr_lumped(Ac, keep, rows, isdiag):
+    """Shared fast tail of the two lumping filters: build the kept-entry
+    CSR directly from the row-ordered masked arrays (no coo_tocsr re-sort,
+    no second `+ diags` sparse binop) and add the dropped mass onto the
+    structural diagonal in place.  Falls back to the allocating path when
+    some row with dropped mass has no structural diagonal to lump onto
+    (never the case for the I−cD⁻¹A smoothers or Galerkin RAPs this
+    filters, but correctness must not depend on that)."""
+    import scipy.sparse as sp
+    n = Ac.shape[0]
+    drop = ~keep
+    lump = np.bincount(rows[drop], weights=Ac.data[drop], minlength=n)
+    lumped_rows = lump != 0
+    hasdiag = np.zeros(n, dtype=bool)
+    hasdiag[rows[isdiag]] = True
+    new_dat = Ac.data[keep]
+    new_ind = Ac.indices[keep]
+    csum = np.concatenate(([0], np.cumsum(keep, dtype=np.int64)))
+    new_indptr = csum[np.asarray(Ac.indptr, dtype=np.int64)]
+    if np.any(lumped_rows & ~hasdiag):
+        out = sp.csr_matrix((new_dat, new_ind, new_indptr), shape=Ac.shape)
+        return (out + sp.diags(lump.astype(Ac.data.dtype))).tocsr()
+    diag_kept = isdiag[keep]
+    new_dat[diag_kept] += lump[rows[keep][diag_kept]]
+    return sp.csr_matrix((new_dat, new_ind, new_indptr), shape=Ac.shape)
 
 
 def _filter_lumped(Ac, tol):
@@ -116,7 +145,6 @@ def _filter_lumped(Ac, tol):
     diagonal (keeps row sums; bounds the coarse-stencil growth that
     otherwise compounds through repeated smoothed RAP, and doubles as the
     SA strength filter for prolongator smoothing)."""
-    import scipy.sparse as sp
     if tol <= 0:
         return Ac
     Ac = Ac.tocsr()
@@ -124,14 +152,15 @@ def _filter_lumped(Ac, tol):
     n = Ac.shape[0]
     d = np.abs(Ac.diagonal())
     d[d == 0] = 1.0
-    rows = np.repeat(np.arange(n), np.diff(Ac.indptr))
+    it = np.int32 if n < 2**31 else np.int64
+    rows = np.repeat(np.arange(n, dtype=it), np.diff(Ac.indptr))
     cols = Ac.indices
     thresh = tol * np.sqrt(d[rows] * d[cols])
-    keep = (np.abs(Ac.data) >= thresh) | (rows == cols)
-    lump = np.bincount(rows[~keep], weights=Ac.data[~keep], minlength=n)
-    out = sp.csr_matrix((Ac.data[keep], (rows[keep], cols[keep])),
-                        shape=Ac.shape)
-    return (out + sp.diags(lump.astype(Ac.data.dtype))).tocsr()
+    isdiag = cols == rows
+    keep = (np.abs(Ac.data) >= thresh) | isdiag
+    if keep.all():
+        return Ac
+    return _subset_csr_lumped(Ac, keep, rows, isdiag)
 
 
 def _lump_to_pattern(Ac, gy, gx, ry, rx):
@@ -141,19 +170,18 @@ def _lump_to_pattern(Ac, gy, gx, ry, rx):
     9-point, so for grid levels the out-of-pattern mass produced by
     repeated smoothed RAP is noise — lumping it keeps every coarse
     operator a bounded DIA stencil instead of compounding toward ELL."""
-    import scipy.sparse as sp
-    Ac = Ac.tocoo()
+    Ac = Ac.tocsr()
+    Ac.sum_duplicates()
     n = Ac.shape[0]
-    d = Ac.col.astype(np.int64) - Ac.row.astype(np.int64)
-    dy = np.rint(d / gx).astype(np.int64)
+    it = np.int32 if n < 2**31 else np.int64
+    rows = np.repeat(np.arange(n, dtype=it), np.diff(Ac.indptr))
+    d = Ac.indices.astype(it, copy=False) - rows
+    dy = np.rint(d / gx).astype(it)
     dx = d - dy * gx
     keep = (np.abs(dy) <= ry) & (np.abs(dx) <= rx)
     if keep.all():
-        return Ac.tocsr()
-    lump = np.bincount(Ac.row[~keep], weights=Ac.data[~keep], minlength=n)
-    out = sp.csr_matrix((Ac.data[keep], (Ac.row[keep], Ac.col[keep])),
-                        shape=Ac.shape)
-    return (out + sp.diags(lump.astype(Ac.data.dtype))).tocsr()
+        return Ac
+    return _subset_csr_lumped(Ac, keep, rows, d == 0)
 
 
 def detect_grid(A, max_halfwidth: int = 2) -> Optional[Tuple[int, int]]:
@@ -167,10 +195,10 @@ def detect_grid(A, max_halfwidth: int = 2) -> Optional[Tuple[int, int]]:
     returned (gy', gx+1) on such grids.  Returns None when no candidate
     fits (e.g. after RCM reordering, or genuinely unstructured
     sparsity)."""
+    from lssp_tpu.sparse.convert import csr_entry_offsets
     n = A.shape[0]
-    ip = np.asarray(A.indptr).astype(np.int64)
-    rows = np.repeat(np.arange(n, dtype=np.int64), ip[1:] - ip[:-1])
-    offs = np.unique(np.asarray(A.indices).astype(np.int64) - rows)
+    _, _, offs = csr_entry_offsets(A.indptr, A.indices, n)
+    offs = offs.astype(np.int64)
     cands = np.unique(np.abs(offs[np.abs(offs) > max_halfwidth]))
     best = None
     for N in cands:
@@ -191,13 +219,21 @@ def detect_grid(A, max_halfwidth: int = 2) -> Optional[Tuple[int, int]]:
 
 
 def _grid_strengths(Al, gy, gx):
-    """Total |coupling| along x (same grid row) vs y (crossing rows)."""
-    Ac = Al.tocoo()
-    d = Ac.col.astype(np.int64) - Ac.row.astype(np.int64)
-    dy = np.rint(d / gx).astype(np.int64)
-    a = np.abs(Ac.data)
-    sx = float(a[(dy == 0) & (d != 0)].sum())
-    sy = float(a[dy != 0].sum())
+    """Total |coupling| along x (same grid row) vs y (crossing rows).
+
+    One O(nnz) pass: per-DIAGONAL |a| sums via bincount over the offset
+    index, then the handful of offsets are classified by direction —
+    avoids materializing per-entry dy/abs masks over 84M entries."""
+    from lssp_tpu.sparse.convert import csr_entry_offsets
+    Ac = Al.tocsr()
+    n = Ac.shape[0]
+    _, d, offs = csr_entry_offsets(Ac.indptr, Ac.indices, n)
+    idx = np.searchsorted(offs, d)
+    sums = np.bincount(idx, weights=np.abs(Ac.data), minlength=len(offs))
+    o = offs.astype(np.int64)
+    dy = np.rint(o / gx).astype(np.int64)
+    sx = float(sums[(dy == 0) & (o != 0)].sum())
+    sy = float(sums[dy != 0].sum())
     return sx, sy
 
 

@@ -91,9 +91,10 @@ def _make_hyb_spmv(M: DistHYB, axis: str):
     band_op = _make_dia_spmv(M.band, axis)
 
     def op(band_data, rr, rc, rv, x):
+        from lssp_tpu.ops.spmv import lane_gather
         y = band_op(band_data, x)
         x_full = lax.all_gather(x, axis, tiled=True)
-        return y.at[rr].add(rv * x_full[rc])
+        return y.at[rr].add(rv * lane_gather(x_full, rc))
 
     return op
 
@@ -103,11 +104,13 @@ def _make_hyb_spmv_t(M: DistHYB, axis: str):
     n = M.n
 
     def op_t(band_data, rr, rc, rv, x):
+        from lssp_tpu.ops.spmv import lane_gather
         y = band_op_t(band_data, x)
         # remainder entries (local row r, global col c): v·x[r] lands on
         # global row c; psum_scatter reduces the per-shard full-length
         # accumulations and hands each shard its slice
-        z_full = jnp.zeros(n, dtype=y.dtype).at[rc].add(rv * x[rr])
+        z_full = jnp.zeros(n, dtype=y.dtype).at[rc].add(
+            rv * lane_gather(x, rr))
         return y + lax.psum_scatter(z_full, axis, scatter_dimension=0,
                                     tiled=True)
 

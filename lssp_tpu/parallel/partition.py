@@ -105,10 +105,12 @@ def partition_csr_dia(A: CSR, nshards: int, max_diags: int = 256,
     if n % nshards:
         raise ValueError(f"n={n} not divisible by nshards={nshards}")
     R = n // nshards
+    from lssp_tpu.sparse.convert import csr_entry_offsets
     ip = np.asarray(A.indptr).astype(np.int64)
     idx = np.asarray(A.indices).astype(np.int64)
-    rows = np.repeat(np.arange(n, dtype=np.int64), ip[1:] - ip[:-1])
-    offs = np.unique(idx - rows)
+    rows, _, offs = csr_entry_offsets(A.indptr, A.indices, n)
+    rows = rows.astype(np.int64, copy=False)
+    offs = offs.astype(np.int64, copy=False)
     if len(offs) > max_diags:
         raise ValueError(f"{len(offs)} diagonals > max_diags={max_diags}")
     if len(offs) * n > dia_fill * max(A.nnz, 1):

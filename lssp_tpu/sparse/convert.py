@@ -16,6 +16,27 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def csr_entry_offsets(indptr, indices, n):
+    """Per-entry diagonal offsets (col − row) and their sorted unique set,
+    via a counting pass instead of an O(nnz log nnz) sort — the dominant
+    host cost at 16.8M rows was ``np.unique`` over 84M int64 offsets
+    (several seconds per call ×25 hierarchy conversions).  Returns
+    ``(rows, d, offs)`` with ``rows``/``d`` int32 when the dimension
+    permits (n < 2³¹) so downstream fancy indexing moves half the bytes."""
+    ip = np.asarray(indptr)
+    # int32 only when the shifted offset d+(n-1) ∈ [0, 2n-2] also fits
+    it = np.int32 if 2 * n < 2**31 else np.int64
+    rows = np.repeat(np.arange(n, dtype=it), np.diff(ip))
+    d = np.asarray(indices).astype(it, copy=False) - rows
+    if len(d) == 0:
+        return rows, d, np.zeros(0, dtype=it)
+    # offsets live in [-(n-1), n-1]: one counting array of length 2n-1
+    # (bincount casts to intp internally in C — no explicit astype copy)
+    occ = np.bincount(d + it(n - 1), minlength=2 * n - 1)
+    offs = (np.flatnonzero(occ) - (n - 1)).astype(it)
+    return rows, d, offs
+
+
 def coo_to_csr(A: COO, sum_duplicates: bool = True) -> CSR:
     """Counting-sort COO→CSR, summing duplicate entries
     (reference lssp_mat_coo_to_csr, matrix-utils.cxx:324-380)."""
@@ -117,21 +138,19 @@ def csr_to_ell(A: CSR, pad_to: int = 4) -> ELL:
     return ELL(cols, data, A.shape)
 
 
-def csr_to_dia(A: CSR, max_diags: int = 64) -> DIA:
+def csr_to_dia(A: CSR, max_diags: int = 64, dtype=None) -> DIA:
     """CSR→diagonal storage (row-aligned: data[d,i] = A[i, i+off]).
 
     Raises ``ValueError`` if the matrix has more than ``max_diags`` distinct
-    diagonals — callers fall back to ELL.
-    """
+    diagonals — callers fall back to ELL.  ``dtype`` casts during the
+    scatter so hierarchy builders never materialize an intermediate
+    full-precision copy of the CSR just to change dtype."""
     n, m = A.shape
-    ip = np.asarray(A.indptr).astype(np.int64)
-    rows = np.repeat(np.arange(n, dtype=np.int64), ip[1:] - ip[:-1])
-    cols = np.asarray(A.indices).astype(np.int64)
-    offs = np.unique(cols - rows)
+    rows, d, offs = csr_entry_offsets(A.indptr, A.indices, n)
     if len(offs) > max_diags:
         raise ValueError(f"{len(offs)} diagonals > max_diags={max_diags}")
-    data = np.zeros((len(offs), n), dtype=A.data.dtype)
-    d_idx = np.searchsorted(offs, cols - rows)
+    data = np.zeros((len(offs), n), dtype=dtype or A.data.dtype)
+    d_idx = np.searchsorted(offs, d)
     data[d_idx, rows] = np.asarray(A.data)
     return DIA(tuple(int(o) for o in offs), data, A.shape)
 
@@ -174,12 +193,10 @@ def band_occupancy(A: CSR, max_diags: int = 256,
                    min_occ: float = 0.02) -> float:
     """Fraction of nnz a HYB split would stream as DIA diagonals."""
     n = A.shape[0]
-    ip = np.asarray(A.indptr).astype(np.int64)
-    rows = np.repeat(np.arange(n, dtype=np.int64), ip[1:] - ip[:-1])
-    d = np.asarray(A.indices).astype(np.int64) - rows
+    _, d, offs = csr_entry_offsets(A.indptr, A.indices, n)
     if len(d) == 0:
         return 0.0
-    counts = np.unique(d, return_counts=True)[1]
+    counts = np.bincount(np.searchsorted(offs, d), minlength=len(offs))
     take = _select_band(counts, n, max_diags, min_occ)
     return float(counts[take].sum()) / max(A.nnz, 1)
 
@@ -198,19 +215,20 @@ def csr_to_hyb(A: CSR, max_diags: int = 256, min_occ: float = 0.02,
     falling off the ~1 GB/s whole-matrix gather cliff.
     """
     n, m = A.shape
-    ip = np.asarray(A.indptr).astype(np.int64)
-    rows = np.repeat(np.arange(n, dtype=np.int64), ip[1:] - ip[:-1])
-    cols = np.asarray(A.indices).astype(np.int64)
+    rows, d_all, offs = csr_entry_offsets(A.indptr, A.indices, n)
+    cols = np.asarray(A.indices)
     dat = np.asarray(A.data)
-    d_all = cols - rows
-    offs, counts = np.unique(d_all, return_counts=True)
+    all_idx = np.searchsorted(offs, d_all)
+    counts = np.bincount(all_idx, minlength=len(offs))
     take = _select_band(counts, n, max_diags, min_occ)
     if len(take) == 0 or counts[take].sum() < min_cover * max(A.nnz, 1):
         raise ValueError(
             f"band coverage {counts[take].sum() / max(A.nnz, 1):.2f} below "
             f"min_cover={min_cover}; use ELL")
-    kept = np.sort(offs[take])
-    in_band = np.isin(d_all, kept)
+    keep_mask = np.zeros(len(offs), dtype=bool)
+    keep_mask[take] = True
+    in_band = keep_mask[all_idx]
+    kept = offs[keep_mask].astype(np.int64)
 
     data_dia = np.zeros((len(kept), n), dtype=dat.dtype)
     d_idx = np.searchsorted(kept, d_all[in_band])
@@ -238,9 +256,7 @@ def to_device_format(A: CSR, max_diags: int = 32, dia_fill: float = 2.0,
     """
     n = A.shape[0]
     try:
-        ip = np.asarray(A.indptr)
-        rows = np.repeat(np.arange(n, dtype=np.int64), ip[1:] - ip[:-1])
-        offs = np.unique(np.asarray(A.indices).astype(np.int64) - rows)
+        _, _, offs = csr_entry_offsets(A.indptr, A.indices, n)
         if len(offs) <= max_diags and len(offs) * n <= dia_fill * max(A.nnz, 1):
             return csr_to_dia(A, max_diags=max_diags)
     except Exception:

@@ -48,9 +48,8 @@ def bandwidth(A: CSR) -> int:
 
 
 def num_diagonals(A: CSR) -> int:
-    ip = np.asarray(A.indptr).astype(np.int64)
-    rows = np.repeat(np.arange(A.shape[0], dtype=np.int64), ip[1:] - ip[:-1])
-    return len(np.unique(np.asarray(A.indices).astype(np.int64) - rows))
+    from lssp_tpu.sparse.convert import csr_entry_offsets
+    return len(csr_entry_offsets(A.indptr, A.indices, A.shape[0])[2])
 
 
 def band_coverage(A: CSR, max_diags: int = 256,
@@ -112,11 +111,11 @@ def maybe_rcm(A: CSR, max_diags: int = 256,
     """
     n = A.shape[0]
     # one offset scan shared by the grid-transpose check and the
-    # diagonal-count gate (these are O(nnz log nnz) on the host)
-    ip = np.asarray(A.indptr).astype(np.int64)
-    rows = np.repeat(np.arange(n, dtype=np.int64), ip[1:] - ip[:-1])
-    dvec = np.asarray(A.indices).astype(np.int64) - rows
-    offs = np.unique(dvec)
+    # diagonal-count gate (counting pass, not an O(nnz log nnz) sort)
+    from lssp_tpu.sparse.convert import csr_entry_offsets
+    _, dvec, offs = csr_entry_offsets(A.indptr, A.indices, n)
+    dvec = dvec.astype(np.int64, copy=False)
+    offs = offs.astype(np.int64, copy=False)
     gt = grid_transpose_perm(A, _doffs=(dvec, offs))
     if gt is not None:
         return permute_symmetric(A, gt), gt
