@@ -105,6 +105,128 @@ def _dia_spmv_pallas(data, x, offsets, interpret=False, prepadded=False,
     return y[:n] if pad_n else y
 
 
+@functools.partial(jax.jit, static_argnames=("offsets", "interpret"))
+def _dia_spmv_hyb_pallas(data, x, contrib, lane, offsets, interpret=False):
+    """DIA stencil SpMV with the HYB remainder fused as a WINDOW epilogue.
+
+    ``contrib``/``lane`` are (S, ceil(n/128)): slot s of window w holds a
+    remainder contribution ``v·x[col]`` (precomputed by XLA via the
+    lane-wide gather) targeting lane ``lane[s, w]`` of y's 128-row window
+    w.  While the y tile is still in VMEM the kernel adds each slot with a
+    one-hot lane select — S·(T/128, 128) VPU compare+selects, zero dynamic
+    indexing, zero extra HBM traffic over the plain DIA kernel beyond the
+    (S, nwin) slot arrays themselves.  Replaces the XLA scatter-add, which
+    serializes per element (TPU-measured 149 µs for 21k updates at 4.2M
+    rows — more than the whole 5-diagonal band product)."""
+    n = data.shape[1]
+    ndiag = data.shape[0]
+    S = contrib.shape[0]
+    lo = max(0, -min(offsets)) if offsets else 0
+    hi = max(0, max(offsets)) if offsets else 0
+    dtype = jnp.result_type(data.dtype, x.dtype)
+    T = _pick_tile(n, lo + hi, ndiag + 2, dtype.itemsize if hasattr(dtype, "itemsize") else 4)
+
+    pad_n = (-n) % T
+    W = _round_up(T + lo + hi, _DMA_ALIGN)
+    xp = jnp.pad(x.astype(dtype), (lo, (W - lo - T) + pad_n))
+    dp = jnp.pad(data.astype(dtype), ((0, 0), (0, pad_n)))
+    nwin_pad = (n + pad_n) // 128
+    cp_ = jnp.pad(contrib.astype(dtype),
+                  ((0, 0), (0, nwin_pad - contrib.shape[1])))
+    lp_ = jnp.pad(lane.astype(jnp.int32),
+                  ((0, 0), (0, nwin_pad - lane.shape[1])))
+    nb = (n + pad_n) // T
+    TW = T // 128
+
+    def kernel(x_hbm, d_ref, c_ref, l_ref, y_ref):
+        i = pl.program_id(0)
+
+        def inner(xw, sem):
+            cp = pltpu.make_async_copy(x_hbm.at[pl.ds(i * T, W)], xw, sem)
+            cp.start()
+            cp.wait()
+            acc = d_ref[0, :] * xw[pl.ds(lo + offsets[0], T)]
+            for d in range(1, ndiag):
+                acc += d_ref[d, :] * xw[pl.ds(lo + offsets[d], T)]
+            acc2 = acc.reshape(TW, 128)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (TW, 128), 1)
+            for s in range(S):
+                acc2 = acc2 + jnp.where(l_ref[s, :][:, None] == iota,
+                                        c_ref[s, :][:, None],
+                                        jnp.zeros((), dtype))
+            y_ref[:] = acc2.reshape(T)
+
+        pl.run_scoped(inner, pltpu.VMEM((W,), dtype), pltpu.SemaphoreType.DMA)
+
+    y = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((ndiag, T), lambda i: (np.int32(0), i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, TW), lambda i: (np.int32(0), i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, TW), lambda i: (np.int32(0), i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T,), lambda i: (i,), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n + pad_n,), dtype),
+        interpret=interpret,
+    )(xp, dp, cp_, lp_)
+    return y[:n] if pad_n else y
+
+
+@functools.lru_cache(maxsize=None)
+def _vmap_safe_hyb_kernel(offsets, interpret):
+    """vmap-safe wrapper for the HYB window kernel (same reason as
+    _vmap_safe_kernel).  The batched rule runs the XLA shifted-stream DIA
+    SpMM plus a one-hot einsum for the window slots — correct for any
+    batching pattern; the unbatched call takes the fused Pallas path."""
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def f(data, x, contrib, lane):
+        return _dia_spmv_hyb_pallas(data, x, contrib, lane, offsets,
+                                    interpret=interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, data, x, contrib, lane):
+        data_b, x_b, c_b, lane_b = in_batched
+        lo = max(0, -min(offsets)) if offsets else 0
+        hi = max(0, max(offsets)) if offsets else 0
+        n = data.shape[-1]
+        dtype = jnp.result_type(data.dtype, x.dtype)
+        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(lo, hi)])
+        y = jnp.zeros(x.shape[:-1] + (n,), dtype=dtype)
+        for d, off in enumerate(offsets):
+            sl = jax.lax.slice_in_dim(xp, lo + off, lo + off + n, axis=-1)
+            dd = data[..., d, :] if data_b else data[d]
+            y = y + dd * sl
+        if lane_b:
+            lane = lane[0]                  # static layout, never batched
+        S, nwin = lane.shape
+        oh = (lane[:, :, None]
+              == jnp.arange(128, dtype=lane.dtype)[None, None, :])
+        cb = contrib if c_b else jnp.broadcast_to(
+            contrib, (axis_size,) + contrib.shape)
+        upd = jnp.einsum("ksw,swl->kwl", cb.astype(dtype), oh.astype(dtype))
+        y2 = (y if y.ndim == 2
+              else jnp.broadcast_to(y, (axis_size, n)))
+        y2 = y2 + upd.reshape(axis_size, -1)[:, :n]
+        return y2, True
+
+    return f
+
+
+def dia_spmv_hyb_pallas(A, x, contrib, interpret: bool = False):
+    """y = A.dia @ x + window-scatter(contrib) via the fused kernel.
+    ``contrib`` is the (S, nwin) slot-contribution array (win_vals ·
+    gathered x); the caller handles the ovr_* overflow triplets."""
+    return _vmap_safe_hyb_kernel(A.dia.offsets, bool(interpret))(
+        A.dia.data, x, contrib, A.win_lane)
+
+
 @functools.lru_cache(maxsize=None)
 def _vmap_safe_kernel(offsets, interpret, scale):
     """The Pallas call wrapped with a custom vmap rule: Mosaic's automatic

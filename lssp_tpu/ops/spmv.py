@@ -133,7 +133,23 @@ def lane_gather(x, cols):
 def _spmv_hyb(A: HYB, x):
     """Band part streams as DIA; the small COO remainder applies as one
     lane-wide gather + scatter-add whose cost scales with the remainder
-    count, not the matrix (padded slots contribute 0 to row 0)."""
+    count, not the matrix (padded slots contribute 0 to row 0).
+
+    TPU fast path: when the converter laid the remainder out in window
+    slots (``win_*``), the scatter happens INSIDE the Pallas DIA kernel as
+    a dense one-hot epilogue while each y tile is still in VMEM — the XLA
+    scatter-add serializes per element and was measured costing more than
+    the whole band product.  Only the few overflow entries (ovr_*) take
+    the scalar scatter."""
+    n = A.shape[0]
+    dtype = jnp.result_type(A.dia.data.dtype, x.dtype)
+    if A.win_vals is not None and dia_pallas_ok(dtype, n):
+        from lssp_tpu.ops.pallas_spmv import dia_spmv_hyb_pallas
+        S, nwin = A.win_vals.shape
+        xg = lane_gather(x, A.win_cols.reshape(-1)).reshape(S, nwin)
+        y = dia_spmv_hyb_pallas(A, x, A.win_vals * xg)
+        return y.at[A.ovr_rows].add(
+            A.ovr_vals * lane_gather(x, A.ovr_cols))
     y = _spmv_dia(A.dia, x)
     return y.at[A.rem_rows].add(A.rem_vals * lane_gather(x, A.rem_cols))
 

@@ -237,13 +237,56 @@ def csr_to_hyb(A: CSR, max_diags: int = 256, min_occ: float = 0.02,
 
     # remainder triplets, zero-padded at (0, 0) to a lane-friendly length
     r_rem, c_rem, v_rem = rows[~in_band], cols[~in_band], dat[~in_band]
+    win = _remainder_windows(r_rem, c_rem, v_rem, n, dat.dtype, pad_to)
     npad = _round_up(max(len(v_rem), 1), pad_to) - len(v_rem)
     r_rem = np.concatenate([r_rem, np.zeros(npad, np.int64)])
     c_rem = np.concatenate([c_rem, np.zeros(npad, np.int64)])
     v_rem = np.concatenate([v_rem, np.zeros(npad, dat.dtype)])
     return HYB(dia=dia, rem_rows=r_rem.astype(np.int32),
                rem_cols=c_rem.astype(np.int32), rem_vals=v_rem,
-               shape=A.shape)
+               shape=A.shape, **win)
+
+
+def _remainder_windows(r, c, v, n, dtype, pad_to=8, max_slots=16,
+                       max_waste=4.0):
+    """Re-lay remainder triplets into S slots per 128-row window (the TPU
+    kernel's dense one-hot scatter epilogue, ops/pallas_spmv.py).  S is the
+    smallest power of two ≤ ``max_slots`` whose spill stays under 10% of
+    the entries; spilled entries go to the ovr_* scalar-scatter triplets.
+    Returns all-None when the slot padding would exceed ``max_waste``×
+    the entry count (clustered remainders on a tiny fraction of windows —
+    the scalar path is better there)."""
+    none = dict(win_cols=None, win_lane=None, win_vals=None,
+                ovr_rows=None, ovr_cols=None, ovr_vals=None)
+    if len(r) == 0:
+        return none
+    nwin = -(-n // 128)
+    w = (r // 128).astype(np.int64)
+    order = np.argsort(w, kind="stable")
+    r, c, v, w = r[order], c[order], v[order], w[order]
+    cnt = np.bincount(w, minlength=nwin)
+    # slot index of each entry inside its window (0,1,2,... in row order)
+    starts = np.concatenate(([0], np.cumsum(cnt)))
+    slot = np.arange(len(r), dtype=np.int64) - starts[w]
+    S = 1
+    while S < max_slots and (slot >= S).sum() > 0.10 * len(r):
+        S *= 2
+    if S * nwin > max_waste * max(len(r), 1) and S > 1:
+        return none
+    inwin = slot < S
+    wc = np.zeros((S, nwin), np.int32)
+    wl = np.zeros((S, nwin), np.int32)
+    wv = np.zeros((S, nwin), dtype)
+    wc[slot[inwin], w[inwin]] = c[inwin]
+    wl[slot[inwin], w[inwin]] = r[inwin] % 128
+    wv[slot[inwin], w[inwin]] = v[inwin]
+    ro, co, vo = r[~inwin], c[~inwin], v[~inwin]
+    npad = _round_up(max(len(vo), 1), pad_to) - len(vo)
+    ro = np.concatenate([ro, np.zeros(npad, np.int64)]).astype(np.int32)
+    co = np.concatenate([co, np.zeros(npad, np.int64)]).astype(np.int32)
+    vo = np.concatenate([vo, np.zeros(npad, dtype)])
+    return dict(win_cols=wc, win_lane=wl, win_vals=wv,
+                ovr_rows=ro, ovr_cols=co, ovr_vals=vo)
 
 
 def to_device_format(A: CSR, max_diags: int = 32, dia_fill: float = 2.0,

@@ -298,6 +298,18 @@ class HYB:
     rem_cols: Any         # (nnz_rem_padded,) int32
     rem_vals: Any         # (nnz_rem_padded,)
     shape: Tuple[int, int]
+    # optional WINDOW layout of the same remainder (built by csr_to_hyb
+    # when the occupancy histogram permits): entries re-laid into S slots
+    # per 128-row window so the TPU kernel can scatter them as a dense
+    # one-hot VPU epilogue — zero dynamic indexing.  Entries past S in an
+    # overfull window spill to the ovr_* COO triplets (scalar scatter).
+    # All three win_* are (S, ceil(n/128)); None ⇒ scalar-remainder only.
+    win_cols: Any = None  # (S, nwin) int32 global column (0 in padding)
+    win_lane: Any = None  # (S, nwin) int32 row % 128 (0 in padding)
+    win_vals: Any = None  # (S, nwin) dtype (0 in padding)
+    ovr_rows: Any = None  # (novr_padded,) int32
+    ovr_cols: Any = None  # (novr_padded,) int32
+    ovr_vals: Any = None  # (novr_padded,)
 
     @property
     def dtype(self):
@@ -320,4 +332,6 @@ _register(BSR, ("indptr", "indices", "blocks"), ("shape", "blocksize"))
 _register(ELL, ("cols", "data"), ("shape",))
 _register(DIA, ("data",), ("offsets", "shape"))
 _register(BDIA, ("blocks",), ("offsets", "shape", "blocksize"))
-_register(HYB, ("dia", "rem_rows", "rem_cols", "rem_vals"), ("shape",))
+_register(HYB, ("dia", "rem_rows", "rem_cols", "rem_vals", "win_cols",
+                "win_lane", "win_vals", "ovr_rows", "ovr_cols", "ovr_vals"),
+          ("shape",))
