@@ -126,8 +126,11 @@ def _subset_csr_lumped(Ac, keep, rows, isdiag):
     drop = ~keep
     lump = np.bincount(rows[drop], weights=Ac.data[drop], minlength=n)
     lumped_rows = lump != 0
+    # the lumping target must itself be a KEPT diagonal: a structural
+    # diagonal excluded by `keep` would pass the guard but receive the
+    # in-place add on no entry (advisor r3)
     hasdiag = np.zeros(n, dtype=bool)
-    hasdiag[rows[isdiag]] = True
+    hasdiag[rows[keep & isdiag]] = True
     new_dat = Ac.data[keep]
     new_ind = Ac.indices[keep]
     csum = np.concatenate(([0], np.cumsum(keep, dtype=np.int64)))

@@ -22,12 +22,20 @@ def csr_entry_offsets(indptr, indices, n):
     host cost at 16.8M rows was ``np.unique`` over 84M int64 offsets
     (several seconds per call ×25 hierarchy conversions).  Returns
     ``(rows, d, offs)`` with ``rows``/``d`` int32 when the dimension
-    permits (n < 2³¹) so downstream fancy indexing moves half the bytes."""
+    permits (n < 2³¹) so downstream fancy indexing moves half the bytes.
+
+    SQUARE-ONLY contract: offsets are assumed to live in [-(n-1), n-1]
+    (the counting array is sized 2n-1 and the int32 eligibility shifts by
+    n-1) — a rectangular CSR with column count m > n would both overflow
+    the shift near int32 and under-size the bincount (advisor r3)."""
     ip = np.asarray(indptr)
     # int32 only when the shifted offset d+(n-1) ∈ [0, 2n-2] also fits
     it = np.int32 if 2 * n < 2**31 else np.int64
     rows = np.repeat(np.arange(n, dtype=it), np.diff(ip))
     d = np.asarray(indices).astype(it, copy=False) - rows
+    if len(d) and int(d.max()) > n - 1:
+        raise ValueError(f"csr_entry_offsets: square-only (max offset "
+                         f"{int(d.max())} > n-1={n - 1})")
     if len(d) == 0:
         return rows, d, np.zeros(0, dtype=it)
     # offsets live in [-(n-1), n-1]: one counting array of length 2n-1
