@@ -144,14 +144,19 @@ def main():
         opts = dataclasses.replace(opts, rtol=1e-8, atol=0.0, rbtol=0.0,
                                    maxit=MAXIT)
 
+        setup_split = None
         if on_tpu:
             from lssp_tpu import solve_ir, prepare_ir
+            from lssp_tpu.utils import profile as prof
             # setup alone: reorder + convert + device upload + PC factor
             # (reference protocol separates PC assemble, pc.cxx:83-236)
+            prof.reset_phases()
             t0 = time.perf_counter()
             prepare_ir(A, method=cfg["method"], pc=cfg["pc"],
                        pc_options=cfg.get("pc_opts"))
             t_setup = time.perf_counter() - t0
+            setup_split = {k: round(v, 3)
+                           for k, v in prof.phase_times().items()}
             t0 = time.perf_counter()
             x, info = solve_ir(A, b, method=cfg["method"], pc=cfg["pc"],
                                options=opts, pc_options=cfg.get("pc_opts"))
@@ -194,6 +199,7 @@ def main():
                    rel_residual=float(f"{rel_res:.3e}"),
                    converged=bool(info.converged),
                    setup_s=round(t_setup, 3),
+                   **({"setup_split": setup_split} if setup_split else {}),
                    compile_s=round(t_first - t_solve, 3),
                    solve_s=round(t_solve, 4),
                    mnnz_per_s=round(A.nnz * max(int(info.nits), 1)

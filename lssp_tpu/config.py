@@ -104,8 +104,11 @@ class PCOptions:
     poly_degree: int = 8                  # polynomial-PC Chebyshev degree
     poly_ratio: float = 30.0              # covered spectrum: [lmax/ratio,
                                           # 1.05*lmax] (SPD)
-    lu_order: str = "rcm"                 # direct-LU fill-reducing ordering
-                                          # ("rcm" | None)
+    lu_order: str = "amd"                 # direct-LU fill-reducing ordering:
+                                          # "amd" (minimum degree — measured
+                                          # 3.5-7x lower fill than rcm on the
+                                          # vendored matrices, beats scipy's
+                                          # COLAMD on both) | "rcm" | None
     lu_pivot_tol: float = 0.1             # diagonal-preference threshold for
                                           # partial pivoting (1.0 = strict)
     transpose: bool = False               # also build the exact M⁻ᵀ apply

@@ -19,7 +19,8 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_HERE, "src", "ilu.cpp"),
          os.path.join(_HERE, "src", "splu.cpp"),
          os.path.join(_HERE, "src", "spqr.cpp"),
-         os.path.join(_HERE, "src", "aggregate.cpp")]
+         os.path.join(_HERE, "src", "aggregate.cpp"),
+         os.path.join(_HERE, "src", "amd.cpp")]
 _BUILD_DIR = os.path.join(_HERE, "_build")
 _LIB_PATH = os.path.join(_BUILD_DIR, "liblssp_native.so")
 
@@ -100,6 +101,7 @@ def load():
         lib.lssp_spqr_fetch.argtypes = [ctypes.c_void_p, _i64p, _i64p, _f64p,
                                         _f64p]
         lib.lssp_spqr_free.argtypes = [ctypes.c_void_p]
+        lib.lssp_amd_order.argtypes = [_i64p, _i64p, ctypes.c_int64, _i64p]
         lib.lssp_greedy_aggregate.argtypes = [
             _i64p, _i64p, _f64p, _i64p, _i64p, _f64p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
@@ -122,6 +124,17 @@ def levels(indptr: np.ndarray, indices: np.ndarray, n: int,
                     np.ascontiguousarray(indices, np.int64),
                     n, 1 if lower else 0, out)
     return out
+
+
+def amd_order(indptr: np.ndarray, indices: np.ndarray, n: int) -> np.ndarray:
+    """Minimum-degree ordering on the A+Aᵀ pattern (exact external degrees,
+    element absorption) — identical output to the Python oracle
+    sparse/reorder.py: amd_permutation."""
+    lib = load()
+    perm = np.empty(n, dtype=np.int64)
+    lib.lssp_amd_order(np.ascontiguousarray(indptr, np.int64),
+                       np.ascontiguousarray(indices, np.int64), n, perm)
+    return perm
 
 
 def ilu0(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,

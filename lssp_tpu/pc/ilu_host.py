@@ -102,12 +102,14 @@ def _set_values_from(pattern: CSR, A: CSR) -> CSR:
     aidx = np.asarray(A.indices).astype(np.int64)
     adat = np.asarray(A.data)
     data = np.zeros(len(pidx), dtype=adat.dtype)
-    for i in range(n):
-        ps, pe = pip[i], pip[i + 1]
-        as_, ae = aip[i], aip[i + 1]
-        # both sorted: positions of A cols within pattern cols
-        loc = np.searchsorted(pidx[ps:pe], aidx[as_:ae])
-        data[ps + loc] = adat[as_:ae]
+    # both CSRs are row-sorted with ascending columns, so the global key
+    # row·n + col is strictly increasing in each — ONE searchsorted over
+    # the flattened keys replaces the former per-row Python loop (O(n)
+    # interpreter iterations at 262k+ rows)
+    arows = np.repeat(np.arange(n, dtype=np.int64), np.diff(aip))
+    prows = np.repeat(np.arange(n, dtype=np.int64), np.diff(pip))
+    loc = np.searchsorted(prows * n + pidx, arows * n + aidx)
+    data[loc] = adat
     return CSR(pattern.indptr, pattern.indices, data, pattern.shape)
 
 
@@ -118,12 +120,20 @@ def ilu0_numeric(M: CSR) -> CSR:
     n = M.shape[0]
     ip = np.asarray(M.indptr).astype(np.int64)
     idx = np.asarray(M.indices).astype(np.int64)
-    data = np.asarray(M.data).copy()
+    out_dtype = np.asarray(M.data).dtype
+    # fp32 inputs (the solve_ir fp32-inner PC build) are factored in fp64
+    # and rounded ONCE at the end: strictly more accurate than per-step
+    # fp32 rounding, and it keeps the native/Python outputs bit-identical
+    # for every input dtype (both compute in fp64).  Without this the
+    # float64-only native gate silently fell back to the Python loop —
+    # 11.9 s of the 13.1 s cg+ilu0 64³ prepare_ir (round-4 item 3).
+    data = np.asarray(M.data).astype(np.float64, copy=True)
     ztol, zval = Defaults.ZERO_DIAG_TOL, Defaults.ZERO_DIAG_VALUE
 
-    if native.available() and data.dtype == np.float64:
+    if native.available():
         out = native.ilu0(ip, idx, data, ztol, zval)
-        return CSR(M.indptr, M.indices, out, M.shape)
+        return CSR(M.indptr, M.indices, out.astype(out_dtype, copy=False),
+                   M.shape)
 
     invd = np.zeros(n, dtype=data.dtype)
     d0 = data[0] if idx[0] == 0 else 0.0   # row 0 first entry is the diag
@@ -156,7 +166,8 @@ def ilu0_numeric(M: CSR) -> CSR:
                 data[kpos] = zval          # reference: unsigned clamp here
             di = data[kpos]
         invd[i] = 1.0 / di
-    return CSR(M.indptr, M.indices, data, M.shape)
+    return CSR(M.indptr, M.indices, data.astype(out_dtype, copy=False),
+               M.shape)
 
 
 def iluk_factor(A: CSR, level: int = 1, num_blocks: int = 1):
@@ -192,13 +203,18 @@ def ilut_factor(A: CSR, tol: float = None, p: int = None, num_blocks: int = 1):
     A = sort_columns(A)
     ip = np.asarray(A.indptr).astype(np.int64)
     idx = np.asarray(A.indices).astype(np.int64)
-    dat = np.asarray(A.data)
+    out_dtype = np.asarray(A.data).dtype
+    # factor in fp64, round once (same rationale + parity contract as
+    # ilu0_numeric): drop decisions and values are identical between the
+    # native and Python paths for every input dtype
+    dat = np.asarray(A.data).astype(np.float64, copy=False)
     ztol, zval = Defaults.ZERO_DIAG_TOL, Defaults.ZERO_DIAG_VALUE
 
-    if native.available() and dat.dtype == np.float64:
+    if native.available():
         nip, nidx, ndat = native.ilut(ip, idx, dat, n, float(tol), int(p),
                                       ztol, zval)
-        F = CSR(nip.astype(np.int32), nidx.astype(np.int32), ndat, A.shape)
+        F = CSR(nip.astype(np.int32), nidx.astype(np.int32),
+                ndat.astype(out_dtype, copy=False), A.shape)
         return split_lu(F)
 
     out_cols = [None] * n
@@ -283,7 +299,8 @@ def ilut_factor(A: CSR, tol: float = None, p: int = None, num_blocks: int = 1):
     np.cumsum(counts, out=new_ip[1:])
     new_idx = np.concatenate([np.asarray(r, dtype=np.int64) for r in out_cols])
     new_dat = np.concatenate([np.asarray(r, dtype=dat.dtype) for r in out_vals])
-    F = CSR(new_ip.astype(np.int32), new_idx.astype(np.int32), new_dat, A.shape)
+    F = CSR(new_ip.astype(np.int32), new_idx.astype(np.int32),
+            new_dat.astype(out_dtype, copy=False), A.shape)
     return split_lu(F)
 
 

@@ -125,12 +125,17 @@ def _splu_python(Ap, Ai, Ax, n, pivot_tol, ztol, zval):
             pinv, nclamped)
 
 
-def splu_factor(A: CSR, order: str = "rcm", pivot_tol: float = 0.1,
+def splu_factor(A: CSR, order: str = "amd", pivot_tol: float = 0.1,
                 ztol: float = None, zval: float = None) -> SpLU:
     """Factor the square CSR matrix A.
 
-    ``order``: "rcm" (default) applies the bandwidth-reducing symmetric
-    permutation before factoring (lower fill); None factors as given.
+    ``order``: "amd" (default) applies the minimum-degree fill-reducing
+    ordering (sparse/reorder.py: amd_permutation) — for LU, fill is the
+    only objective, and minimum degree wins even on banded patterns
+    (measured on the vendored matrices: convdiff fill 10.05 amd vs
+    34.75 rcm vs 15.0 scipy-COLAMD; coupled3d 70.6 vs 499.3 vs 131.3).
+    "rcm" applies the bandwidth-reducing permutation; None factors as
+    given.
     ``pivot_tol``: diagonal entries within this factor of the column max are
     kept as pivots (1.0 = strict partial pivoting, 0 = no pivoting beyond
     structure); near-zero pivots are clamped like the reference's ILU guard
@@ -142,9 +147,15 @@ def splu_factor(A: CSR, order: str = "rcm", pivot_tol: float = 0.1,
     zval = Defaults.ZERO_DIAG_VALUE if zval is None else zval
     p = np.arange(n, dtype=np.int64)
     B = A
+    if order == "auto":
+        order = "amd"
     if order == "rcm" and n > 1:
         from lssp_tpu.sparse.reorder import rcm_permutation, permute_symmetric
         p = np.asarray(rcm_permutation(A), dtype=np.int64)
+        B = permute_symmetric(A, p)
+    elif order == "amd" and n > 1:
+        from lssp_tpu.sparse.reorder import amd_permutation, permute_symmetric
+        p = np.asarray(amd_permutation(A), dtype=np.int64)
         B = permute_symmetric(A, p)
     # native kernel wants CSC = CSR of Bᵀ
     Bt = transpose(B)

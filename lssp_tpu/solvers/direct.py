@@ -91,7 +91,7 @@ def solve_lsq(A, b, rtol: float = 1e-10, max_refine: int = 4,
 
     As = A.to_scipy().tocsr().astype(np.float64)
     G = (As.T @ As).tocsr()
-    f = splu_factor(CSR.from_scipy(G), order="rcm")
+    f = splu_factor(CSR.from_scipy(G), order="amd")
     sl = level_schedule(f.L, lower=True)
     su = level_schedule(f.U, lower=False)
     pin = jnp.asarray(f.perm_in)

@@ -193,21 +193,26 @@ def prepare_ir(A, method: str = "gmres", pc: Optional[str] = "none",
         cache.clear()          # content changed: all entries stale
         cache["fp"] = fp
 
+    from lssp_tpu.utils import profile as _prof
+
     if mat_key in cache:
         A_host, A64, A32, perm = cache[mat_key]
     else:
         # build_device=False: both precisions are rebuilt below, so the
         # facade must not construct (or pin) an unused device format
-        A_host, _, perm = _prepare_matrix(A, reorder=reorder,
-                                          build_device=False)
-        # both precisions of the execution format from the (possibly
-        # reordered) host matrix
-        from lssp_tpu.sparse.convert import to_device_format
-        A64 = jax.device_put(to_device_format(A_host))
-        A32 = jax.device_put(jax.tree_util.tree_map(
-            lambda a: jnp.asarray(a, inner_dtype)
-            if jnp.asarray(a).dtype in (jnp.float64, jnp.float32) else a,
-            A64))
+        with _prof.phase("reorder_convert"):
+            A_host, _, perm = _prepare_matrix(A, reorder=reorder,
+                                              build_device=False)
+            # both precisions of the execution format from the (possibly
+            # reordered) host matrix
+            from lssp_tpu.sparse.convert import to_device_format
+            A64h = to_device_format(A_host)
+        with _prof.phase("upload"):
+            A64 = jax.device_put(A64h)
+            A32 = jax.device_put(jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, inner_dtype)
+                if jnp.asarray(a).dtype in (jnp.float64, jnp.float32) else a,
+                A64))
         cache[mat_key] = (A_host, A64, A32, perm)
 
     if pc_key in cache:
@@ -218,8 +223,9 @@ def prepare_ir(A, method: str = "gmres", pc: Optional[str] = "none",
             if transpose_pc:
                 pc_options = dataclasses.replace(pc_options or PCOptions(),
                                                  transpose=True)
-            M32 = pc_mod.setup(A_host.astype(np.dtype(inner_dtype)), pc,
-                               pc_options)
+            with _prof.phase("pc_build"):
+                M32 = pc_mod.setup(A_host.astype(np.dtype(inner_dtype)), pc,
+                                   pc_options)
         cache[pc_key] = M32
     return A_host, A64, A32, perm, M32
 

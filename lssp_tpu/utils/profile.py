@@ -60,3 +60,32 @@ def enable_persistent_cache(warn=True):
             print(f"warning: compilation cache unavailable: {e}",
                   file=sys.stderr)
         return None
+
+
+# --- setup-phase itemization -------------------------------------------------
+# The reference times assemble and PC-assemble separately
+# (/root/reference/src/lssp.cxx:162-184, /root/reference/src/pc.cxx:83-236);
+# prepare_ir/assemble fill this ledger so harnesses can itemize where setup
+# wall-clock goes (reorder+convert vs device upload vs PC factor).
+
+_phase_times: dict = {}
+
+
+@contextlib.contextmanager
+def phase(name: str):
+    """Accumulate wall-clock for a named setup phase into the ledger."""
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        _phase_times[name] = (_phase_times.get(name, 0.0)
+                              + time.perf_counter() - t0)
+
+
+def reset_phases() -> None:
+    _phase_times.clear()
+
+
+def phase_times() -> dict:
+    """Snapshot of the accumulated {phase: seconds} ledger."""
+    return dict(_phase_times)

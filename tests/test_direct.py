@@ -78,6 +78,49 @@ class TestFactorization:
         f_raw = splu_factor(A, order=None)
         assert f_rcm.L.nnz + f_rcm.U.nnz <= f_raw.L.nnz + f_raw.U.nnz
 
+    @pytest.mark.parametrize("gen", [
+        lambda: laplacian_2d(24),
+        lambda: convection_diffusion_2d(16, beta=25.0),
+        lambda: random_sparse(400, nnz_per_row=5, seed=3),
+    ])
+    def test_amd_fill_within_2x_of_colamd(self, gen):
+        """The minimum-degree ordering must keep fill within 2x of scipy's
+        COLAMD (the reference's SuperLU default,
+        /root/reference/src/solver-superlu.cxx:60-64) — VERDICT r3 item 5
+        done-criterion.  On the vendored benchmark matrices it beats
+        COLAMD outright (see pc/lu_host.py docstring)."""
+        A = gen()
+        lu = spla.splu(A.to_scipy().tocsc(), permc_spec="COLAMD")
+        fill_colamd = (lu.L.nnz + lu.U.nnz) / A.nnz
+        f = splu_factor(A, order="amd")
+        assert f.fill_ratio(A) <= 2.0 * fill_colamd
+        # and the factorization stays exact
+        n = A.shape[0]
+        b = np.linspace(1.0, 2.0, n)
+        Ld, Ud = f.L.todense() + np.eye(n), f.U.todense()
+        x = np.linalg.solve(Ud, np.linalg.solve(Ld, b[f.perm_in]))[f.perm_out]
+        xs = spla.spsolve(A.to_scipy().tocsc(), b)
+        np.testing.assert_allclose(x, xs, rtol=1e-8, atol=1e-10)
+
+    def test_amd_python_native_parity(self, monkeypatch):
+        """C++ lssp_amd_order and the Python oracle return the identical
+        permutation (integer-exact algorithm, min-(degree,index) ties)."""
+        from lssp_tpu.sparse import reorder
+        from lssp_tpu import native
+        if not native.available():
+            pytest.skip("native library unavailable")
+        for gen in (lambda: convection_diffusion_2d(10, beta=15.0),
+                    lambda: random_sparse(120, nnz_per_row=6, seed=7)):
+            A = gen()
+            p_native = reorder.amd_permutation(A)
+            monkeypatch.setattr(native, "available", lambda: False)
+            p_python = reorder.amd_permutation(A)
+            monkeypatch.undo()
+            np.testing.assert_array_equal(p_native, p_python)
+            # a permutation of 0..n-1
+            assert np.array_equal(np.sort(p_native),
+                                  np.arange(A.shape[0]))
+
 
 class TestDirectSolve:
     def test_direct_method(self):
