@@ -50,6 +50,24 @@ def main():
                 continue
             out[f"{method}+{pc}@{N}"] = int(nits)
             print(f"{method}+{pc}@{N}: {nits}")
+
+    # vendored general-matrix goldens (tests/golden/vendored.jsonl)
+    import jax.numpy as jnp
+    import numpy as np
+    from lssp_tpu import solve, SolverOptions
+    from lssp_tpu.sparse.io import read_matrix_market
+    for (matrix, method, pc), rec in sorted(ts.GOLDEN_VENDORED.items()):
+        A = read_matrix_market(os.path.join(ts.MATDIR, matrix + ".mtx.gz"))
+        n = A.shape[0]
+        opts = SolverOptions(restart=rec["restart"], maxit=rec["maxit"])
+        x, info = solve(A, jnp.ones(n, dtype=jnp.float64), method=method,
+                        pc=pc, options=opts)
+        if not bool(info.converged):
+            print(f"skip {method}+{pc}@{matrix}: did not converge")
+            continue
+        out[f"{method}+{pc}@{matrix}"] = int(info.nits)
+        print(f"{method}+{pc}@{matrix}: {int(info.nits)}")
+
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "ratchet.json")
     with open(path, "w") as f:
