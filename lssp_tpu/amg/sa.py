@@ -129,17 +129,22 @@ def _subset_csr_lumped(Ac, keep, rows, isdiag):
     # the lumping target must itself be a KEPT diagonal: a structural
     # diagonal excluded by `keep` would pass the guard but receive the
     # in-place add on no entry (advisor r3)
+    kept_diag_rows = rows[keep & isdiag]
     hasdiag = np.zeros(n, dtype=bool)
-    hasdiag[rows[keep & isdiag]] = True
+    hasdiag[kept_diag_rows] = True
     new_dat = Ac.data[keep]
     new_ind = Ac.indices[keep]
-    csum = np.concatenate(([0], np.cumsum(keep, dtype=np.int64)))
-    new_indptr = csum[np.asarray(Ac.indptr, dtype=np.int64)]
+    # per-row kept counts → indptr: cumsum over n rows, not nnz entries
+    # (the former cumsum over an 84M-entry mask was ~1 s/call ×25 at the
+    # 16.8M acceptance scale)
+    kept_rows = rows[keep]
+    new_indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(kept_rows, minlength=n), out=new_indptr[1:])
     if np.any(lumped_rows & ~hasdiag):
         out = sp.csr_matrix((new_dat, new_ind, new_indptr), shape=Ac.shape)
         return (out + sp.diags(lump.astype(Ac.data.dtype))).tocsr()
     diag_kept = isdiag[keep]
-    new_dat[diag_kept] += lump[rows[keep][diag_kept]]
+    new_dat[diag_kept] += lump[kept_diag_rows]
     return sp.csr_matrix((new_dat, new_ind, new_indptr), shape=Ac.shape)
 
 
@@ -150,15 +155,24 @@ def _filter_lumped(Ac, tol):
     SA strength filter for prolongator smoothing)."""
     if tol <= 0:
         return Ac
+    import scipy.sparse as sp
+    from lssp_tpu import native
     Ac = Ac.tocsr()
     Ac.sum_duplicates()
     n = Ac.shape[0]
+    if native.available() and Ac.data.dtype == np.float64 \
+            and Ac.indptr.dtype in (np.int32, np.int64):
+        out = native.filter_lumped(Ac.indptr, Ac.indices, Ac.data, n, tol)
+        if out is not None:     # None: no kept diag to lump onto → oracle
+            oip, oix, oax = out
+            return sp.csr_matrix((oax, oix, oip), shape=Ac.shape)
     d = np.abs(Ac.diagonal())
     d[d == 0] = 1.0
+    sq = np.sqrt(d)            # √ over n rows once, not over nnz entries
     it = np.int32 if n < 2**31 else np.int64
     rows = np.repeat(np.arange(n, dtype=it), np.diff(Ac.indptr))
     cols = Ac.indices
-    thresh = tol * np.sqrt(d[rows] * d[cols])
+    thresh = tol * (sq[rows] * sq[cols])
     isdiag = cols == rows
     keep = (np.abs(Ac.data) >= thresh) | isdiag
     if keep.all():
@@ -173,9 +187,18 @@ def _lump_to_pattern(Ac, gy, gx, ry, rx):
     9-point, so for grid levels the out-of-pattern mass produced by
     repeated smoothed RAP is noise — lumping it keeps every coarse
     operator a bounded DIA stencil instead of compounding toward ELL."""
+    import scipy.sparse as sp
+    from lssp_tpu import native
     Ac = Ac.tocsr()
     Ac.sum_duplicates()
     n = Ac.shape[0]
+    if native.available() and Ac.data.dtype == np.float64 \
+            and Ac.indptr.dtype in (np.int32, np.int64):
+        out = native.lump_pattern(Ac.indptr, Ac.indices, Ac.data, n,
+                                  int(gx), int(ry), int(rx))
+        if out is not None:
+            oip, oix, oax = out
+            return sp.csr_matrix((oax, oix, oip), shape=Ac.shape)
     it = np.int32 if n < 2**31 else np.int64
     rows = np.repeat(np.arange(n, dtype=it), np.diff(Ac.indptr))
     d = Ac.indices.astype(it, copy=False) - rows
@@ -346,9 +369,23 @@ def sa_host_levels(A: CSR, g: int = 4, max_levels: int = 12,
             dfinv = 1.0 / df
             lmax_f = _lambda_max(Af, dfinv) if strength_tol > 0 else lmax
             c = omega_p / lmax_f
-            Dinv = sp.diags(dfinv)
-            B = (sp.eye(n) - c * Dinv @ Af).tocsr()         # P = B P0
-            C = (sp.eye(n) - c * (Af.T @ Dinv)).tocsr()     # R = P0ᵀ C
+            # B = I − c·D⁻¹Af built directly on Af's arrays (row-scale +
+            # in-place diagonal add — no diags() SpGEMM, no eye() binop:
+            # those were ~1.1 s/level of csr_matmat+csr_minus_csr at the
+            # 16.8M acceptance scale); C = I − c·AfᵀD⁻¹ is EXACTLY Bᵀ
+            Afc = Af.tocsr()
+            Afc.sum_duplicates()
+            it = np.int32 if n < 2**31 else np.int64
+            rows_f = np.repeat(np.arange(n, dtype=it), np.diff(Afc.indptr))
+            isdiag_f = Afc.indices == rows_f
+            if int(isdiag_f.sum()) == n:       # every row has a diagonal
+                bdat = (-c) * (dfinv[rows_f] * Afc.data)
+                bdat[isdiag_f] += 1.0
+                B = sp.csr_matrix((bdat, Afc.indices.copy(),
+                                   Afc.indptr.copy()), shape=Afc.shape)
+            else:                              # rare: missing structural diag
+                B = (sp.eye(n) - c * sp.diags(dfinv) @ Afc).tocsr()
+            C = B.T.tocsr()                                 # R = P0ᵀ C
             if agg is not None and b_radius is not None:
                 # bound the prolongator smoother to a fixed grid stencil:
                 # with B at radius (1,1) the Galerkin RAP reach has a

@@ -154,13 +154,21 @@ class AMGHierarchy:
 
 def _lambda_max(A: sp.csr_matrix, dinv: np.ndarray, iters: int = 15,
                 seed: int = 0) -> float:
-    """Power iteration estimate of λ_max(D⁻¹A)."""
+    """Power iteration estimate of λ_max(D⁻¹A).
+
+    Runs in fp32: the estimate feeds a Chebyshev interval with a 1.1
+    safety factor (and ω_p/λ prolongator damping), where 1e-3 accuracy is
+    ample — and fp32 matvecs halve the memory traffic of what is a pure
+    bandwidth-bound loop (measured ~15 s of the 16.8M saamg setup in
+    fp64)."""
+    A32 = A if A.dtype == np.float32 else A.astype(np.float32)
+    d32 = dinv.astype(np.float32, copy=False)
     rng = np.random.default_rng(seed)
-    v = rng.standard_normal(A.shape[0])
+    v = rng.standard_normal(A.shape[0]).astype(np.float32)
     v /= np.linalg.norm(v)
     lam = 1.0
     for _ in range(iters):
-        w = dinv * (A @ v)
+        w = d32 * (A32 @ v)
         lam = np.linalg.norm(w)
         if lam == 0:
             return 1.0

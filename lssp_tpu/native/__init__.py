@@ -20,7 +20,8 @@ _SRCS = [os.path.join(_HERE, "src", "ilu.cpp"),
          os.path.join(_HERE, "src", "splu.cpp"),
          os.path.join(_HERE, "src", "spqr.cpp"),
          os.path.join(_HERE, "src", "aggregate.cpp"),
-         os.path.join(_HERE, "src", "amd.cpp")]
+         os.path.join(_HERE, "src", "amd.cpp"),
+         os.path.join(_HERE, "src", "amgfilter.cpp")]
 _BUILD_DIR = os.path.join(_HERE, "_build")
 _LIB_PATH = os.path.join(_BUILD_DIR, "liblssp_native.so")
 
@@ -102,6 +103,26 @@ def load():
                                         _f64p]
         lib.lssp_spqr_free.argtypes = [ctypes.c_void_p]
         lib.lssp_amd_order.argtypes = [_i64p, _i64p, ctypes.c_int64, _i64p]
+        _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        _f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        for suf, ptr in (("_i32", _i32p), ("_i64", _i64p)):
+            fl = getattr(lib, "lssp_filter_lumped" + suf)
+            fl.argtypes = [ptr, ptr, _f64p, ctypes.c_int64, ctypes.c_double,
+                           ptr, ptr, _f64p]
+            fl.restype = ctypes.c_int64
+            lp = getattr(lib, "lssp_lump_pattern" + suf)
+            lp.argtypes = [ptr, ptr, _f64p, ctypes.c_int64, ctypes.c_int64,
+                           ctypes.c_int64, ctypes.c_int64, ptr, ptr, _f64p]
+            lp.restype = ctypes.c_int64
+            do = getattr(lib, "lssp_dia_offsets" + suf)
+            do.argtypes = [ptr, ptr, ctypes.c_int64, ctypes.c_int64, _i64p]
+            do.restype = ctypes.c_int64
+            d32 = getattr(lib, "lssp_dia_fill_f32" + suf)
+            d32.argtypes = [ptr, ptr, _f64p, ctypes.c_int64, _i64p,
+                            ctypes.c_int64, _f32p]
+            d64 = getattr(lib, "lssp_dia_fill_f64" + suf)
+            d64.argtypes = [ptr, ptr, _f64p, ctypes.c_int64, _i64p,
+                            ctypes.c_int64, _f64p]
         lib.lssp_greedy_aggregate.argtypes = [
             _i64p, _i64p, _f64p, _i64p, _i64p, _f64p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
@@ -230,6 +251,73 @@ def greedy_aggregate(A, T, g: int, theta: float,
         np.ascontiguousarray(T.data, np.float64),
         n, g, theta, np.ascontiguousarray(virt, np.uint8), ids)
     return ids
+
+
+def _isuf(indptr):
+    return "_i32" if indptr.dtype == np.int32 else "_i64"
+
+
+def filter_lumped(indptr, indices, data, n: int, tol: float):
+    """Fused drop+lump filter (oracle: amg/sa.py _filter_lumped).  Returns
+    (indptr, indices, data) of the filtered CSR, or None when some lumped
+    row has no kept structural diagonal (caller takes the Python
+    allocating fallback) — identical outputs either way."""
+    lib = load()
+    if indptr.dtype != indices.dtype:
+        indices = indices.astype(indptr.dtype, copy=False)
+    nnz = len(indices)
+    oip = np.empty(n + 1, dtype=indptr.dtype)
+    oix = np.empty(nnz, dtype=indptr.dtype)
+    oax = np.empty(nnz, dtype=np.float64)
+    fn = getattr(lib, "lssp_filter_lumped" + _isuf(indptr))
+    out = fn(indptr, indices, np.ascontiguousarray(data, np.float64),
+             n, tol, oip, oix, oax)
+    if out < 0:
+        return None
+    return oip, oix[:out], oax[:out]
+
+
+def lump_pattern(indptr, indices, data, n: int, gx: int, ry: int, rx: int):
+    """Fused grid-stencil lumping (oracle: amg/sa.py _lump_to_pattern).
+    Same return contract as filter_lumped."""
+    lib = load()
+    if indptr.dtype != indices.dtype:
+        indices = indices.astype(indptr.dtype, copy=False)
+    nnz = len(indices)
+    oip = np.empty(n + 1, dtype=indptr.dtype)
+    oix = np.empty(nnz, dtype=indptr.dtype)
+    oax = np.empty(nnz, dtype=np.float64)
+    fn = getattr(lib, "lssp_lump_pattern" + _isuf(indptr))
+    out = fn(indptr, indices, np.ascontiguousarray(data, np.float64),
+             n, gx, ry, rx, oip, oix, oax)
+    if out < 0:
+        return None
+    return oip, oix[:out], oax[:out]
+
+
+def dia_convert(indptr, indices, data, n: int, max_diags: int, out_dtype):
+    """Fused CSR→DIA (oracle: sparse/convert.py csr_to_dia).  Returns
+    (offsets int64 (ndiag,), data (ndiag, n) of out_dtype), or None when
+    the matrix has more than max_diags distinct diagonals."""
+    lib = load()
+    if indptr.dtype != indices.dtype:
+        indices = indices.astype(indptr.dtype, copy=False)
+    offs = np.empty(max_diags, dtype=np.int64)
+    suf = _isuf(indptr)
+    ndiag = getattr(lib, "lssp_dia_offsets" + suf)(indptr, indices, n,
+                                                   max_diags, offs)
+    if ndiag < 0:
+        return None
+    offs = offs[:ndiag].copy()
+    out = np.empty((ndiag, n), dtype=out_dtype)
+    ax = np.ascontiguousarray(data, np.float64)
+    if out_dtype == np.float32:
+        getattr(lib, "lssp_dia_fill_f32" + suf)(indptr, indices, ax, n,
+                                                offs, ndiag, out)
+    else:
+        getattr(lib, "lssp_dia_fill_f64" + suf)(indptr, indices, ax, n,
+                                                offs, ndiag, out)
+    return offs, out
 
 
 def ilut(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray, n: int,

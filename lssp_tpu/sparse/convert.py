@@ -154,12 +154,29 @@ def csr_to_dia(A: CSR, max_diags: int = 64, dtype=None) -> DIA:
     scatter so hierarchy builders never materialize an intermediate
     full-precision copy of the CSR just to change dtype."""
     n, m = A.shape
+    out_dtype = np.dtype(dtype or np.asarray(A.data).dtype)
+    ip = np.asarray(A.indptr)
+    ix = np.asarray(A.indices)
+    dat = np.asarray(A.data)
+    from lssp_tpu import native
+    if (n == m and native.available() and dat.dtype == np.float64
+            and out_dtype in (np.float32, np.float64)
+            and ip.dtype in (np.int32, np.int64) and n > 1):
+        # fused C++ pass (native/src/amgfilter.cpp): the numpy path makes
+        # ~5 separate nnz-length passes (repeat/subtract/bincount/
+        # searchsorted/fancy-scatter) — ~0.6 s/call ×27 hierarchy
+        # conversions at the 16.8M acceptance scale
+        res = native.dia_convert(ip, ix, dat, n, max_diags, out_dtype)
+        if res is None:
+            raise ValueError(f"more than max_diags={max_diags} diagonals")
+        offs, data = res
+        return DIA(tuple(int(o) for o in offs), data, A.shape)
     rows, d, offs = csr_entry_offsets(A.indptr, A.indices, n)
     if len(offs) > max_diags:
         raise ValueError(f"{len(offs)} diagonals > max_diags={max_diags}")
-    data = np.zeros((len(offs), n), dtype=dtype or A.data.dtype)
+    data = np.zeros((len(offs), n), dtype=out_dtype)
     d_idx = np.searchsorted(offs, d)
-    data[d_idx, rows] = np.asarray(A.data)
+    data[d_idx, rows] = dat
     return DIA(tuple(int(o) for o in offs), data, A.shape)
 
 

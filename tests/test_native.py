@@ -109,3 +109,67 @@ def test_spqr_resnorm_is_true_residual():
     x = qr_solve(f)
     np.testing.assert_allclose(f.resnorm, np.linalg.norm(b - A0 @ x),
                                rtol=1e-10)
+
+
+import scipy.sparse as sp
+
+
+class TestAmgFilterParity:
+    """C++ amgfilter kernels (native/src/amgfilter.cpp) against the numpy
+    oracles — bit-identical by construction (same per-row left-to-right
+    lump accumulation; np.rint == round-half-to-even == std::nearbyint)."""
+
+    def _toggle(self, monkeypatch):
+        from lssp_tpu import native
+        if not native.available():
+            pytest.skip("native library unavailable")
+        return native
+
+    def test_filter_lumped_parity(self, monkeypatch):
+        import lssp_tpu.amg.sa as sa
+        native = self._toggle(monkeypatch)
+        rng = np.random.default_rng(11)
+        for n in (60, 230):
+            A = sp.random(n, n, density=0.06, random_state=n,
+                          format="csr") + sp.eye(n) * 2.0
+            A = A.tocsr(); A.sum_duplicates()
+            F1 = sa._filter_lumped(A.copy(), 0.08)
+            monkeypatch.setattr(native, "available", lambda: False)
+            F2 = sa._filter_lumped(A.copy(), 0.08)
+            monkeypatch.undo()
+            np.testing.assert_array_equal(F1.indptr, F2.indptr)
+            np.testing.assert_array_equal(F1.indices, F2.indices)
+            np.testing.assert_array_equal(F1.data, F2.data)
+
+    def test_lump_pattern_parity(self, monkeypatch):
+        import lssp_tpu.amg.sa as sa
+        native = self._toggle(monkeypatch)
+        A = sp.random(144, 144, density=0.08, random_state=4,
+                      format="csr") + sp.eye(144) * 2.0
+        A = A.tocsr(); A.sum_duplicates()
+        L1 = sa._lump_to_pattern(A.copy(), 12, 12, 1, 1)
+        monkeypatch.setattr(native, "available", lambda: False)
+        L2 = sa._lump_to_pattern(A.copy(), 12, 12, 1, 1)
+        monkeypatch.undo()
+        np.testing.assert_array_equal(L1.indptr, L2.indptr)
+        np.testing.assert_array_equal(L1.indices, L2.indices)
+        np.testing.assert_array_equal(L1.data, L2.data)
+
+    def test_dia_convert_parity(self, monkeypatch):
+        from lssp_tpu.sparse.convert import csr_to_dia
+        from lssp_tpu.sparse.types import CSR
+        native = self._toggle(monkeypatch)
+        B = sp.random(200, 200, density=0.03, random_state=9,
+                      format="csr") + sp.eye(200)
+        B = B.tocsr(); B.sum_duplicates()
+        C = CSR.from_scipy(B)
+        for dt in (np.float32, np.float64):
+            D1 = csr_to_dia(C, max_diags=4096, dtype=dt)
+            monkeypatch.setattr(native, "available", lambda: False)
+            D2 = csr_to_dia(C, max_diags=4096, dtype=dt)
+            monkeypatch.undo()
+            assert D1.offsets == D2.offsets
+            np.testing.assert_array_equal(D1.data, D2.data)
+        # over-max raises identically
+        with pytest.raises(ValueError):
+            csr_to_dia(C, max_diags=2)
