@@ -41,6 +41,12 @@ MATDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "matrices")
 MAXIT = 5000        # iteration budget; the nits gate defaults to it
 
 
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true",
@@ -129,6 +135,17 @@ def main():
     # fresh process can stall minutes when the worker is cold) so the first
     # config's compile_s is honest compile time, not connection latency
     float(jnp.sum(jnp.ones(8)))
+    # measure the fixed dispatch+fetch round-trip cost of this backend: a
+    # trivial warm jitted program.  Through the remote-attach tunnel this
+    # is ~25 ms — it bounds the warm wall time of ANY solve from below and
+    # is why solve_device_s (repeat-marginal, refine.py: ir_device_time)
+    # is reported alongside solve_s for the small configs
+    triv = jax.jit(lambda v: jnp.sum(v))
+    float(triv(jnp.ones(1024)))
+    floor = min(_timed(lambda: float(triv(jnp.ones(1024))))
+                for _ in range(7))
+    print(json.dumps({"dispatch_floor_s": round(floor, 4),
+                      "backend": jax.default_backend()}))
 
     out_f = open(args.out, "a") if args.out else None
     results = []
@@ -145,6 +162,7 @@ def main():
                                    maxit=MAXIT)
 
         setup_split = None
+        t_dev = None
         if on_tpu:
             from lssp_tpu import solve_ir, prepare_ir
             from lssp_tpu.utils import profile as prof
@@ -165,6 +183,15 @@ def main():
             x, info = solve_ir(A, b, method=cfg["method"], pc=cfg["pc"],
                                options=opts, pc_options=cfg.get("pc_opts"))
             t_solve = time.perf_counter() - t0      # warm (everything cached)
+            # on-device time-to-solution via the repeat-marginal: the warm
+            # wall time above includes ~4 fixed tunnel round trips (~25 ms
+            # each, measured below as dispatch_floor_s) that a production
+            # deployment does not pay — see refine.py: ir_device_time
+            from lssp_tpu.solvers.refine import ir_device_time
+            t_dev, _, _ = ir_device_time(
+                A, b, method=cfg["method"], pc=cfg["pc"], options=opts,
+                pc_options=cfg.get("pc_opts"),
+                repeats=(1, 4) if n < 4_000_000 else (1, 2))
         else:
             from lssp_tpu import Solver
             s = Solver(method=cfg["method"], pc=cfg["pc"], options=opts,
@@ -203,7 +230,13 @@ def main():
                    compile_s=round(t_first - t_solve, 3),
                    solve_s=round(t_solve, 4),
                    mnnz_per_s=round(A.nnz * max(int(info.nits), 1)
-                                    / max(t_solve, 1e-9) / 1e6, 1))
+                                    / max(t_solve, 1e-9) / 1e6, 1),
+                   **({"solve_device_s": round(t_dev, 5),
+                       "device_mnnz_per_s": round(
+                           A.nnz * max(int(info.nits), 1)
+                           / max(t_dev, 1e-9) / 1e6, 1),
+                       "dispatch_floor_s": round(floor, 4)}
+                      if t_dev is not None else {}))
         results.append(rec)
         if out_f:
             out_f.write(json.dumps(rec) + "\n")

@@ -230,6 +230,79 @@ def prepare_ir(A, method: str = "gmres", pc: Optional[str] = "none",
     return A_host, A64, A32, perm, M32
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("fn", "inner_opts", "max_outer",
+                                    "inner_dtype", "repeats"))
+def _fused_ir_repeat(fn, A64, A32, M32, b, x0, tol, inner_opts, max_outer,
+                     inner_dtype, repeats):
+    """``repeats`` independent full refinement solves chained in ONE device
+    program — the device-time measurement harness (see ir_device_time)."""
+    def step(x_prev, _):
+        # 0·x keeps a data dependence on the carry so XLA cannot hoist the
+        # loop-invariant solve out of the scan (0*x is not foldable to 0
+        # under IEEE NaN/Inf semantics); numerically x_start is exactly 0
+        x_start = x_prev * 0.0
+        x, res, r0n, tot = _fused_ir(fn, A64, A32, M32, b, x_start, tol,
+                                     inner_opts, max_outer, inner_dtype)
+        return x, (res, tot)
+    x, (ress, tots) = jax.lax.scan(step, x0, None, length=repeats)
+    return x, ress[-1], tots[-1]
+
+
+def ir_device_time(A, b, method: str = "gmres", pc: Optional[str] = "none",
+                   options: Optional[SolverOptions] = None,
+                   pc_options: Optional[PCOptions] = None,
+                   inner_rtol: float = 1e-3, max_outer: int = 20,
+                   inner_dtype=jnp.float32, reorder: str = "auto",
+                   repeats=(1, 4), reps: int = 3):
+    """On-device time-to-solution of one full ``solve_ir``-equivalent
+    mixed-precision solve, measured by a repeat-marginal.
+
+    Through a remote-attach tunnel each dispatched program and each scalar
+    fetch costs a fixed ~25 ms round trip (measured; see
+    benchmarks/acceptance.py), so the warm wall time of a small solve is
+    dominated by the TUNNEL, not the solver — at 15k rows the whole device
+    computation is single-digit milliseconds.  This helper chains R
+    independent solves of the same system in ONE device program
+    (``_fused_ir_repeat``) and differences two repeat counts, cancelling
+    every fixed cost exactly — the same marginal protocol bench.py uses
+    for kernels.  Returns (seconds_per_solve, nits, residual): the time a
+    production deployment (local host, no tunnel) pays per solve.
+    """
+    import time as _time
+    opts = (options or SolverOptions()).resolved()
+    A_host, A64, A32, perm, M32 = prepare_ir(
+        A, method=method, pc=pc, pc_options=pc_options,
+        inner_dtype=inner_dtype, reorder=reorder)
+    b = jnp.asarray(b, jnp.float64)
+    if perm is not None:
+        b = b[perm]
+    x0 = jnp.zeros_like(b)
+    bnorm = float(jnp.linalg.norm(b))
+    tol = jnp.float64(max(opts.rtol * bnorm, opts.atol))
+    fn, inner_opts = _inner_plan(method, opts, inner_rtol)
+
+    r1, r2 = repeats
+
+    def run(r):
+        x, res, tot = _fused_ir_repeat(fn, A64, A32, M32, b, x0, tol,
+                                       inner_opts, max_outer, inner_dtype,
+                                       r)
+        return float(res), int(tot)
+    run(r1), run(r2)                               # compile both
+    t1s, t2s = [], []
+    nits = res = None
+    for _ in range(reps):
+        t0 = _time.perf_counter()
+        res, nits = run(r1)
+        t1s.append(_time.perf_counter() - t0)
+        t0 = _time.perf_counter()
+        run(r2)
+        t2s.append(_time.perf_counter() - t0)
+    dt = (min(t2s) - min(t1s)) / (r2 - r1)
+    return max(dt, 0.0), nits, res
+
+
 def _inner_plan(method, opts, inner_rtol):
     """Shared fp32-inner policy for solve_ir / solve_ir_multi: pick the
     inner solver function and its options.
