@@ -121,9 +121,10 @@ def main():
     for P in shard_counts:
         n_side = int(np.sqrt(P * ROWS_PER_SHARD))
         A = laplacian_2d(n_side, dtype=np.float64)
+        A32 = laplacian_2d(n_side, dtype=np.float32)
         n = A.shape[0]
 
-        t_spmv = _best_of(_spmv_program(A, P, SPMV_ITERS))
+        t_spmv = _best_of(_spmv_program(A32, P, SPMV_ITERS))
         t_cg = _best_of(_cg_run(A, P, CG_ITERS), reps=3)
         for op, t in (("dist_dia_spmv", t_spmv), ("dist_cg_jacobi", t_cg)):
             if P == shard_counts[0]:

@@ -259,9 +259,40 @@ def _build_call(loff, uoff, n, P, lo, hi, sweeps, has_lrem, has_urem,
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _vmap_safe_apply(interpret):
+    """custom_vmap wrapper (same reason as pallas_spmv._vmap_safe_kernel):
+    Mosaic's automatic batching rejects the whole-array VMEM operands.
+    Batched rhs (solve_ir_multi's vmapped per-column inner applies) run
+    per-column kernel calls under ``lax.map`` — each call is the fast
+    VMEM-resident program, and the factor operands are shared."""
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def f(state, r):
+        return _apply_impl(state, r, interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, state, r):
+        state_b, r_b = in_batched
+        if any(jax.tree_util.tree_leaves(state_b)):
+            raise NotImplementedError(
+                "vmap over stacked fused-ILU factor states is unsupported; "
+                "vmap over the rhs only")
+        y = jax.lax.map(lambda rr: _apply_impl(state, rr, interpret), r)
+        return y, True
+
+    return f
+
+
 def fused_neumann_apply(state: FusedNeumann, r, interpret: bool = False):
     """z ≈ U⁻¹L⁻¹ r — the whole truncated-Neumann ILU apply in ONE
-    fp32 Pallas program (cast in/out when the outer iteration is fp64)."""
+    fp32 Pallas program (cast in/out when the outer iteration is fp64).
+    vmap-safe: batched rhs run per-column kernel calls."""
+    return _vmap_safe_apply(bool(interpret))(state, r)
+
+
+def _apply_impl(state: FusedNeumann, r, interpret: bool = False):
     n, P = state.n, state.P
     r32 = r.astype(jnp.float32)
     if P != n:

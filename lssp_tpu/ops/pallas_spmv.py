@@ -226,6 +226,92 @@ def _dia_spmv_hyb_pallas(data, x, contrib, lane, offsets, interpret=False):
     dtype = jnp.result_type(data.dtype, x.dtype)
     T = _pick_tile(n, lo + hi, ndiag + 2, dtype.itemsize if hasattr(dtype, "itemsize") else 4)
 
+    def epilogue(acc, c_ref, l_ref, TW):
+        """Window-slot remainder: one-hot lane select per slot while the
+        y tile is still in VMEM (no dynamic indexing, no HBM traffic)."""
+        acc2 = acc.reshape(TW, 128)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (TW, 128), 1)
+        for s in range(S):
+            acc2 = acc2 + jnp.where(l_ref[s, :][:, None] == iota,
+                                    c_ref[s, :][:, None],
+                                    jnp.zeros((), dtype))
+        return acc2.reshape(acc.shape[0])
+
+    plan = _padfree_plan(n, T, lo, hi)
+    if plan is not None:
+        # pad-free margin-window DMA plan (same geometry and boundary
+        # handling as _dia_spmv_pallas above): the padded path's
+        # jnp.pad(x) copies all of x every call — 2n extra HBM traffic,
+        # a TPU-measured ~27% tax on a 5-diagonal band
+        M, HIA, pad_n, nb, WM = plan
+        dp = jnp.pad(data.astype(dtype), ((0, 0), (0, pad_n)))
+        nwin_pad = (n + pad_n) // 128
+        cp_ = jnp.pad(contrib.astype(dtype),
+                      ((0, 0), (0, nwin_pad - contrib.shape[1])))
+        lp_ = jnp.pad(lane.astype(jnp.int32),
+                      ((0, 0), (0, nwin_pad - lane.shape[1])))
+        TW = T // 128
+        xc = x.astype(dtype)
+
+        def kernel(x_hbm, d_ref, c_ref, l_ref, y_ref):
+            i = pl.program_id(0)
+
+            def inner(xw, sem):
+                @pl.when(i == 0)
+                def _first():
+                    if M:
+                        xw[pl.ds(0, M)] = jnp.zeros((M,), dtype)
+                    cp = pltpu.make_async_copy(
+                        x_hbm.at[pl.ds(0, T + HIA)],
+                        xw.at[pl.ds(M, T + HIA)], sem)
+                    cp.start()
+                    cp.wait()
+
+                @pl.when((i > 0) & (i < nb - 1))
+                def _interior():
+                    start = pl.multiple_of(i * T - M, _DMA_ALIGN)
+                    cp = pltpu.make_async_copy(
+                        x_hbm.at[pl.ds(start, WM)], xw, sem)
+                    cp.start()
+                    cp.wait()
+
+                @pl.when((i == nb - 1) & (i > 0))
+                def _last():
+                    L = T + M - pad_n
+                    cp = pltpu.make_async_copy(
+                        x_hbm.at[pl.ds(n - L, L)], xw.at[pl.ds(0, L)], sem)
+                    cp.start()
+                    cp.wait()
+                    if WM - L:
+                        xw[pl.ds(L, WM - L)] = jnp.zeros((WM - L,), dtype)
+
+                acc = d_ref[0, :] * xw[pl.ds(M + offsets[0], T)]
+                for d in range(1, ndiag):
+                    acc += d_ref[d, :] * xw[pl.ds(M + offsets[d], T)]
+                y_ref[:] = epilogue(acc, c_ref, l_ref, TW)
+
+            pl.run_scoped(inner, pltpu.VMEM((WM,), dtype),
+                          pltpu.SemaphoreType.DMA)
+
+        y = pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((ndiag, T), lambda i: (np.int32(0), i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((S, TW), lambda i: (np.int32(0), i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((S, TW), lambda i: (np.int32(0), i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((T,), lambda i: (i,),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n + pad_n,), dtype),
+            interpret=interpret,
+        )(xc, dp, cp_, lp_)
+        return y[:n] if pad_n else y
+
     pad_n = (-n) % T
     W = _round_up(T + lo + hi, _DMA_ALIGN)
     xp = jnp.pad(x.astype(dtype), (lo, (W - lo - T) + pad_n))
@@ -248,13 +334,7 @@ def _dia_spmv_hyb_pallas(data, x, contrib, lane, offsets, interpret=False):
             acc = d_ref[0, :] * xw[pl.ds(lo + offsets[0], T)]
             for d in range(1, ndiag):
                 acc += d_ref[d, :] * xw[pl.ds(lo + offsets[d], T)]
-            acc2 = acc.reshape(TW, 128)
-            iota = jax.lax.broadcasted_iota(jnp.int32, (TW, 128), 1)
-            for s in range(S):
-                acc2 = acc2 + jnp.where(l_ref[s, :][:, None] == iota,
-                                        c_ref[s, :][:, None],
-                                        jnp.zeros((), dtype))
-            y_ref[:] = acc2.reshape(T)
+            y_ref[:] = epilogue(acc, c_ref, l_ref, TW)
 
         pl.run_scoped(inner, pltpu.VMEM((W,), dtype), pltpu.SemaphoreType.DMA)
 

@@ -94,6 +94,22 @@ def test_plan_rejects_oversized():
     assert plan_fused_neumann(L, U, 6, vmem_budget=1024) is None
 
 
+def test_vmap_over_rhs_matches_loop():
+    """solve_ir_multi vmaps the inner per column — the custom_vmap rule
+    must produce per-column applies identical to the unbatched kernel."""
+    from lssp_tpu.sparse import laplacian_2d
+    A = laplacian_2d(48, dtype=np.float64)
+    L, U = iluk_factor(A, level=0)
+    st = plan_fused_neumann(L, U, 3)
+    R = jnp.asarray(np.random.default_rng(5).standard_normal((4, A.shape[0])))
+    import jax
+    Z = jax.vmap(lambda r: fused_neumann_apply(st, r, interpret=True))(R)
+    for j in range(4):
+        zj = fused_neumann_apply(st, R[j], interpret=True)
+        assert np.allclose(np.asarray(Z[j]), np.asarray(zj),
+                           rtol=1e-6, atol=0.0)
+
+
 def test_fp64_roundtrip_dtype():
     from lssp_tpu.sparse import laplacian_2d
     A = laplacian_2d(64, dtype=np.float64)
