@@ -207,10 +207,15 @@ def _build_call(loff, uoff, n, P, lo, hi, sweeps, has_lrem, has_urem,
 
     def rem_acc(yc, gt, gl, rl, rtT):
         y2 = yc.reshape(nwin, _LANE)
-        rows = jnp.dot(gt[:], y2, preferred_element_type=jnp.float32)
+        # HIGHEST: the MXU's default fp32 path rounds through bf16 passes
+        # (~5e-6 relative); exact fp32 keeps the fused apply within fp32
+        # round-off of the XLA Neumann oracle (tests/test_pallas_neumann)
+        hp = jax.lax.Precision.HIGHEST
+        rows = jnp.dot(gt[:], y2, preferred_element_type=jnp.float32,
+                       precision=hp)
         c = jnp.sum(rows * gl[:], axis=1)               # (K,) = v·y[col]
         upd = jnp.dot(rtT[:], c[:, None] * rl[:],
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32, precision=hp)
         return upd.reshape(P)
 
     def kernel(*refs):
@@ -279,10 +284,46 @@ def _vmap_safe_apply(interpret):
             raise NotImplementedError(
                 "vmap over stacked fused-ILU factor states is unsupported; "
                 "vmap over the rhs only")
+        if state.L.gt is None and state.U.gt is None:
+            # pure-band factors (stencil ILU — the common case): run the
+            # sweeps as XLA shifted-stream SpMMs so the factor diagonals
+            # stream ONCE for all k rhs — per-column kernel calls re-read
+            # them k times (multi-rhs serving regressed 8→21 ms at k=8
+            # before this rule)
+            return _batched_band_apply(state, r), True
         y = jax.lax.map(lambda rr: _apply_impl(state, rr, interpret), r)
         return y, True
 
     return f
+
+
+def _batched_band_apply(state: FusedNeumann, R):
+    """(k, n) Neumann-ILU apply for pure-band factors: every sweep is one
+    shifted-stream SpMM over the whole rhs block (fp32, same math as the
+    fused kernel's band path)."""
+    n, P = state.n, state.P
+    R32 = R.astype(jnp.float32)
+    if P != n:
+        R32 = jnp.pad(R32, ((0, 0), (0, P - n)))
+
+    def band_mm(band, offsets, Y):
+        lo = max(0, -min(offsets))
+        hi = max(0, max(offsets))
+        Yp = jnp.pad(Y, ((0, 0), (lo, hi)))
+        acc = jnp.zeros_like(Y)
+        for d, off in enumerate(offsets):
+            acc = acc + band[d] * jax.lax.slice_in_dim(
+                Yp, lo + off, lo + off + P, axis=1)
+        return acc
+
+    Y = R32
+    for _ in range(state.sweeps):
+        Y = R32 - band_mm(state.L.band, state.L.offsets, Y)
+    Zr = state.invdiag[None, :] * Y
+    Z = Zr
+    for _ in range(state.sweeps):
+        Z = Zr - band_mm(state.U.band, state.U.offsets, Z)
+    return Z[:, :n].astype(R.dtype)
 
 
 def fused_neumann_apply(state: FusedNeumann, r, interpret: bool = False):

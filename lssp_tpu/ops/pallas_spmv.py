@@ -77,6 +77,15 @@ def _padfree_plan(n, T, lo, hi):
     return M, HIA, pad_n, nb, WM
 
 
+def hyb_tile_rows(n: int, offsets, itemsize: int = 4) -> int:
+    """The row-tile size the HYB kernels use — ONE definition shared with
+    the converter (csr_to_hyb lays the tile-compact remainder out per
+    tile, so its grouping must match the kernel's grid exactly)."""
+    lo = max(0, -min(offsets)) if offsets else 0
+    hi = max(0, max(offsets)) if offsets else 0
+    return _pick_tile(n, lo + hi, len(offsets) + 2, itemsize)
+
+
 @functools.partial(jax.jit, static_argnames=("offsets", "interpret",
                                              "prepadded", "scale"))
 def _dia_spmv_pallas(data, x, offsets, interpret=False, prepadded=False,
@@ -355,6 +364,212 @@ def _dia_spmv_hyb_pallas(data, x, contrib, lane, offsets, interpret=False):
         interpret=interpret,
     )(xp, dp, cp_, lp_)
     return y[:n] if pad_n else y
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "interpret"))
+def _dia_spmv_hyb_tc_pallas(data, x, contrib, win, lane, offsets,
+                            interpret=False):
+    """DIA stencil SpMV with a TILE-COMPACT remainder fused as an MXU
+    epilogue.
+
+    ``contrib``/``win``/``lane`` are (nb, TS): slot s of row-tile b holds
+    a remainder contribution ``v·x[col]`` (precomputed by XLA via the
+    lane-wide gather over the COMPACT slot list — ~3× fewer gather rows
+    than the dense per-window layout) targeting window ``win[b, s]`` and
+    lane ``lane[b, s]`` of the tile's (TW, 128) y block.  The kernel
+    scatters a whole tile's slots with TWO iota-compare one-hots built
+    on the fly in VMEM and ONE (TW, TS)×(TS, 128) MXU matmul:
+
+        RtT[w, s] = (win[s] == w);  W[s, :] = contrib[s] · onehot(lane[s])
+        acc2 += RtT @ W
+
+    — zero dynamic indexing, no scatter, and the only extra HBM traffic
+    is the three (nb, TS) slot arrays.  The dense window layout's cost
+    was the XLA-side gather over S·nwin ≈ 3× the entry count (TPU:
+    119 µs vs 39 µs compact at 21k strays / 4.2M rows); the per-entry
+    scalar ovr path is gone entirely (TS is sized to the max tile).
+    Padded slots carry contrib 0 → a zero row of W → no contribution."""
+    n = data.shape[1]
+    ndiag = data.shape[0]
+    TS = contrib.shape[1]
+    lo = max(0, -min(offsets)) if offsets else 0
+    hi = max(0, max(offsets)) if offsets else 0
+    dtype = jnp.result_type(data.dtype, x.dtype)
+    T = _pick_tile(n, lo + hi, ndiag + 2, dtype.itemsize if hasattr(dtype, "itemsize") else 4)
+    TW = T // 128
+
+    def epilogue(acc, c_ref, w_ref, l_ref, i):
+        # the (nb, TS) slot arrays ride whole in VMEM (tens of KB, constant
+        # index map — no per-step refetch); each tile reads its row i.
+        # A (1, TS) blocked spec would violate Mosaic's sublane-divisibility
+        # rule, full-array blocks are always legal.
+        acc2 = acc.reshape(TW, 128)
+        c = c_ref[pl.ds(i, 1), :].reshape(TS)
+        wv = w_ref[pl.ds(i, 1), :].reshape(TS)
+        lv = l_ref[pl.ds(i, 1), :].reshape(TS)
+        lane_oh = (lv[:, None]
+                   == jax.lax.broadcasted_iota(jnp.int32, (TS, 128), 1))
+        W = jnp.where(lane_oh, c[:, None], jnp.zeros((), dtype))
+        rtT = (jax.lax.broadcasted_iota(jnp.int32, (TW, TS), 0)
+               == wv[None, :]).astype(dtype)
+        # HIGHEST: the MXU's default fp32 path rounds through bf16 passes
+        # (measured 5e-6 relative on the scattered entries); the 3-pass
+        # exact-fp32 mode costs 3× the MACs of an already-tiny matmul
+        upd = jnp.dot(rtT, W, preferred_element_type=dtype,
+                      precision=jax.lax.Precision.HIGHEST)
+        return (acc2 + upd).reshape(acc.shape[0])
+
+    plan = _padfree_plan(n, T, lo, hi)
+    nb_expected = contrib.shape[0]
+    if plan is not None:
+        M, HIA, pad_n, nb, WM = plan
+    else:
+        pad_n = (-n) % T
+        nb = (n + pad_n) // T
+    assert nb == nb_expected, (
+        f"tile-compact layout built for {nb_expected} tiles but the "
+        f"kernel grid has {nb} — converter/kernel tile formulas diverged")
+    dp = jnp.pad(data.astype(dtype), ((0, 0), (0, pad_n)))
+
+    if plan is not None:
+        xc = x.astype(dtype)
+
+        def kernel(x_hbm, d_ref, c_ref, w_ref, l_ref, y_ref):
+            i = pl.program_id(0)
+
+            def inner(xw, sem):
+                @pl.when(i == 0)
+                def _first():
+                    if M:
+                        xw[pl.ds(0, M)] = jnp.zeros((M,), dtype)
+                    cp = pltpu.make_async_copy(
+                        x_hbm.at[pl.ds(0, T + HIA)],
+                        xw.at[pl.ds(M, T + HIA)], sem)
+                    cp.start()
+                    cp.wait()
+
+                @pl.when((i > 0) & (i < nb - 1))
+                def _interior():
+                    start = pl.multiple_of(i * T - M, _DMA_ALIGN)
+                    cp = pltpu.make_async_copy(
+                        x_hbm.at[pl.ds(start, WM)], xw, sem)
+                    cp.start()
+                    cp.wait()
+
+                @pl.when((i == nb - 1) & (i > 0))
+                def _last():
+                    L = T + M - pad_n
+                    cp = pltpu.make_async_copy(
+                        x_hbm.at[pl.ds(n - L, L)], xw.at[pl.ds(0, L)], sem)
+                    cp.start()
+                    cp.wait()
+                    if WM - L:
+                        xw[pl.ds(L, WM - L)] = jnp.zeros((WM - L,), dtype)
+
+                acc = d_ref[0, :] * xw[pl.ds(M + offsets[0], T)]
+                for d in range(1, ndiag):
+                    acc += d_ref[d, :] * xw[pl.ds(M + offsets[d], T)]
+                y_ref[:] = epilogue(acc, c_ref, w_ref, l_ref, i)
+
+            pl.run_scoped(inner, pltpu.VMEM((WM,), dtype),
+                          pltpu.SemaphoreType.DMA)
+
+        xarg = xc
+    else:
+        W_ = _round_up(T + lo + hi, _DMA_ALIGN)
+        xarg = jnp.pad(x.astype(dtype), (lo, (W_ - lo - T) + pad_n))
+
+        def kernel(x_hbm, d_ref, c_ref, w_ref, l_ref, y_ref):
+            i = pl.program_id(0)
+
+            def inner(xw, sem):
+                cp = pltpu.make_async_copy(x_hbm.at[pl.ds(i * T, W_)], xw,
+                                           sem)
+                cp.start()
+                cp.wait()
+                acc = d_ref[0, :] * xw[pl.ds(lo + offsets[0], T)]
+                for d in range(1, ndiag):
+                    acc += d_ref[d, :] * xw[pl.ds(lo + offsets[d], T)]
+                y_ref[:] = epilogue(acc, c_ref, w_ref, l_ref, i)
+
+            pl.run_scoped(inner, pltpu.VMEM((W_,), dtype),
+                          pltpu.SemaphoreType.DMA)
+
+    y = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((ndiag, T), lambda i: (np.int32(0), i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, TS), lambda i: (np.int32(0), np.int32(0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, TS), lambda i: (np.int32(0), np.int32(0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, TS), lambda i: (np.int32(0), np.int32(0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T,), lambda i: (i,), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n + pad_n,), dtype),
+        interpret=interpret,
+    )(xarg, dp, contrib.astype(dtype), win.astype(jnp.int32),
+      lane.astype(jnp.int32))
+    return y[:n] if pad_n else y
+
+
+@functools.lru_cache(maxsize=None)
+def _vmap_safe_hyb_tc_kernel(offsets, tile_rows, interpret):
+    """vmap-safe wrapper for the tile-compact HYB kernel.  Batched calls
+    (solve_multi over stacked rhs) run the XLA shifted-stream band SpMM
+    plus a per-batch scatter-add at STATIC flat positions — correct for
+    any rhs batching; stacked matrices with per-matrix slot layouts are
+    rejected (same contract as the dense-window rule)."""
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def f(data, x, contrib, win, lane):
+        return _dia_spmv_hyb_tc_pallas(data, x, contrib, win, lane,
+                                       offsets, interpret=interpret)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, data, x, contrib, win, lane):
+        data_b, x_b, c_b, w_b, l_b = in_batched
+        if w_b or l_b:
+            raise NotImplementedError(
+                "vmap over stacked tile-compact HYB matrices is "
+                "unsupported; vmap over x only")
+        lo = max(0, -min(offsets)) if offsets else 0
+        n = data.shape[-1]
+        dtype = jnp.result_type(data.dtype, x.dtype)
+        hi = max(0, max(offsets)) if offsets else 0
+        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(lo, hi)])
+        y = jnp.zeros(x.shape[:-1] + (n,), dtype=dtype)
+        for d, off in enumerate(offsets):
+            sl = jax.lax.slice_in_dim(xp, lo + off, lo + off + n, axis=-1)
+            dd = data[..., d, :] if data_b else data[d]
+            y = y + dd * sl
+        if y.ndim == 1:
+            y = jnp.broadcast_to(y, (axis_size, n))
+        # flat target rows are STATIC data: tile*T + win*128 + lane.
+        # Padded slots target row 0 with contribution 0.
+        nb, TS = win.shape
+        tiles = jnp.arange(nb, dtype=jnp.int32)[:, None]
+        rows_flat = (tiles * tile_rows + win * 128 + lane).reshape(-1)
+        cb = contrib if c_b else jnp.broadcast_to(
+            contrib, (axis_size,) + contrib.shape)
+        y = y.at[:, rows_flat].add(cb.reshape(axis_size, -1).astype(dtype))
+        return y, True
+
+    return f
+
+
+def dia_spmv_hyb_tc_pallas(A, x, contrib, interpret: bool = False):
+    """y = A.dia @ x + tile-compact scatter(contrib) via the fused MXU
+    epilogue kernel; ``contrib`` is the (nb, TS) slot-contribution array
+    (tc_vals · gathered x)."""
+    return _vmap_safe_hyb_tc_kernel(A.dia.offsets, A.tile_rows,
+                                    bool(interpret))(
+        A.dia.data, x, contrib, A.tc_win, A.tc_lane)
 
 
 @functools.lru_cache(maxsize=None)

@@ -143,15 +143,31 @@ def _spmv_hyb(A: HYB, x):
     the scalar scatter."""
     n = A.shape[0]
     dtype = jnp.result_type(A.dia.data.dtype, x.dtype)
+    if (A.tc_vals is not None and dtype == jnp.float32
+            and dia_pallas_ok(dtype, n)):
+        # tile-compact remainder: compact gather (~1.5× the entry count
+        # instead of the window layout's S·nwin ≈ 3×) + in-kernel MXU
+        # scatter, no scalar overflow path at all
+        from lssp_tpu.ops.pallas_spmv import (dia_spmv_hyb_tc_pallas,
+                                              hyb_tile_rows)
+        if A.tile_rows == hyb_tile_rows(n, A.dia.offsets, 4):
+            nb, TS = A.tc_vals.shape
+            xg = lane_gather(x, A.tc_cols.reshape(-1)).reshape(nb, TS)
+            return dia_spmv_hyb_tc_pallas(A, x, A.tc_vals * xg)
     if A.win_vals is not None and dia_pallas_ok(dtype, n):
         from lssp_tpu.ops.pallas_spmv import dia_spmv_hyb_pallas
         S, nwin = A.win_vals.shape
         xg = lane_gather(x, A.win_cols.reshape(-1)).reshape(S, nwin)
         y = dia_spmv_hyb_pallas(A, x, A.win_vals * xg)
+        # ovr/rem triplets are row-sorted by construction (CSR order is
+        # preserved through the split); the sorted hint vectorizes the
+        # scatter — TPU-measured 72 → 15 µs at 1k entries
         return y.at[A.ovr_rows].add(
-            A.ovr_vals * lane_gather(x, A.ovr_cols))
+            A.ovr_vals * lane_gather(x, A.ovr_cols),
+            indices_are_sorted=True)
     y = _spmv_dia(A.dia, x)
-    return y.at[A.rem_rows].add(A.rem_vals * lane_gather(x, A.rem_cols))
+    return y.at[A.rem_rows].add(A.rem_vals * lane_gather(x, A.rem_cols),
+                                indices_are_sorted=True)
 
 
 def spmv(A, x):

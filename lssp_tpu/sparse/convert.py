@@ -263,13 +263,61 @@ def csr_to_hyb(A: CSR, max_diags: int = 256, min_occ: float = 0.02,
     # remainder triplets, zero-padded at (0, 0) to a lane-friendly length
     r_rem, c_rem, v_rem = rows[~in_band], cols[~in_band], dat[~in_band]
     win = _remainder_windows(r_rem, c_rem, v_rem, n, dat.dtype, pad_to)
+    win.update(_remainder_tiles(r_rem, c_rem, v_rem, n, dat.dtype,
+                                tuple(int(o) for o in kept)))
+    # padding targets (n-1, 0) with value 0: row n-1 keeps rem_rows SORTED
+    # (CSR order), which lets the scatter-add take the vectorized
+    # indices_are_sorted path (TPU-measured 5× — ops/spmv.py)
     npad = _round_up(max(len(v_rem), 1), pad_to) - len(v_rem)
-    r_rem = np.concatenate([r_rem, np.zeros(npad, np.int64)])
+    r_rem = np.concatenate([r_rem, np.full(npad, n - 1, np.int64)])
     c_rem = np.concatenate([c_rem, np.zeros(npad, np.int64)])
     v_rem = np.concatenate([v_rem, np.zeros(npad, dat.dtype)])
     return HYB(dia=dia, rem_rows=r_rem.astype(np.int32),
                rem_cols=c_rem.astype(np.int32), rem_vals=v_rem,
                shape=A.shape, **win)
+
+
+def _remainder_tiles(r, c, v, n, dtype, offsets, max_ts=4096,
+                     max_waste=8.0):
+    """Re-lay remainder triplets into TS slots per KERNEL row-tile (the
+    TPU MXU scatter epilogue, ops/pallas_spmv.py:
+    _dia_spmv_hyb_tc_pallas).  TS is the smallest power of two covering
+    the fullest tile, so NOTHING spills; returns all-None when the
+    layout would be pathological (TS over ``max_ts`` or total slots over
+    ``max_waste``× the entry count — heavily clustered remainders).
+
+    The tile size must match the kernel's grid exactly; both sides use
+    ops/pallas_spmv.py: hyb_tile_rows (fp32 itemsize — the Pallas path
+    only runs fp32/bf16, and a bf16 call recomputes a different tile and
+    falls back to the window layout)."""
+    none = dict(tc_cols=None, tc_vals=None, tc_win=None, tc_lane=None,
+                tile_rows=None)
+    if len(r) == 0 or np.dtype(dtype).itemsize != 4:
+        return none
+    from lssp_tpu.ops.pallas_spmv import hyb_tile_rows
+    T = hyb_tile_rows(n, offsets, 4)
+    nb = -(-max(n, 1) // T)
+    t = (r // T).astype(np.int64)
+    cnt = np.bincount(t, minlength=nb)
+    ts = 8
+    while ts < int(cnt.max()):
+        ts *= 2
+    if ts > max_ts or ts * nb > max_waste * max(len(r), 1):
+        return none
+    order = np.argsort(t, kind="stable")
+    rs, cs, vs, tsrt = r[order], c[order], v[order], t[order]
+    starts = np.concatenate(([0], np.cumsum(cnt)))
+    slot = np.arange(len(rs), dtype=np.int64) - starts[tsrt]
+    tc_c = np.zeros((nb, ts), np.int32)
+    tc_v = np.zeros((nb, ts), dtype)
+    tc_w = np.zeros((nb, ts), np.int32)
+    tc_l = np.zeros((nb, ts), np.int32)
+    tc_c[tsrt, slot] = cs
+    tc_v[tsrt, slot] = vs
+    tc_w[tsrt, slot] = (rs % T) // 128
+    tc_l[tsrt, slot] = rs % 128
+    return dict(tc_cols=tc_c, tc_vals=tc_v, tc_win=tc_w, tc_lane=tc_l,
+                tile_rows=int(T))
 
 
 def _remainder_windows(r, c, v, n, dtype, pad_to=8, max_slots=16,
@@ -306,8 +354,9 @@ def _remainder_windows(r, c, v, n, dtype, pad_to=8, max_slots=16,
     wl[slot[inwin], w[inwin]] = r[inwin] % 128
     wv[slot[inwin], w[inwin]] = v[inwin]
     ro, co, vo = r[~inwin], c[~inwin], v[~inwin]
+    # pad rows with n-1 (not 0) so ovr_rows stays sorted — see csr_to_hyb
     npad = _round_up(max(len(vo), 1), pad_to) - len(vo)
-    ro = np.concatenate([ro, np.zeros(npad, np.int64)]).astype(np.int32)
+    ro = np.concatenate([ro, np.full(npad, n - 1, np.int64)]).astype(np.int32)
     co = np.concatenate([co, np.zeros(npad, np.int64)]).astype(np.int32)
     vo = np.concatenate([vo, np.zeros(npad, dtype)])
     return dict(win_cols=wc, win_lane=wl, win_vals=wv,

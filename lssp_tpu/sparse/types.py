@@ -310,6 +310,19 @@ class HYB:
     ovr_rows: Any = None  # (novr_padded,) int32
     ovr_cols: Any = None  # (novr_padded,) int32
     ovr_vals: Any = None  # (novr_padded,)
+    # optional TILE-COMPACT layout of the same remainder (preferred on
+    # TPU): ALL entries re-laid into TS slots per KERNEL row-tile
+    # (``tile_rows`` rows — must equal ops/pallas_spmv.py: hyb_tile_rows),
+    # scattered in-kernel by one iota-compare one-hot MXU matmul per tile.
+    # vs the per-window layout: the XLA-side contribution gather touches
+    # the compact slot count (~1.5× entries) instead of S·nwin (~3×), and
+    # no entry ever spills to a scalar path.  All four tc_* are (nb, TS);
+    # None ⇒ layout unavailable (clustered tiles blew the TS cap).
+    tc_cols: Any = None   # (nb, TS) int32 global column (0 in padding)
+    tc_vals: Any = None   # (nb, TS) dtype (0 in padding)
+    tc_win: Any = None    # (nb, TS) int32 (row % tile_rows) // 128
+    tc_lane: Any = None   # (nb, TS) int32 row % 128
+    tile_rows: Any = None # static: kernel tile size the layout was built for
 
     @property
     def dtype(self):
@@ -333,5 +346,6 @@ _register(ELL, ("cols", "data"), ("shape",))
 _register(DIA, ("data",), ("offsets", "shape"))
 _register(BDIA, ("blocks",), ("offsets", "shape", "blocksize"))
 _register(HYB, ("dia", "rem_rows", "rem_cols", "rem_vals", "win_cols",
-                "win_lane", "win_vals", "ovr_rows", "ovr_cols", "ovr_vals"),
-          ("shape",))
+                "win_lane", "win_vals", "ovr_rows", "ovr_cols", "ovr_vals",
+                "tc_cols", "tc_vals", "tc_win", "tc_lane"),
+          ("shape", "tile_rows"))

@@ -96,15 +96,32 @@ def test_plan_rejects_oversized():
 
 def test_vmap_over_rhs_matches_loop():
     """solve_ir_multi vmaps the inner per column — the custom_vmap rule
-    must produce per-column applies identical to the unbatched kernel."""
+    (batched shifted-stream SpMM sweeps for pure-band factors) must
+    produce per-column applies matching the unbatched kernel."""
     from lssp_tpu.sparse import laplacian_2d
     A = laplacian_2d(48, dtype=np.float64)
     L, U = iluk_factor(A, level=0)
     st = plan_fused_neumann(L, U, 3)
+    assert st.L.gt is None                      # exercises the SpMM rule
     R = jnp.asarray(np.random.default_rng(5).standard_normal((4, A.shape[0])))
     import jax
     Z = jax.vmap(lambda r: fused_neumann_apply(st, r, interpret=True))(R)
     for j in range(4):
+        zj = fused_neumann_apply(st, R[j], interpret=True)
+        assert np.allclose(np.asarray(Z[j]), np.asarray(zj),
+                           rtol=1e-5, atol=1e-7)
+
+
+def test_vmap_over_rhs_with_strays():
+    """Factors with off-band strays take the per-column lax.map rule."""
+    A = _strayed_laplacian(40, 200, seed=9)
+    L, U = iluk_factor(A, level=1)
+    st = plan_fused_neumann(L, U, 3)
+    assert st.L.gt is not None or st.U.gt is not None
+    R = jnp.asarray(np.random.default_rng(6).standard_normal((3, A.shape[0])))
+    import jax
+    Z = jax.vmap(lambda r: fused_neumann_apply(st, r, interpret=True))(R)
+    for j in range(3):
         zj = fused_neumann_apply(st, R[j], interpret=True)
         assert np.allclose(np.asarray(Z[j]), np.asarray(zj),
                            rtol=1e-6, atol=0.0)

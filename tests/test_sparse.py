@@ -314,6 +314,63 @@ class TestHYB:
                 A.to_scipy().astype(np.float32) @ np.asarray(Xb[i]),
                 rtol=2e-5, atol=2e-5)
 
+    def test_tile_compact_layout_reconstructs(self):
+        """tc_* slot arrays hold EXACTLY the remainder (no spill path)."""
+        import scipy.sparse as sp
+        from lssp_tpu.sparse.convert import csr_to_hyb
+        A = self._nearly_banded(n_side=40, n_extra=300, seed=7)
+        H = csr_to_hyb(CSR.from_scipy(
+            A.to_scipy().astype(np.float32).tocsr()))
+        assert H.tc_vals is not None and H.tile_rows > 0
+        nb, TS = H.tc_vals.shape
+        tiles = np.repeat(np.arange(nb), TS)
+        rows = (tiles * H.tile_rows + np.asarray(H.tc_win).ravel() * 128
+                + np.asarray(H.tc_lane).ravel())
+        R = sp.coo_matrix((np.asarray(H.tc_vals).ravel(),
+                           (rows, np.asarray(H.tc_cols).ravel())),
+                          shape=A.shape)
+        Rem = sp.coo_matrix(
+            (np.asarray(H.rem_vals),
+             (np.asarray(H.rem_rows), np.asarray(H.rem_cols))),
+            shape=A.shape)
+        assert abs(R.tocsr() - Rem.tocsr()).max() < 1e-14
+
+    def test_fused_tile_compact_kernel_interpret(self, rng):
+        """The MXU scatter-epilogue kernel (interpret mode) matches scipy,
+        including multi-tile grids and vmapped batched calls."""
+        from lssp_tpu.sparse.convert import csr_to_hyb
+        from lssp_tpu.ops.pallas_spmv import (dia_spmv_hyb_tc_pallas,
+                                              hyb_tile_rows)
+        from lssp_tpu.ops.spmv import lane_gather
+        # n=129600 > one 64k tile -> exercises the multi-tile grid
+        A = self._nearly_banded(n_side=360, n_extra=500, seed=13)
+        n = A.shape[0]
+        H = csr_to_hyb(CSR.from_scipy(
+            A.to_scipy().astype(np.float32).tocsr()))
+        assert H.tc_vals is not None
+        nb, TS = H.tc_vals.shape
+        assert nb >= 2, "want a multi-tile case"
+        assert H.tile_rows == hyb_tile_rows(n, H.dia.offsets, 4)
+        Hd = jax.device_put(H)
+        x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+
+        def apply(v):
+            xg = lane_gather(v, jnp.asarray(H.tc_cols).reshape(-1))
+            return dia_spmv_hyb_tc_pallas(
+                Hd, v, jnp.asarray(H.tc_vals) * xg.reshape(nb, TS),
+                interpret=True)
+
+        ref = A.to_scipy().astype(np.float32) @ np.asarray(x)
+        np.testing.assert_allclose(np.asarray(apply(x)), ref,
+                                   rtol=2e-5, atol=2e-5)
+        Xb = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32))
+        got_b = jax.vmap(apply)(Xb)
+        for i in range(2):
+            np.testing.assert_allclose(
+                np.asarray(got_b[i]),
+                A.to_scipy().astype(np.float32) @ np.asarray(Xb[i]),
+                rtol=2e-5, atol=2e-5)
+
 
 class TestGridTranspose:
     """Grid-transpose normalization for strong-y anisotropy (the
