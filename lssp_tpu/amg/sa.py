@@ -102,6 +102,28 @@ def _pad_identity(A, m):
                    format="csr")
 
 
+def _dia_transpose_dev(D):
+    """Transpose a square DIA ON DEVICE: offsets negate, each diagonal's
+    data shifts by its offset (data[d, i] = A[i, i+off] ⇒
+    dataT[d', i] = Aᵀ[i, i−off] = data[d, i−off]).  Used to derive the
+    restriction smoother C = Bᵀ from the already-uploaded B instead of
+    uploading it: at the 16.8M acceptance scale the hierarchy upload ran
+    at the tunnel's ~26 MB/s and C was ~26 s of it."""
+    from lssp_tpu.sparse.types import DIA
+    order = sorted(range(len(D.offsets)), key=lambda k: -D.offsets[k])
+    offs, rows = [], []
+    for k in order:
+        off = D.offsets[k]
+        v = D.data[k]
+        if off > 0:
+            v = jnp.roll(v, off).at[:off].set(0)
+        elif off < 0:
+            v = jnp.roll(v, off).at[off:].set(0)
+        offs.append(-off)
+        rows.append(v)
+    return DIA(tuple(offs), jnp.stack(rows), D.shape)
+
+
 def _to_dia(Ah, dtype, max_diags):
     from lssp_tpu.sparse.convert import csr_to_dia, csr_to_ell
     # dtype cast happens inside the DIA scatter — no intermediate
@@ -444,16 +466,19 @@ def sa_setup(A: CSR, g: int = 4, max_levels: int = 12,
         # hold at a 25-diagonal fixed point and convergence is measured
         # grid-independent); flat mode keeps the stencil-growth-safe 2
         smooth_levels = max_levels if grid is not None else 2
-    levels, Al, n_top = sa_host_levels(
-        A, g=g, max_levels=max_levels, coarse_size=coarse_size,
-        omega_p=omega_p, filter_tol=filter_tol,
-        smooth_levels=smooth_levels, grid=grid, theta_dir=theta_dir,
-        strength_tol=strength_tol, pattern_radius=pattern_radius,
-        b_radius=b_radius)
+    from lssp_tpu.utils.profile import phase
+    with phase("saamg_host_levels"):
+        levels, Al, n_top = sa_host_levels(
+            A, g=g, max_levels=max_levels, coarse_size=coarse_size,
+            omega_p=omega_p, filter_tol=filter_tol,
+            smooth_levels=smooth_levels, grid=grid, theta_dir=theta_dir,
+            strength_tol=strength_tol, pattern_radius=pattern_radius,
+            b_radius=b_radius)
     # pack device levels; n_next records the size the level below was
     # built at (for reshape bookkeeping)
     dev = []
     for i, (Ah, B, C, dinv, lmax, n_c, agg) in enumerate(levels):
+      with phase("saamg_pack_upload"):
         A_dia = _to_dia(Ah, dtype, max_diags)
         tri = None
         if smoother == "line":
@@ -470,14 +495,27 @@ def sa_setup(A: CSR, g: int = 4, max_levels: int = 12,
                 warning(f"saamg level {i}: line smoother unavailable on a "
                         "non-DIA level (too many diagonals); using "
                         "Chebyshev for this level")
+        from lssp_tpu.sparse.types import DIA as _DIA
+        B_dia = _to_dia(B, dtype, max_diags) if B is not None else None
+        if isinstance(B_dia, _DIA):
+            # C = Bᵀ derived on device (no upload).  NB this transposes
+            # the LUMPED B, i.e. R = P0ᵀBᵀ with exactly the P-smoother's
+            # matrix — keeps the coarse correction symmetric (CG);
+            # lump(Bᵀ) differs from lump(B)ᵀ only in the lumped diagonal
+            # mass, convergence-validated by the golden ratchet and the
+            # acceptance iteration counts
+            C_dia = _dia_transpose_dev(B_dia)
+        else:
+            C_dia = _to_dia(C, dtype, max_diags) if C is not None else None
         dev.append(SALevel(
             A=A_dia,
-            B=_to_dia(B, dtype, max_diags) if B is not None else None,
-            C=_to_dia(C, dtype, max_diags) if C is not None else None,
+            B=B_dia,
+            C=C_dia,
             dinv=jnp.asarray(dinv.astype(dtype)),
             lmax=float(lmax), g=g, smoother=smoother, degree=degree,
             n_next=n_c, agg=agg, tri=tri))
-    coarse_inv = jnp.asarray(np.linalg.inv(Al.toarray()).astype(dtype))
+    with phase("saamg_coarse_inv"):
+        coarse_inv = jnp.asarray(np.linalg.inv(Al.toarray()).astype(dtype))
     return SAHierarchy(levels=tuple(dev), coarse_inv=coarse_inv,
                        n_top=n_top)
 
