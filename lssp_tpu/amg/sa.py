@@ -102,28 +102,6 @@ def _pad_identity(A, m):
                    format="csr")
 
 
-def _dia_transpose_dev(D):
-    """Transpose a square DIA ON DEVICE: offsets negate, each diagonal's
-    data shifts by its offset (data[d, i] = A[i, i+off] ⇒
-    dataT[d', i] = Aᵀ[i, i−off] = data[d, i−off]).  Used to derive the
-    restriction smoother C = Bᵀ from the already-uploaded B instead of
-    uploading it: at the 16.8M acceptance scale the hierarchy upload ran
-    at the tunnel's ~26 MB/s and C was ~26 s of it."""
-    from lssp_tpu.sparse.types import DIA
-    order = sorted(range(len(D.offsets)), key=lambda k: -D.offsets[k])
-    offs, rows = [], []
-    for k in order:
-        off = D.offsets[k]
-        v = D.data[k]
-        if off > 0:
-            v = jnp.roll(v, off).at[:off].set(0)
-        elif off < 0:
-            v = jnp.roll(v, off).at[off:].set(0)
-        offs.append(-off)
-        rows.append(v)
-    return DIA(tuple(offs), jnp.stack(rows), D.shape)
-
-
 def _to_dia(Ah, dtype, max_diags):
     from lssp_tpu.sparse.convert import csr_to_dia, csr_to_ell
     # dtype cast happens inside the DIA scatter — no intermediate
@@ -495,22 +473,10 @@ def sa_setup(A: CSR, g: int = 4, max_levels: int = 12,
                 warning(f"saamg level {i}: line smoother unavailable on a "
                         "non-DIA level (too many diagonals); using "
                         "Chebyshev for this level")
-        from lssp_tpu.sparse.types import DIA as _DIA
-        B_dia = _to_dia(B, dtype, max_diags) if B is not None else None
-        if isinstance(B_dia, _DIA):
-            # C = Bᵀ derived on device (no upload).  NB this transposes
-            # the LUMPED B, i.e. R = P0ᵀBᵀ with exactly the P-smoother's
-            # matrix — keeps the coarse correction symmetric (CG);
-            # lump(Bᵀ) differs from lump(B)ᵀ only in the lumped diagonal
-            # mass, convergence-validated by the golden ratchet and the
-            # acceptance iteration counts
-            C_dia = _dia_transpose_dev(B_dia)
-        else:
-            C_dia = _to_dia(C, dtype, max_diags) if C is not None else None
         dev.append(SALevel(
             A=A_dia,
-            B=B_dia,
-            C=C_dia,
+            B=_to_dia(B, dtype, max_diags) if B is not None else None,
+            C=_to_dia(C, dtype, max_diags) if C is not None else None,
             dinv=jnp.asarray(dinv.astype(dtype)),
             lmax=float(lmax), g=g, smoother=smoother, degree=degree,
             n_next=n_c, agg=agg, tri=tri))
