@@ -61,6 +61,7 @@ def main():
         b = jnp.ones(A.shape[0], dtype=jnp.float64)
         rec = {"case": name, "n": A.shape[0], "method": method}
         for pc, po in (("amg", PCOptions(amg_force_classical=True)),
+                       ("rsamg", None),
                        ("saamg", None)):
             try:
                 x, info = solve(A, b, method=method, pc=pc, options=opts,

@@ -134,13 +134,21 @@ class PCOptions:
                                           # line Jacobi, PCR tridiagonal
                                           # solves - the anisotropic fix)
     amg_cycles: int = 1                   # V-cycles per PC application
-    amg_force_classical: bool = False     # keep classical AMG on TPU (by
-                                          # default pc="amg" on the TPU
-                                          # backend redirects to the
-                                          # gather-free saamg with a warning
-                                          # — the classical device cycle's
-                                          # ELL transfer gathers cost ~1 s
-                                          # per V-cycle at 1M rows)
+    amg_force_classical: bool = False     # force the classical hierarchy on
+                                          # TPU even when its slotted-P
+                                          # conversion reports poor locality
+                                          # (kept-mass below the routing
+                                          # threshold) — by default such
+                                          # matrices route to the gather-free
+                                          # saamg instead (amg/rs.py keeps
+                                          # classical gather-free only while
+                                          # interpolation offsets stay local)
+    amg_max_pdiags: int = 40              # offset cap for the TPU-resident
+                                          # classical cycle's aggregated-
+                                          # diagonal interpolation (amg/rs.py:
+                                          # cap_offsets; entries at rarer
+                                          # offsets drop with a row-sum-
+                                          # preserving rescale)
     saamg_aggregate: int = 4              # structured-SA aggregate size
                                           # (contiguous ranges; see amg/sa.py)
     saamg_grid: Any = None                # grid-aware saamg aggregation:

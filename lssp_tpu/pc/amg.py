@@ -19,14 +19,22 @@ def _amg_apply(state, r):
 @register_pc("amg")
 def setup_amg(A, opts):
     import jax
-    if jax.default_backend() == "tpu" and not opts.amg_force_classical:
-        # classical AMG's device cycle applies P/R as ELL gathers — TPU's
-        # weakest operation (~1 s per V-cycle at 1M rows, docs/performance.md)
-        # — while the structured-SA cycle is gather-free (1.4 ms).  Route
-        # TPU users to saamg unless they explicitly opt back in.
+    if jax.default_backend() == "tpu":
+        # TPU-resident classical cycle: the Ruge–Stüben hierarchy with
+        # slotted coarse numbering and aggregated-diagonal interpolation
+        # (amg/rs.py) — gather-free at every level.  When the matrix's
+        # interpolation offsets are too non-local for the slotted layout
+        # (kept-mass below threshold), route to the structured-SA cycle
+        # instead unless the user pinned classical.
+        from lssp_tpu.amg.rs import setup_rs_pc
+        pc = setup_rs_pc(A, opts, reject_below=0.0
+                         if opts.amg_force_classical else 0.85)
+        if pc is not None:
+            return pc
         from lssp_tpu.utils.log import warning
-        warning("pc='amg' (classical) is gather-bound on TPU; using the "
-                "gather-free 'saamg' instead — set "
+        warning("pc='amg': classical interpolation offsets too non-local "
+                "for the gather-free slotted layout on this matrix; using "
+                "the structured-SA cycle instead — set "
                 "PCOptions(amg_force_classical=True) to override")
         from lssp_tpu.amg.sa import setup_saamg_pc
         return setup_saamg_pc(A, opts)
@@ -47,3 +55,14 @@ def setup_saamg(A, opts):
     multigrid (LIS saamg capability; see lssp_tpu/amg/sa.py)."""
     from lssp_tpu.amg.sa import setup_saamg_pc
     return setup_saamg_pc(A, opts)
+
+
+@register_pc("rsamg")
+def setup_rsamg(A, opts):
+    """TPU-resident classical (Ruge–Stüben-type) AMG: aligned axis-pair
+    coarsening, classical direct interpolation, aggregated-diagonal
+    gather-free transfers (see lssp_tpu/amg/rs.py).  This is what
+    pc='amg' resolves to on the TPU backend; registered separately so
+    the classical gather-free cycle is addressable on any backend."""
+    from lssp_tpu.amg.rs import setup_rs_pc
+    return setup_rs_pc(A, opts)

@@ -61,13 +61,15 @@ def resolve_reorder(pc, pc_options, reorder):
     the hierarchical-aggregation ordering (``hier:g:coarse:levels`` —
     amg/aggregate.py) so that on a matrix with NO detectable grid the flat
     reshape aggregates are true strength aggregates at every level.  The
-    pc="amg" TPU route lands on saamg (pc/amg.py), so it gets the same
-    treatment there."""
+    pc="amg" TPU route lands on rsamg-or-saamg (pc/amg.py), and rsamg's
+    flat levels use the same contiguous reshape groups, so all three get
+    the same treatment."""
     if reorder != "auto" or not isinstance(pc, str):
         return reorder
     if saamg_keeps_ordering(pc, pc_options):
         return None   # explicit grid dims need the original ordering
-    if pc == "saamg" or (pc == "amg" and jax.default_backend() == "tpu"):
+    if pc in ("saamg", "rsamg") \
+            or (pc == "amg" and jax.default_backend() == "tpu"):
         o = pc_options or PCOptions()
         return (f"hier:{o.saamg_aggregate}:{o.amg_coarse_size}:"
                 f"{o.amg_max_levels}")
