@@ -294,9 +294,21 @@ def _grid_strengths(Al, gy, gx):
     from lssp_tpu.sparse.convert import csr_entry_offsets
     Ac = Al.tocsr()
     n = Ac.shape[0]
-    _, d, offs = csr_entry_offsets(Ac.indptr, Ac.indices, n)
+    ip, ind, dat = Ac.indptr, Ac.indices, Ac.data
+    if len(ind) > 20_000_000:
+        # direction RATIOS of a near-constant-stencil operator are exact
+        # on a leading row block (>= 4 grid rows, ~8M entries) up to
+        # boundary effects - measured identical mode choices on the
+        # shipped classes, and the full 84M-entry scan was ~2.9 s of the
+        # 16.8M setup
+        ns = int(np.searchsorted(ip, 8_000_000))
+        ns = min(n, max(ns, min(n, 4 * gx)))
+        ip = ip[:ns + 1]
+        ind = ind[:ip[-1]]
+        dat = dat[:ip[-1]]
+    _, d, offs = csr_entry_offsets(ip, ind, len(ip) - 1)
     idx = np.searchsorted(offs, d)
-    sums = np.bincount(idx, weights=np.abs(Ac.data), minlength=len(offs))
+    sums = np.bincount(idx, weights=np.abs(dat), minlength=len(offs))
     o = offs.astype(np.int64)
     dy = np.rint(o / gx).astype(np.int64)
     sx = float(sums[(dy == 0) & (o != 0)].sum())
@@ -311,7 +323,7 @@ def sa_host_levels(A: CSR, g: int = 4, max_levels: int = 12,
                    strength_tol: float = 0.02,
                    pattern_radius: Optional[Tuple[int, int]] = None,
                    b_radius: Optional[Tuple[int, int]] = (1, 1),
-                   shards: int = 1):
+                   shards: int = 1, host_c: bool = True):
     """Host part of the structured-SA setup, shared by the single-device
     and distributed builders.  Returns (levels, Al_coarse, n_top) where
     each level is (A_scipy, B_scipy|None, C_scipy|None, dinv, lmax, n_c,
@@ -325,9 +337,12 @@ def sa_host_levels(A: CSR, g: int = 4, max_levels: int = 12,
     P·g so shard-local reshapes stay aligned).  ``shards``: restrict grid
     modes to aggregations whose reshape groups stay inside one of P
     row-shards (the distributed builder's constraint); coarsening stops
-    early if no aligned mode remains."""
+    early if no aligned mode remains.  ``host_c``: materialize the host
+    restriction smoother C = (lumped B)ᵀ — the distributed builder
+    partitions it; the single-device packer derives C on device from B's
+    uploaded data, so it skips the host transpose entirely."""
     import scipy.sparse as sp
-    from lssp_tpu.amg.setup import _lambda_max
+    from lssp_tpu.amg.setup import lambda_est as _lambda_max
 
     pad_mult = pad_mult or g
     n_top = A.shape[0]
@@ -382,8 +397,7 @@ def sa_host_levels(A: CSR, g: int = 4, max_levels: int = 12,
                 cols = (iy // 2) * gxc + ix // 2
                 agg = ("box", gy, gx, gyc, gxc)
             n_c = gyc * gxc
-            P0 = sp.csr_matrix((np.ones(n), cols, np.arange(n + 1)),
-                               shape=(n, n_c))
+            p0_cols = cols
             next_grid = (gyc, gxc)
         else:
             grid = None
@@ -392,9 +406,7 @@ def sa_host_levels(A: CSR, g: int = 4, max_levels: int = 12,
             n = Al.shape[0]
             # P0: (n, n/g) contiguous aggregation
             n_c = n // g
-            P0 = sp.csr_matrix(
-                (np.ones(n), np.arange(n) // g, np.arange(n + 1)),
-                shape=(n, n_c))
+            p0_cols = np.arange(n, dtype=np.int64) // g
         d = Al.diagonal().copy()
         d[d == 0] = 1.0
         dinv = 1.0 / d
@@ -426,7 +438,6 @@ def sa_host_levels(A: CSR, g: int = 4, max_levels: int = 12,
                                    Afc.indptr.copy()), shape=Afc.shape)
             else:                              # rare: missing structural diag
                 B = (sp.eye(n) - c * sp.diags(dfinv) @ Afc).tocsr()
-            C = B.T.tocsr()                                 # R = P0ᵀ C
             if agg is not None and b_radius is not None:
                 # bound the prolongator smoother to a fixed grid stencil:
                 # with B at radius (1,1) the Galerkin RAP reach has a
@@ -435,12 +446,31 @@ def sa_host_levels(A: CSR, g: int = 4, max_levels: int = 12,
                 # →45→ELL on 2-D Poisson; bounding B holds 25 diagonals
                 # with the same iteration counts)
                 B = _lump_to_pattern(B, gy, gx, b_radius[0], b_radius[1])
-                C = _lump_to_pattern(C, gy, gx, b_radius[0], b_radius[1])
-            P = (B @ P0).tocsr()
+            # C = Bᵀ of the LUMPED B — the SAME operator the single-device
+            # packer derives on device (_dia_transpose_dev); materialized
+            # host-side only for the distributed builder.  (Previously the
+            # host path lumped Bᵀ row-wise instead, a slightly different
+            # diagonal adjustment than the device convention.)
+            C = B.T.tocsr() if host_c else None
         else:
             B = C = None                                    # tentative P0
-            P = P0
-        Ac = (P.T @ Al @ P).tocsr()
+        # Galerkin RAP with the implicit P = B·P0: the fused C++ kernel
+        # (native/src/rap.cpp) consumes B + the aggregation column map
+        # directly — no P materialization, no scipy tocsc/matmat chain
+        # (measured ~10 s of the 16.8M host hierarchy build)
+        from lssp_tpu import native
+        Ac = native.rap(Al, B, p0_cols, n_c) if native.available() else None
+        if Ac is None:                                      # Python oracle
+            if B is not None:
+                # P = B @ P0 as a pure column remap + duplicate sum
+                P = sp.csr_matrix((B.data.copy(),
+                                   p0_cols[B.indices.astype(np.int64)],
+                                   B.indptr.copy()), shape=(n, n_c))
+                P.sum_duplicates()
+            else:
+                P = sp.csr_matrix((np.ones(n), p0_cols,
+                                   np.arange(n + 1)), shape=(n, n_c))
+            Ac = (P.T @ Al @ P).tocsr()
         Ac.eliminate_zeros()
         Ac = _filter_lumped(Ac, filter_tol)
         if next_grid is not None and pattern_radius is not None:
@@ -492,7 +522,7 @@ def sa_setup(A: CSR, g: int = 4, max_levels: int = 12,
             omega_p=omega_p, filter_tol=filter_tol,
             smooth_levels=smooth_levels, grid=grid, theta_dir=theta_dir,
             strength_tol=strength_tol, pattern_radius=pattern_radius,
-            b_radius=b_radius)
+            b_radius=b_radius, host_c=False)
     # pack device levels; n_next records the size the level below was
     # built at (for reshape bookkeeping)
     dev = []
@@ -526,6 +556,10 @@ def sa_setup(A: CSR, g: int = 4, max_levels: int = 12,
                          B_dia.shape)
             C_dia = _dia_transpose_dev(B_dia)
         else:
+            # ELL fallback: derive the host C = (lumped B)ᵀ on demand —
+            # sa_host_levels skips it for the single-device packer
+            if C is None and B is not None:
+                C = B.T.tocsr()
             C_dia = _to_dia(C, dtype, max_diags) if C is not None else None
         dev.append(SALevel(
             A=A_dia,

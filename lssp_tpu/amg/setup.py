@@ -176,6 +176,40 @@ def _lambda_max(A: sp.csr_matrix, dinv: np.ndarray, iters: int = 15,
     return float(lam)
 
 
+def lambda_gershgorin(A: sp.csr_matrix, dinv: np.ndarray) -> float:
+    """Row-sum (Gershgorin) upper bound on λ_max(D⁻¹A): max_i dinv_i·Σ_j
+    |a_ij|.  One O(nnz) pass — no matvecs, no fp32 copies."""
+    A = A.tocsr()
+    from lssp_tpu import native
+    if native.available():
+        val = native.gersh(A.indptr, A.data, dinv, A.shape[0])
+        if val is not None:
+            return val if val > 0 else 1.0
+    absd = np.abs(A.data)
+    nnz_row = np.diff(A.indptr)
+    rs = np.zeros(A.shape[0])
+    nz = nnz_row > 0
+    if nz.any():
+        rs[nz] = np.add.reduceat(absd, A.indptr[:-1][nz])
+    val = float((rs * np.abs(dinv)).max()) if A.shape[0] else 1.0
+    return val if val > 0 else 1.0
+
+
+_LMAX_GERSHGORIN_ABOVE = 2_000_000
+
+
+def lambda_est(A: sp.csr_matrix, dinv: np.ndarray) -> float:
+    """λ_max(D⁻¹A) estimate for smoother intervals: power iteration on
+    small levels, Gershgorin above ``_LMAX_GERSHGORIN_ABOVE`` rows.  The
+    bound is tight exactly where it is used (measured 1.02-1.06× power-15
+    on the fine stencil levels of the shipped matrix classes; the loose
+    1.4-1.6× cases are small coarse levels, which keep power iteration) —
+    and the 15-matvec fp32 power loop was 22 s of the 16.8M saamg setup."""
+    if A.shape[0] > _LMAX_GERSHGORIN_ABOVE:
+        return lambda_gershgorin(A, dinv)
+    return _lambda_max(A, dinv)
+
+
 def truncate_P(P: sp.csr_matrix, eps: float) -> sp.csr_matrix:
     """Drop interpolation weights |w| < eps·max|row| and rescale each row to
     preserve its sum (keeps constants interpolated exactly) — the standard

@@ -21,7 +21,8 @@ _SRCS = [os.path.join(_HERE, "src", "ilu.cpp"),
          os.path.join(_HERE, "src", "spqr.cpp"),
          os.path.join(_HERE, "src", "aggregate.cpp"),
          os.path.join(_HERE, "src", "amd.cpp"),
-         os.path.join(_HERE, "src", "amgfilter.cpp")]
+         os.path.join(_HERE, "src", "amgfilter.cpp"),
+         os.path.join(_HERE, "src", "rap.cpp")]
 _BUILD_DIR = os.path.join(_HERE, "_build")
 _LIB_PATH = os.path.join(_BUILD_DIR, "liblssp_native.so")
 
@@ -123,6 +124,16 @@ def load():
             d64 = getattr(lib, "lssp_dia_fill_f64" + suf)
             d64.argtypes = [ptr, ptr, _f64p, ctypes.c_int64, _i64p,
                             ctypes.c_int64, _f64p]
+        for suf, ptr in (("_i32", _i32p), ("_i64", _i64p)):
+            gs = getattr(lib, "lssp_gersh" + suf)
+            gs.argtypes = [ptr, _f64p, _f64p, ctypes.c_long]
+            gs.restype = ctypes.c_double
+            rp = getattr(lib, "lssp_rap" + suf)
+            rp.argtypes = [ptr, ptr, _f64p, ctypes.c_long,
+                           ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                           ptr, ctypes.c_long, ptr, ptr, _f64p,
+                           ctypes.c_long]
+            rp.restype = ctypes.c_long
         lib.lssp_greedy_aggregate.argtypes = [
             _i64p, _i64p, _f64p, _i64p, _i64p, _f64p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
@@ -293,6 +304,65 @@ def lump_pattern(indptr, indices, data, n: int, gx: int, ry: int, rx: int):
     if out < 0:
         return None
     return oip, oix[:out], oax[:out]
+
+
+def gersh(indptr, data, dinv, n: int):
+    """Gershgorin bound max_i dinv_i Σ_j |a_ij| (oracle:
+    amg/setup.py lambda_gershgorin).  Returns None when unavailable."""
+    lib = load()
+    if lib is None or data.dtype != np.float64:
+        return None
+    fn = getattr(lib, "lssp_gersh" + _isuf(indptr))
+    return float(fn(indptr, np.ascontiguousarray(data, np.float64),
+                    np.ascontiguousarray(dinv, np.float64), n))
+
+
+def rap(A, B, p0_cols, nc: int):
+    """Fused Galerkin product Ac = (B·P0)ᵀ · A · (B·P0) with P0 the
+    aggregation map ``p0_cols`` (per-row coarse column); ``B`` may be None
+    (tentative P0).  Oracle: the scipy triple product in amg/sa.py
+    sa_host_levels.  Returns a scipy CSR or None when native is
+    unavailable."""
+    import scipy.sparse as sp
+    lib = load()
+    if lib is None:
+        return None
+    A = A.tocsr()
+    if A.data.dtype != np.float64:
+        return None
+    n = A.shape[0]
+    ip = A.indptr
+    ix = A.indices.astype(ip.dtype, copy=False)
+    p0 = np.ascontiguousarray(p0_cols, dtype=ip.dtype)
+    fn = getattr(lib, "lssp_rap" + _isuf(ip))
+    if B is not None:
+        B = B.tocsr()
+        bp = np.ascontiguousarray(B.indptr, dtype=ip.dtype)
+        bj = np.ascontiguousarray(B.indices, dtype=ip.dtype)
+        bx = np.ascontiguousarray(B.data, dtype=np.float64)
+        bargs = (bp.ctypes.data, bj.ctypes.data, bx.ctypes.data)
+        keep = (bp, bj, bx)          # keep alive across the call
+    else:
+        bargs = (None, None, None)
+        keep = ()
+    # modest first cap (coarse nnz is typically ~0.45x fine for these
+    # hierarchies); the kernel reports a refined estimate on overflow.
+    # Copy the used slices out so the cap-sized buffers don't stay alive
+    # as the bases of per-level views (measured: holding them degraded
+    # the later levels' kernels by 2-3x via memory pressure).
+    cap = int(A.nnz * 0.6 + 16 * max(nc, 1))
+    for _ in range(4):
+        oip = np.empty(nc + 1, dtype=ip.dtype)
+        oix = np.empty(cap, dtype=ip.dtype)
+        oax = np.empty(cap, dtype=np.float64)
+        out = fn(ip, ix, np.ascontiguousarray(A.data, np.float64), n,
+                 *bargs, p0, nc, oip, oix, oax, cap)
+        if out >= 0:
+            del keep
+            return sp.csr_matrix((oax[:out].copy(), oix[:out].copy(),
+                                  oip), shape=(nc, nc))
+        cap = int(-out)
+    return None
 
 
 def dia_convert(indptr, indices, data, n: int, max_diags: int, out_dtype):
