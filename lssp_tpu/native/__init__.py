@@ -22,7 +22,8 @@ _SRCS = [os.path.join(_HERE, "src", "ilu.cpp"),
          os.path.join(_HERE, "src", "aggregate.cpp"),
          os.path.join(_HERE, "src", "amd.cpp"),
          os.path.join(_HERE, "src", "amgfilter.cpp"),
-         os.path.join(_HERE, "src", "rap.cpp")]
+         os.path.join(_HERE, "src", "rap.cpp"),
+         os.path.join(_HERE, "src", "mf.cpp")]
 _BUILD_DIR = os.path.join(_HERE, "_build")
 _LIB_PATH = os.path.join(_BUILD_DIR, "liblssp_native.so")
 
@@ -134,6 +135,18 @@ def load():
                            ptr, ctypes.c_long, ptr, ptr, _f64p,
                            ctypes.c_long]
             rp.restype = ctypes.c_long
+        lib.lssp_mf_symbolic.argtypes = [_i64p, _i64p, ctypes.c_long,
+                                         _i64p, _i64p, _i64p, _i64p, _i64p,
+                                         ctypes.c_long]
+        lib.lssp_mf_symbolic.restype = ctypes.c_long
+        lib.lssp_mf_numeric.argtypes = [
+            _i64p, _i64p, _f64p, _i64p, _i64p, _f64p, ctypes.c_long,
+            _i64p, _i64p, _i64p, _i64p, ctypes.c_long,
+            ctypes.c_double, ctypes.c_double,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            _i64p, _i64p, _f64p, ctypes.c_long,
+            _i64p, _i64p, _f64p, ctypes.c_long, _i64p]
+        lib.lssp_mf_numeric.restype = ctypes.c_long
         lib.lssp_greedy_aggregate.argtypes = [
             _i64p, _i64p, _f64p, _i64p, _i64p, _f64p,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
@@ -304,6 +317,89 @@ def lump_pattern(indptr, indices, data, n: int, gx: int, ry: int, rx: int):
     if out < 0:
         return None
     return oip, oix[:out], oax[:out]
+
+
+def _blas_ptr(modname, fname):
+    """Raw function pointer from a scipy cython_blas/lapack capsule."""
+    import importlib
+    mod = importlib.import_module("scipy.linalg." + modname)
+    cap = None
+    for k, v in mod.__pyx_capi__.items():
+        if k == fname:
+            cap = v
+            break
+    ctypes.pythonapi.PyCapsule_GetName.restype = ctypes.c_char_p
+    ctypes.pythonapi.PyCapsule_GetName.argtypes = [ctypes.py_object]
+    nm = ctypes.pythonapi.PyCapsule_GetName(cap)
+    ctypes.pythonapi.PyCapsule_GetPointer.restype = ctypes.c_void_p
+    ctypes.pythonapi.PyCapsule_GetPointer.argtypes = [ctypes.py_object,
+                                                      ctypes.c_char_p]
+    return ctypes.pythonapi.PyCapsule_GetPointer(cap, nm)
+
+
+def mf_symbolic(Mp, Mi, n: int):
+    """Native multifrontal symbolic (oracle: pc/multifrontal.py
+    mf_symbolic).  Returns (post, sn_start, sn_parent, rs_ptr, rs_idx) or
+    None."""
+    lib = load()
+    if lib is None:
+        return None
+    Mp = np.ascontiguousarray(Mp, np.int64)
+    Mi = np.ascontiguousarray(Mi, np.int64)
+    post = np.empty(n, dtype=np.int64)
+    sn_start = np.empty(n + 1, dtype=np.int64)
+    sn_parent = np.empty(n, dtype=np.int64)
+    rs_ptr = np.empty(n + 1, dtype=np.int64)
+    cap = int(4 * len(Mi) + 16 * n + 64)
+    for _ in range(6):
+        rs_idx = np.empty(cap, dtype=np.int64)
+        nsn = lib.lssp_mf_symbolic(Mp, Mi, n, post, sn_start, sn_parent,
+                                   rs_ptr, rs_idx, cap)
+        if nsn >= 0:
+            return (post, sn_start[:nsn + 1], sn_parent[:nsn],
+                    rs_ptr[:nsn + 1], rs_idx[:rs_ptr[nsn]].copy())
+        cap *= 2
+    return None
+
+
+def mf_numeric(B, C, sn_start, sn_parent, rs_ptr, rs_idx,
+               ztol: float, zval: float):
+    """Native multifrontal numeric (oracle: pc/multifrontal.py
+    mf_factor_arrays).  B/C: CSR/CSC scipy of the permuted matrix.
+    Returns (Lr, Lc, Lv, Ur, Uc, Uv, rowof, nclamped) or None."""
+    lib = load()
+    if lib is None:
+        return None
+    n = B.shape[0]
+    nsn = len(sn_start) - 1
+    w = np.diff(sn_start)
+    nR = np.diff(rs_ptr)
+    capL = int((w * (w - 1) // 2 + (nR - w) * w).sum())
+    capU = int((w * (w + 1) // 2 + (nR - w) * w).sum())
+    Lr = np.empty(capL, np.int64); Lc = np.empty(capL, np.int64)
+    Lv = np.empty(capL, np.float64)
+    Ur = np.empty(capU, np.int64); Uc = np.empty(capU, np.int64)
+    Uv = np.empty(capU, np.float64)
+    rowof = np.empty(n, np.int64)
+    out = lib.lssp_mf_numeric(
+        np.ascontiguousarray(B.indptr, np.int64),
+        np.ascontiguousarray(B.indices, np.int64),
+        np.ascontiguousarray(B.data, np.float64),
+        np.ascontiguousarray(C.indptr, np.int64),
+        np.ascontiguousarray(C.indices, np.int64),
+        np.ascontiguousarray(C.data, np.float64),
+        n, np.ascontiguousarray(sn_start, np.int64),
+        np.ascontiguousarray(sn_parent, np.int64),
+        np.ascontiguousarray(rs_ptr, np.int64),
+        np.ascontiguousarray(rs_idx, np.int64), nsn,
+        ztol, zval,
+        _blas_ptr("cython_blas", "dgemm"),
+        _blas_ptr("cython_blas", "dtrsm"),
+        _blas_ptr("cython_lapack", "dgetrf"),
+        Lr, Lc, Lv, capL, Ur, Uc, Uv, capU, rowof)
+    if out < 0:
+        return None
+    return Lr, Lc, Lv, Ur, Uc, Uv, rowof, int(out)
 
 
 def gersh(indptr, data, dinv, n: int):

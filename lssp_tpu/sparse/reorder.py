@@ -137,11 +137,12 @@ def maybe_rcm(A: CSR, max_diags: int = 256,
 def amd_permutation(A: CSR) -> np.ndarray:
     """Fill-reducing minimum-degree ordering on the pattern of A+Aᵀ.
 
-    Quotient-graph minimum degree with EXACT external degrees and element
-    absorption (the Gilbert–Peierls direct path's analog of the COLAMD /
+    Quotient-graph minimum degree with APPROXIMATE external degrees
+    (the Amestoy–Davis–Duff bound) and aggressive element absorption —
+    the Gilbert–Peierls/multifrontal direct path's analog of the COLAMD /
     AMD orderings the reference reaches through SuperLU
     /root/reference/src/solver-superlu.cxx:60-64 and MUMPS ICNTL(7),
-    solver-mumps.cxx:108-137).  On general unstructured patterns RCM is a
+    solver-mumps.cxx:108-137.  On general unstructured patterns RCM is a
     weak fill ordering; minimum degree tracks the elimination process
     itself.  Deterministic: ties broken by smallest node index, so the
     C++ fast path (native/src/amd.cpp) returns the identical permutation.
@@ -188,24 +189,36 @@ def amd_permutation(A: CSR) -> np.ndarray:
         # Lp = vars reachable from p (directly or through p's elements)
         Lp = set(adj_var[p])
         for e in adj_el[p]:
-            Lp |= elem_vars[e]
-            del elem_vars[e]              # absorbed into the new element
+            if e in elem_vars:
+                Lp |= elem_vars[e]
+                del elem_vars[e]          # absorbed into the new element
         Lp.discard(p)
         elem_vars[p] = Lp
         absorbed = adj_el[p]
 
+        # AMD approximate degrees (Amestoy–Davis–Duff): one pass computes
+        # w[e] = |L_e \ Lp| for every element touching Lp — the exact
+        # union walk per variable was O(fill²) and measured 6 s on the
+        # 15.6k-row coupled3d matrix alone
+        w = {}
+        for i in Lp:
+            for e in adj_el[i]:
+                if e in elem_vars:
+                    w[e] = w.get(e, len(elem_vars[e])) - 1
+        for e, we in list(w.items()):
+            if we == 0:                   # L_e ⊆ Lp: aggressive absorption
+                del elem_vars[e]
+
         for i in Lp:
             adj_var[i] -= Lp
             adj_var[i].discard(p)
-            adj_el[i] -= absorbed
-            adj_el[i].add(p)
-            # exact external degree: direct neighbours plus the union of
-            # this variable's element boundaries
-            reach = set(adj_var[i])
-            for e in adj_el[i]:
-                reach |= elem_vars[e]
-            reach.discard(i)
-            nd = len(reach)
+            newels = {e for e in adj_el[i]
+                      if e not in absorbed and e in elem_vars}
+            newels.add(p)
+            adj_el[i] = newels
+            nd = (len(adj_var[i]) + (len(Lp) - 1)
+                  + sum(w[e] for e in newels if e != p))
+            nd = min(nd, n - k - 1)
             if nd != degree[i]:
                 degree[i] = nd
                 heapq.heappush(heap, (nd, i))
