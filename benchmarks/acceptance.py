@@ -144,7 +144,39 @@ def main():
     float(triv(jnp.ones(1024)))
     floor = min(_timed(lambda: float(triv(jnp.ones(1024))))
                 for _ in range(7))
+    # measured host→device link rate: min-of-3 upload of a 32 MB buffer.
+    # Through the remote-attach tunnel this is ~26 MB/s — recording it per
+    # run lets the ledger normalize the tunnel out of any upload phase
+    # (est_upload_s = setup_bytes[phase] / link rate); a local deployment
+    # measures HBM-copy rates instead (VERDICT r4 #6)
+    up_probe = np.ones(4 * 1024 * 1024, dtype=np.float64)   # 32 MB
+
+    def _upload_once():
+        # fetching a scalar forces completion (block_until_ready does not
+        # block through the remote-attach tunnel — verify skill gotcha)
+        return float(jnp.sum(jax.device_put(up_probe)))
+
+    up_t = min(_timed(_upload_once) for _ in range(3))
+    upload_mbps = round(up_probe.nbytes / max(up_t, 1e-9) / 1e6, 1)
+    # every row of a results artifact must be measured at ONE code state
+    # (VERDICT r4 #2: a stale row contradicted the round ledger)
+    import subprocess
+    try:
+        git_sha = subprocess.run(
+            ["git", "rev-parse", "--short=12", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ).stdout.strip()
+        dirty = bool(subprocess.run(
+            ["git", "status", "--porcelain", "--untracked-files=no"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ).stdout.strip())
+    except Exception:                                      # noqa: BLE001
+        git_sha, dirty = "unknown", True
     print(json.dumps({"dispatch_floor_s": round(floor, 4),
+                      "upload_probe_mbps": upload_mbps,
+                      "git_sha": git_sha, "git_dirty": dirty,
                       "backend": jax.default_backend()}))
 
     out_f = open(args.out, "a") if args.out else None
@@ -162,6 +194,7 @@ def main():
                                    maxit=MAXIT)
 
         setup_split = None
+        setup_bytes = None
         t_dev = None
         if on_tpu:
             from lssp_tpu import solve_ir, prepare_ir
@@ -175,6 +208,8 @@ def main():
             t_setup = time.perf_counter() - t0
             setup_split = {k: round(v, 3)
                            for k, v in prof.phase_times().items()}
+            setup_bytes = {k: int(v)
+                           for k, v in prof.phase_bytes().items()}
             t0 = time.perf_counter()
             x, info = solve_ir(A, b, method=cfg["method"], pc=cfg["pc"],
                                options=opts, pc_options=cfg.get("pc_opts"))
@@ -226,7 +261,11 @@ def main():
                    rel_residual=float(f"{rel_res:.3e}"),
                    converged=bool(info.converged),
                    setup_s=round(t_setup, 3),
+                   git_sha=git_sha, git_dirty=dirty,
                    **({"setup_split": setup_split} if setup_split else {}),
+                   **({"setup_bytes": setup_bytes,
+                       "upload_probe_mbps": upload_mbps}
+                      if setup_bytes else {}),
                    compile_s=round(t_first - t_solve, 3),
                    solve_s=round(t_solve, 4),
                    mnnz_per_s=round(A.nnz * max(int(info.nits), 1)

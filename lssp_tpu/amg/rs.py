@@ -567,4 +567,6 @@ def setup_rs_pc(A: CSR, opts, reject_below: float = 0.0):
             if opts.amg_smoother != "l1jacobi" else "jacobi",
             degree=smoother_degree(opts.amg_presmooth, opts.amg_postsmooth),
             cycles=max(1, int(opts.amg_cycles)))
+        from lssp_tpu.utils.profile import add_bytes, tree_device_bytes
+        add_bytes("amg_pack_upload", tree_device_bytes(h))
     return Preconditioner(_rs_apply, state=h, name="amg")

@@ -561,15 +561,20 @@ def sa_setup(A: CSR, g: int = 4, max_levels: int = 12,
             if C is None and B is not None:
                 C = B.T.tocsr()
             C_dia = _to_dia(C, dtype, max_diags) if C is not None else None
-        dev.append(SALevel(
+        lev_dev = SALevel(
             A=A_dia,
             B=B_dia,
             C=C_dia,
             dinv=jnp.asarray(dinv.astype(dtype)),
             lmax=float(lmax), g=g, smoother=smoother, degree=degree,
-            n_next=n_c, agg=agg, tri=tri))
+            n_next=n_c, agg=agg, tri=tri)
+        from lssp_tpu.utils.profile import add_bytes, tree_device_bytes
+        add_bytes("saamg_pack_upload", tree_device_bytes(lev_dev))
+        dev.append(lev_dev)
     with phase("saamg_coarse_inv"):
         coarse_inv = jnp.asarray(np.linalg.inv(Al.toarray()).astype(dtype))
+        from lssp_tpu.utils.profile import add_bytes
+        add_bytes("saamg_coarse_inv", int(coarse_inv.nbytes))
     return SAHierarchy(levels=tuple(dev), coarse_inv=coarse_inv,
                        n_top=n_top)
 

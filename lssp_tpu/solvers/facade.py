@@ -211,6 +211,8 @@ def _prepare_matrix(A, reorder="auto", build_device=True):
                 # raw BSR is not jit-safe as a traced argument (its SpMV
                 # needs host-side row expansion) — gather ELL is
                 dev = csr_to_ell(csr)
+        from lssp_tpu.utils.profile import add_bytes, tree_device_bytes
+        add_bytes("upload", tree_device_bytes(dev))
         out = (csr, jax.device_put(dev), None)
         _memoize_prepared(A_orig, reorder, out)
         return out
@@ -233,6 +235,8 @@ def _prepare_matrix(A, reorder="auto", build_device=True):
             dev = to_device_format(A, max_diags=256, dia_fill=50.0)
         else:
             dev = to_device_format(A)
+        from lssp_tpu.utils.profile import add_bytes, tree_device_bytes
+        add_bytes("upload", tree_device_bytes(dev))
         out = (A, jax.device_put(dev), perm)
         _memoize_prepared(A_orig, reorder, out)
         return out

@@ -213,6 +213,8 @@ def prepare_ir(A, method: str = "gmres", pc: Optional[str] = "none",
                 lambda a: jnp.asarray(a, inner_dtype)
                 if jnp.asarray(a).dtype in (jnp.float64, jnp.float32) else a,
                 A64))
+            _prof.add_bytes("upload", _prof.tree_device_bytes(A64)
+                            + _prof.tree_device_bytes(A32))
         cache[mat_key] = (A_host, A64, A32, perm)
 
     if pc_key in cache:
@@ -226,6 +228,8 @@ def prepare_ir(A, method: str = "gmres", pc: Optional[str] = "none",
             with _prof.phase("pc_build"):
                 M32 = pc_mod.setup(A_host.astype(np.dtype(inner_dtype)), pc,
                                    pc_options)
+                _prof.add_bytes("pc_build",
+                                _prof.tree_device_bytes(M32.state))
         cache[pc_key] = M32
     return A_host, A64, A32, perm, M32
 

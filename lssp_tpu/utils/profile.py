@@ -69,6 +69,7 @@ def enable_persistent_cache(warn=True):
 # wall-clock goes (reorder+convert vs device upload vs PC factor).
 
 _phase_times: dict = {}
+_phase_bytes: dict = {}
 
 
 @contextlib.contextmanager
@@ -82,10 +83,36 @@ def phase(name: str):
                               + time.perf_counter() - t0)
 
 
+def add_bytes(name: str, nbytes: int) -> None:
+    """Attribute ``nbytes`` of host→device transfer to a phase.  Lets the
+    harnesses normalize the remote-attach tunnel out of setup accounting
+    (VERDICT r4 #6): a phase's tunnel component = bytes / measured link
+    rate, and what remains is genuine host/device compute."""
+    _phase_bytes[name] = _phase_bytes.get(name, 0) + int(nbytes)
+
+
+def tree_device_bytes(tree) -> int:
+    """Total bytes of the array leaves of a pytree (device or host — the
+    committed execution state that must cross the link once)."""
+    import jax
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(tree):
+        nb = getattr(leaf, "nbytes", None)
+        if nb is not None:
+            total += int(nb)
+    return total
+
+
 def reset_phases() -> None:
     _phase_times.clear()
+    _phase_bytes.clear()
 
 
 def phase_times() -> dict:
     """Snapshot of the accumulated {phase: seconds} ledger."""
     return dict(_phase_times)
+
+
+def phase_bytes() -> dict:
+    """Snapshot of the accumulated {phase: bytes-uploaded} ledger."""
+    return dict(_phase_bytes)
