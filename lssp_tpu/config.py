@@ -104,6 +104,14 @@ class PCOptions:
     poly_degree: int = 8                  # polynomial-PC Chebyshev degree
     poly_ratio: float = 30.0              # covered spectrum: [lmax/ratio,
                                           # 1.05*lmax] (SPD)
+    lu_method: str = "auto"               # direct-LU engine: "auto" =
+                                          # supernodal multifrontal (BLAS-3
+                                          # fronts, pc/multifrontal.py) for
+                                          # n >= 512 with the native
+                                          # toolchain, scalar Gilbert-
+                                          # Peierls otherwise; "mf"/
+                                          # "supernodal" force the former,
+                                          # "gp" the latter
     lu_order: str = "amd"                 # direct-LU fill-reducing ordering:
                                           # "amd" (minimum degree — measured
                                           # 3.5-7x lower fill than rcm on the

@@ -43,7 +43,8 @@ def _lu_apply_t(state, r):
 
 @register_pc("lu")
 def setup_lu(A, opts):
-    f = splu_factor(A, order=opts.lu_order, pivot_tol=opts.lu_pivot_tol)
+    f = splu_factor(A, order=opts.lu_order,
+                    pivot_tol=opts.lu_pivot_tol, method=opts.lu_method)
     dtype = np.asarray(A.data).dtype
     L = f.L.astype(dtype) if f.L.dtype != dtype else f.L
     U = f.U.astype(dtype) if f.U.dtype != dtype else f.U
