@@ -29,3 +29,40 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+# ---------------------------------------------------------------------------
+# Two-tier suite (VERDICT r4 #7: the default run drifted to ~19 min).
+# tests/slow_manifest.txt lists tests measured >= 2 s; the default tier
+# skips them (fast feedback, ~5 min), `--runslow` executes everything
+# (zero coverage loss across tiers; CI-full protocol in CLAUDE.md).
+# ---------------------------------------------------------------------------
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="run the slow tier too (tests/slow_manifest.txt)")
+
+
+def _slow_set():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "slow_manifest.txt")
+    if not os.path.exists(path):
+        return frozenset()
+    with open(path) as f:
+        return frozenset(line.strip() for line in f
+                         if line.strip() and not line.startswith("#"))
+
+
+def pytest_collection_modifyitems(config, items):
+    slow = _slow_set()
+    if not slow:
+        return
+    for item in items:
+        if item.nodeid in slow:
+            item.add_marker(pytest.mark.slow)
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: run with --runslow")
+    for item in items:
+        if item.nodeid in slow:
+            item.add_marker(skip)
