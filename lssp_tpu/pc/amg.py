@@ -20,21 +20,28 @@ def _amg_apply(state, r):
 def setup_amg(A, opts):
     import jax
     if jax.default_backend() == "tpu":
-        # TPU-resident classical cycle: the Ruge–Stüben hierarchy with
-        # slotted coarse numbering and aggregated-diagonal interpolation
-        # (amg/rs.py) — gather-free at every level.  When the matrix's
-        # interpolation offsets are too non-local for the slotted layout
-        # (kept-mass below threshold), route to the structured-SA cycle
-        # instead unless the user pinned classical.
-        from lssp_tpu.amg.rs import setup_rs_pc
-        pc = setup_rs_pc(A, opts, reject_below=0.0
-                         if opts.amg_force_classical else 0.85)
+        # TPU-resident classical cycle (amg/rs.py: aligned axis-pair
+        # coarsening + aggregated-diagonal interpolation — gather-free at
+        # every level).  Built for LATTICE matrices, where classical
+        # coarsening beats aggregation (r5 table in docs/performance.md:
+        # rsamg 9 vs saamg 15 its on poisson3d, 7 vs 13 anisotropic); on
+        # matrices with no detectable lattice the flat-group classical
+        # interpolation measured WORSE than aggregation (coupled3d: 20 vs
+        # 8 its), so those route to the structured-SA cycle — as does any
+        # matrix whose interpolation offsets overflow the gather-free
+        # layout (kept-mass gate).  amg_force_classical pins rsamg;
+        # pc="rsamg" requests it explicitly on any matrix.
+        from lssp_tpu.amg.rs import detect_grid3, setup_rs_pc
+        pc = None
+        if opts.amg_force_classical or detect_grid3(A) is not None:
+            pc = setup_rs_pc(A, opts, reject_below=0.0
+                             if opts.amg_force_classical else 0.85)
         if pc is not None:
             return pc
         from lssp_tpu.utils.log import warning
-        warning("pc='amg': classical interpolation offsets too non-local "
-                "for the gather-free slotted layout on this matrix; using "
-                "the structured-SA cycle instead — set "
+        warning("pc='amg': no lattice structure (or interpolation too "
+                "non-local) for the gather-free classical layout on this "
+                "matrix; using the structured-SA cycle instead — set "
                 "PCOptions(amg_force_classical=True) to override")
         from lssp_tpu.amg.sa import setup_saamg_pc
         return setup_saamg_pc(A, opts)
