@@ -167,11 +167,17 @@ def main():
             capture_output=True, text=True, timeout=10,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         ).stdout.strip()
-        dirty = bool(subprocess.run(
+        # PROGRESS.jsonl is the round driver's heartbeat file — always
+        # modified while a round runs, never code; ignore it in the
+        # cleanliness stamp
+        _st = subprocess.run(
             ["git", "status", "--porcelain", "--untracked-files=no"],
             capture_output=True, text=True, timeout=10,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        ).stdout.strip())
+        ).stdout.splitlines()
+        dirty = bool([ln for ln in _st
+                      if ln.strip() and
+                      not ln.split()[-1].endswith("PROGRESS.jsonl")])
     except Exception:                                      # noqa: BLE001
         git_sha, dirty = "unknown", True
     print(json.dumps({"dispatch_floor_s": round(floor, 4),
