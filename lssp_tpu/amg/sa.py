@@ -569,7 +569,10 @@ def sa_setup(A: CSR, g: int = 4, max_levels: int = 12,
             lmax=float(lmax), g=g, smoother=smoother, degree=degree,
             n_next=n_c, agg=agg, tri=tri)
         from lssp_tpu.utils.profile import add_bytes, tree_device_bytes
-        add_bytes("saamg_pack_upload", tree_device_bytes(lev_dev))
+        # C is DERIVED on device from B's committed data — it crosses the
+        # link zero times; count only what actually uploads
+        add_bytes("saamg_pack_upload", tree_device_bytes(
+            (lev_dev.A, lev_dev.B, lev_dev.dinv, lev_dev.tri)))
         dev.append(lev_dev)
     with phase("saamg_coarse_inv"):
         coarse_inv = jnp.asarray(np.linalg.inv(Al.toarray()).astype(dtype))
