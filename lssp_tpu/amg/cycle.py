@@ -134,7 +134,53 @@ def amg_solve(A: CSR, b, x0=None, rtol: float = 1e-7, atol: float = 1e-7,
               dtype=np.float64):
     """Standalone AMG solver (stationary V-cycle iteration) — parity with
     the reference's lssp_solver_amg wrapper around FASP
-    (/root/reference/src/solver-amg.cxx:64-130)."""
+    (/root/reference/src/solver-amg.cxx:64-130).  On the TPU backend a
+    lattice matrix runs the gather-free classical cycle (amg/rs.py)
+    instead of the ELL realization — same stationary iteration, TPU-fast
+    transfers."""
+    import jax as _jax
+    if _jax.default_backend() == "tpu":
+        from lssp_tpu.amg import rs as _rs
+        if _rs.detect_grid3(A) is not None:
+            hier_rs = _rs.rs_host_setup(A, theta=theta)
+            h_rs = _rs.build_device_rs(hier_rs, dtype=dtype,
+                                       smoother=smoother, degree=degree)
+            b_ = jnp.asarray(b, dtype=dtype)
+            x = (jnp.zeros_like(b_) if x0 is None
+                 else jnp.asarray(x0, dtype=dtype))
+            A_top = h_rs.levels[0].A if h_rs.levels else None
+
+            def _mv(v):
+                if A_top is None:
+                    return v
+                vp = jnp.pad(v, (0, A_top.shape[0] - v.shape[0])) \
+                    if A_top.shape[0] != v.shape[0] else v
+                return spmv(A_top, vp)[:v.shape[0]]
+
+            @jax.jit
+            def run(x, b):
+                r0 = jnp.linalg.norm(b - _mv(x))
+                tol = jnp.maximum(rtol * r0, atol)
+
+                def cond(c):
+                    it, x, res = c
+                    return (it < maxit) & (res > tol)
+
+                def body(c):
+                    it, x, res = c
+                    r = b - _mv(x)
+                    x = x + _rs.rs_vcycle(h_rs, r)
+                    res = jnp.linalg.norm(b - _mv(x))
+                    return (it + 1, x, res)
+
+                return jax.lax.while_loop(cond, body, (jnp.int32(0), x, r0))
+
+            it, x, res = run(x, b_)
+            nnz0 = hier_rs.levels[0].A.nnz if hier_rs.levels else 1
+            cx = (sum(l.A.nnz for l in hier_rs.levels)
+                  + hier_rs.A_coarse.nnz) / nnz0
+            return x, {"nits": int(it), "residual": float(res),
+                       "complexity": float(cx)}
     hier = amg_setup(A, theta=theta)
     h = build_device_amg(hier, dtype=dtype, smoother=smoother, degree=degree)
     b = jnp.asarray(b, dtype=dtype)

@@ -217,3 +217,26 @@ class TestPreconditioner:
         pc = rs.setup_rs_pc(A, PCOptions(amg_max_pdiags=2),
                             reject_below=0.999)
         assert pc is None
+
+
+class TestIterationRatchet:
+    """Pin the round-5 measured iteration counts (amg_compare, CPU) with
+    slack — the classical-cycle quality must not silently regress."""
+
+    @pytest.mark.parametrize("name,method,cap,gen", [
+        ("poisson2d_128", "cg", 11, lambda: lt.sparse.laplacian_2d(128)),
+        ("poisson3d_24", "cg", 12, lambda: lt.sparse.laplacian_3d(24)),
+        ("aniso_128", "cg", 10,
+         lambda: lt.sparse.anisotropic_poisson_2d(128, epsilon=0.01)),
+        ("convdiff_96", "gmres", 13,
+         lambda: lt.sparse.convection_diffusion_2d(96)),
+    ])
+    def test_nits_within_cap(self, name, method, cap, gen):
+        A = gen()
+        b = jnp.ones(A.shape[0], dtype=jnp.float64)
+        x, info = lt.solve(A, b, method=method, pc="rsamg",
+                           options=lt.SolverOptions(rtol=1e-8, atol=0.0,
+                                                    rbtol=0.0, maxit=200,
+                                                    restart=30))
+        assert bool(info.converged)
+        assert int(info.nits) <= cap, (name, int(info.nits))
