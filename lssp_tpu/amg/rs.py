@@ -422,7 +422,15 @@ def rs_host_setup(A: CSR, theta: float = 0.25, max_levels: int = 12,
         P, offsets, kept = cap_offsets(P, grp, max_pdiags)
         zero_rows = int((np.diff(P.indptr) == 0).sum())
         lmax = _lambda_max(Al, dinv)
-        Ac = (P.T @ Al @ P).tocsr()
+        # Galerkin RAP through the fused C++ kernel (native/src/rap.cpp):
+        # pass P as the row-expansion operand with an identity column map
+        # (P.row(k) is already in coarse indices) — scipy tocsc/matmat
+        # fallback kept as the oracle
+        from lssp_tpu import native
+        Ac = native.rap(Al, P, np.arange(M, dtype=np.int64), M) \
+            if native.available() else None
+        if Ac is None:
+            Ac = (P.T @ Al @ P).tocsr()
         Ac.eliminate_zeros()
         # lumped strength filter (sa.py rule, row sums preserved): bounds
         # the coarse-stencil growth that compounds through repeated RAPs
