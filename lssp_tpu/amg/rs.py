@@ -52,7 +52,7 @@ import numpy as np
 from lssp_tpu.ops.spmv import spmv
 from lssp_tpu.sparse.types import CSR
 from lssp_tpu.amg.setup import (strength_graph, direct_interpolation,
-                                truncate_P, _lambda_max)
+                                truncate_P, lambda_est as _lambda_max)
 from lssp_tpu.amg.sa import detect_grid, _filter_lumped, _pad_identity, \
     _to_dia
 
@@ -102,9 +102,20 @@ def _axis_strengths(Al, dims) -> Tuple[float, float, float]:
     nz, ny, nx = dims
     Ac = Al.tocsr()
     n = Ac.shape[0]
-    _, d, offs = csr_entry_offsets(Ac.indptr, Ac.indices, n)
+    ip, ind, dat = Ac.indptr, Ac.indices, Ac.data
+    if len(ind) > 20_000_000:
+        # direction RATIOS of a near-constant-stencil operator are exact
+        # on a leading row block up to boundary effects (same sampling
+        # rule as sa._grid_strengths; the full 84M-entry scan was ~4 s
+        # of the 16.8M classical setup)
+        ns = int(np.searchsorted(ip, 8_000_000))
+        ns = min(n, max(ns, min(n, 4 * ny * nx)))
+        ip = ip[:ns + 1]
+        ind = ind[:ip[-1]]
+        dat = dat[:ip[-1]]
+    _, d, offs = csr_entry_offsets(ip, ind, len(ip) - 1)
     idx = np.searchsorted(offs, d)
-    sums = np.bincount(idx, weights=np.abs(Ac.data), minlength=len(offs))
+    sums = np.bincount(idx, weights=np.abs(dat), minlength=len(offs))
     o = offs.astype(np.int64)
     dy = np.rint(o / nx).astype(np.int64)
     dz = np.rint(dy / max(ny, 1)).astype(np.int64)
