@@ -107,37 +107,55 @@ def _smooth(lev: DeviceLevel, x, b):
     return x
 
 
+def _cycle_at(h: DeviceAMG, l: int, b_l, x_l):
+    """One V-cycle starting at level ``l`` (0 = finest)."""
+    lev = h.levels[l]
+    if l == len(h.levels) - 1:
+        return h.coarse_inv @ b_l
+    x_l = _smooth(lev, x_l, b_l)
+    r = b_l - spmv(lev.A, x_l)
+    rc = spmv(lev.R, r)
+    ec = _cycle_at(h, l + 1, rc, jnp.zeros_like(rc))
+    x_l = x_l + spmv(lev.P, ec)
+    return _smooth(lev, x_l, b_l)
+
+
 def vcycle(h: DeviceAMG, b, x=None):
     """One (or h.cycles) V-cycle(s); x0 defaults to 0 (PC application)."""
     if x is None:
         x = jnp.zeros_like(b)
-
-    def cycle(l, b_l, x_l):
-        lev = h.levels[l]
-        if l == len(h.levels) - 1:
-            return h.coarse_inv @ b_l
-        x_l = _smooth(lev, x_l, b_l)
-        r = b_l - spmv(lev.A, x_l)
-        rc = spmv(lev.R, r)
-        ec = cycle(l + 1, rc, jnp.zeros_like(rc))
-        x_l = x_l + spmv(lev.P, ec)
-        return _smooth(lev, x_l, b_l)
-
     for _ in range(h.cycles):
-        x = cycle(0, b, x)
+        x = _cycle_at(h, 0, b, x)
+    return x
+
+
+def fmg_initial(h: DeviceAMG, b):
+    """Full-multigrid (nested-iteration) initial guess: restrict b down
+    the hierarchy, solve the coarsest exactly, then interpolate up with
+    one V-cycle per level — the reference's FMG solver capability
+    (fasp_solver_famg, /root/reference/src/solver-amg.cxx:99)."""
+    bs = [b]
+    for l in range(len(h.levels) - 1):
+        bs.append(spmv(h.levels[l].R, bs[-1]))
+    x = h.coarse_inv @ bs[-1]
+    for l in range(len(h.levels) - 2, -1, -1):
+        x = spmv(h.levels[l].P, x)
+        x = _cycle_at(h, l, bs[l], x)
     return x
 
 
 def amg_solve(A: CSR, b, x0=None, rtol: float = 1e-7, atol: float = 1e-7,
               maxit: int = 100, theta: float = 0.25,
               smoother: str = "chebyshev", degree: int = 2,
-              dtype=np.float64):
+              dtype=np.float64, fmg: bool = False):
     """Standalone AMG solver (stationary V-cycle iteration) — parity with
     the reference's lssp_solver_amg wrapper around FASP
-    (/root/reference/src/solver-amg.cxx:64-130).  On the TPU backend a
-    lattice matrix runs the gather-free classical cycle (amg/rs.py)
-    instead of the ELL realization — same stationary iteration, TPU-fast
-    transfers."""
+    (/root/reference/src/solver-amg.cxx:64-130).  ``fmg=True`` starts
+    from the full-multigrid (nested-iteration) guess — the reference's
+    FMG solver type (fasp_solver_famg, solver-amg.cxx:99).  On the TPU
+    backend a lattice matrix runs the gather-free classical cycle
+    (amg/rs.py) instead of the ELL realization — same stationary
+    iteration, TPU-fast transfers."""
     import jax as _jax
     if _jax.default_backend() == "tpu":
         from lssp_tpu.amg import rs as _rs
@@ -148,6 +166,9 @@ def amg_solve(A: CSR, b, x0=None, rtol: float = 1e-7, atol: float = 1e-7,
             b_ = jnp.asarray(b, dtype=dtype)
             x = (jnp.zeros_like(b_) if x0 is None
                  else jnp.asarray(x0, dtype=dtype))
+            if fmg and x0 is None and h_rs.levels:
+                x = jnp.asarray(_rs.rs_fmg_initial(h_rs, b_),
+                                dtype=dtype)[:b_.shape[0]]
             A_top = h_rs.levels[0].A if h_rs.levels else None
 
             def _mv(v):
@@ -185,6 +206,8 @@ def amg_solve(A: CSR, b, x0=None, rtol: float = 1e-7, atol: float = 1e-7,
     h = build_device_amg(hier, dtype=dtype, smoother=smoother, degree=degree)
     b = jnp.asarray(b, dtype=dtype)
     x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0, dtype=dtype)
+    if fmg and x0 is None:
+        x = fmg_initial(h, b)
 
     @jax.jit
     def run(x, b):

@@ -552,6 +552,44 @@ def rs_vcycle(h: RSAMG, b, x=None):
     return xp[:b.shape[0]]
 
 
+def rs_fmg_initial(h: RSAMG, b):
+    """Full-multigrid (nested-iteration) initial guess on the gather-free
+    hierarchy: restrict b down, exact coarsest solve, one V-cycle per
+    level on the way up (reference FMG capability, fasp_solver_famg,
+    /root/reference/src/solver-amg.cxx:99)."""
+    nl0 = h.levels[0].A.shape[0] if h.levels else h.coarse_inv.shape[0]
+    bp = b if b.shape[0] == nl0 else jnp.pad(b, (0, nl0 - b.shape[0]))
+    bs = [bp]
+    for l in range(len(h.levels)):
+        rc = aggp_restrict(h.levels[l].P, bs[-1])
+        n_below = (h.levels[l + 1].A.shape[0] if l + 1 < len(h.levels)
+                   else h.coarse_inv.shape[0])
+        if n_below != rc.shape[0]:
+            rc = jnp.pad(rc, (0, n_below - rc.shape[0]))
+        bs.append(rc)
+    x = h.coarse_inv @ bs[-1]
+
+    def cycle(l, b_l, x_l):
+        if l == len(h.levels):
+            return h.coarse_inv @ b_l
+        lev = h.levels[l]
+        x_l = _smooth(lev, x_l, b_l)
+        r = b_l - spmv(lev.A, x_l)
+        rc = aggp_restrict(lev.P, r)
+        n_below = (h.levels[l + 1].A.shape[0] if l + 1 < len(h.levels)
+                   else h.coarse_inv.shape[0])
+        if n_below != rc.shape[0]:
+            rc = jnp.pad(rc, (0, n_below - rc.shape[0]))
+        ec = cycle(l + 1, rc, jnp.zeros_like(rc))
+        x_l = x_l + aggp_prolong(lev.P, ec[:lev.P.shape[1]])
+        return _smooth(lev, x_l, b_l)
+
+    for l in range(len(h.levels) - 1, -1, -1):
+        x = aggp_prolong(h.levels[l].P, x[:h.levels[l].P.shape[1]])
+        x = cycle(l, bs[l], x)
+    return x[:b.shape[0]]
+
+
 # --------------------------------------------------------------------------
 # preconditioner entry point
 # --------------------------------------------------------------------------

@@ -152,3 +152,18 @@ def test_classical_amg_tpu_dispatch(monkeypatch):
                       lt.PCOptions(amg_max_pdiags=2,
                                    amg_force_classical=True))
     assert M3.name == "amg" and isinstance(M3.state, RSAMG)
+
+
+def test_fmg_initial_guess():
+    """Full-multigrid start (the reference's FASP FMG solver type,
+    solver-amg.cxx:99): the nested-iteration guess must not lose to the
+    zero guess, on both cycle realizations."""
+    import numpy as np
+    from lssp_tpu.amg.cycle import amg_solve
+    A = laplacian_2d(48)
+    b = np.ones(A.shape[0])
+    x1, i1 = amg_solve(A, b)
+    x2, i2 = amg_solve(A, b, fmg=True)
+    assert i2["nits"] <= i1["nits"]
+    res = np.linalg.norm(b - A.to_scipy() @ np.asarray(x2))
+    assert res <= 1.05 * max(1e-7 * np.sqrt(A.shape[0]), 1e-7)
