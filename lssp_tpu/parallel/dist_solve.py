@@ -266,6 +266,32 @@ def _build_dist_pc(A: CSR, pc_type, pc_opts: PCOptions, Pn: int, R: int,
                                pc_opts.amg_presmooth,
                                pc_opts.amg_postsmooth))
         return "amg", h
+    if pc_type == "rsamg":
+        # distributed classical AMG: the rs hierarchy expressed as a
+        # DistSA (B := P-hat, C := P-hat^T, pair-reshape agg) — executed
+        # by the SAME dist_sa_vcycle; falls back to the flat saamg plan
+        # when the matrix is not a shard-alignable lattice (mirrors the
+        # single-device pc="amg" routing)
+        from lssp_tpu.parallel.dist_rs import build_dist_rs
+        h = build_dist_rs(A, Pn, theta=pc_opts.amg_theta,
+                          max_levels=pc_opts.amg_max_levels,
+                          coarse_size=max(pc_opts.amg_coarse_size, 4 * Pn),
+                          smoother=pc_opts.amg_smoother
+                          if pc_opts.amg_smoother not in ("l1jacobi",
+                                                          "line")
+                          else "chebyshev",
+                          degree=smoother_degree(pc_opts.amg_presmooth,
+                                                 pc_opts.amg_postsmooth),
+                          dtype=np.asarray(A.data).dtype,
+                          max_pdiags=pc_opts.amg_max_pdiags)
+        if h is not None:
+            return "saamg", h
+        from lssp_tpu.utils.log import warning
+        warning("dist pc='rsamg': matrix is not a shard-alignable "
+                "lattice; using the distributed structured-SA hierarchy "
+                "instead")
+        pc_type = "saamg"
+        sa_grid = False
     if pc_type == "saamg":
         from lssp_tpu.parallel.dist_sa import build_dist_sa
         sm = pc_opts.amg_smoother
