@@ -76,6 +76,36 @@ def resolve_reorder(pc, pc_options, reorder):
     return reorder
 
 
+# methods that legitimately accept rectangular operators (least squares)
+_RECTANGULAR_OK = frozenset(("lsqr",))
+
+
+def validate_system(A, b, method: str):
+    """The reference's assemble-time validation (square operator,
+    matching rhs length — /root/reference/src/lssp.cxx:147-160) plus an
+    inexact-dtype cast for the rhs: an integer b would silently break the
+    jitted while_loop carry types, and a shape mismatch used to surface
+    as a raw broadcasting TypeError deep inside the first SpMV.  ONE
+    helper for every entry point (solve / solve_multi / Solver.assemble /
+    solve_ir).  Returns b (cast to float when needed)."""
+    shape = getattr(A, "shape", None)
+    if shape is not None and len(shape) == 2 \
+            and shape[0] != shape[1] \
+            and method.lower() not in _RECTANGULAR_OK:
+        raise ValueError(
+            f"method={method!r} needs a SQUARE matrix, got {shape}; use "
+            "method='lsqr' or solve_lsq() for least-squares systems")
+    if b is not None:
+        n = getattr(b, "shape", (None,))[0]
+        if shape is not None and n is not None and n != shape[0]:
+            raise ValueError(
+                f"rhs length {n} does not match the matrix rows "
+                f"{shape[0]}")
+        if not jnp.issubdtype(jnp.asarray(b).dtype, jnp.inexact):
+            b = jnp.asarray(b, jnp.float64)
+    return b
+
+
 def _unpermute(x, perm):
     if perm is None:
         return x
@@ -255,6 +285,7 @@ def solve(A, b, x0=None, method: str = "gmres", pc: Optional[str] = "none",
     ``M`` a prebuilt Preconditioner / callable.
     """
     opts = (options or SolverOptions()).resolved()
+    b = validate_system(A, b, method)
     # backends without host callbacks can't run jax.debug.print: record the
     # residual trace instead and print it host-side after the solve
     host_trace = opts.verbosity >= 1 and not device_print_supported()
@@ -277,7 +308,13 @@ def solve(A, b, x0=None, method: str = "gmres", pc: Optional[str] = "none",
     fn = get_solver(method)
     b = jnp.asarray(b)
     if x0 is None:
-        x0 = jnp.zeros_like(b)
+        # the unknown lives in the COLUMN space: for rectangular systems
+        # (lsqr) zeros_like(b) has the wrong length
+        ncols = getattr(A_dev, "shape", (None, b.shape[0]))[1] \
+            if not callable(A_dev) or hasattr(A_dev, "shape") \
+            else b.shape[0]
+        x0 = jnp.zeros(ncols if ncols is not None else b.shape[0],
+                       dtype=b.dtype)
     if perm is not None:
         b = b[perm]
         x0 = x0[perm]
@@ -323,6 +360,14 @@ def solve_multi(A, B, X0=None, method: str = "cg",
     No reference analog (the serial library re-solves per rhs,
     lssp_solver_reset_rhs — which `Solver.reset_rhs` also provides)."""
     opts = (options or SolverOptions()).resolved()
+    validate_system(A, None, method)        # square check
+    B = jnp.asarray(B)
+    if not jnp.issubdtype(B.dtype, jnp.inexact):
+        B = B.astype(jnp.float64)
+    _shape = getattr(A, "shape", None)
+    if _shape is not None and B.shape[0] != _shape[0]:
+        raise ValueError(f"rhs rows {B.shape[0]} do not match the "
+                         f"matrix rows {_shape[0]}")
     reorder = resolve_reorder(pc, pc_options, reorder)
     if method.lower() in ("direct", "splu") and pc in (None, "none") \
             and M is None:
@@ -439,6 +484,7 @@ class Solver:
         """Convert the matrix, build the PC (factorization cost lives here —
         reference lssp_solver_assemble → lssp_pc_assemble, lssp.cxx:142-189)."""
         from lssp_tpu.utils.log import Timer
+        b = validate_system(A, b, self.method)
         reorder = resolve_reorder(self.pc_type, self.pc_options, reorder)
         # timing prints mirror the reference: assemble at verb>1
         # (lssp.cxx:162-184), pc assemble at verb>0 (pc.cxx:83-236)

@@ -75,7 +75,9 @@ def lsqr(A, b, x0=None, M=None, opts=None, dot=vdot):
         hist = history_update(opts, hist, it + 1, res, r0norm, bnorm)
         return (it + 1, y, u, v_n, w, alfa_n, rhobar_n, phibar_n, hist)
 
-    y0 = jnp.zeros_like(b)
+    # the iterate lives in the COLUMN space (length ncols): zeros_like(b)
+    # only coincided for square systems and broke rectangular LSQR
+    y0 = jnp.zeros_like(v)
     init = (jnp.int32(0), y0, u, v, v, alfa0, alfa0, beta0, hist)
     it, y, u, v, w, alfa, rhobar, phibar, hist = (
         jax.lax.while_loop(cond, body, init))

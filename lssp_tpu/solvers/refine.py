@@ -376,6 +376,8 @@ def solve_ir(A, b, x0=None, method: str = "gmres",
         raise ValueError(f"{method!r} is a multi-rhs block method; "
                          "use solve_ir_multi for (n, k) right-hand sides")
     opts = (options or SolverOptions()).resolved()
+    from lssp_tpu.solvers.facade import validate_system
+    b = validate_system(A, b, method)
     # direct/splu → pc="lu" happens inside prepare_ir (one copy of the rule)
 
     A_host, A64, A32, perm, M32 = prepare_ir(
