@@ -35,7 +35,7 @@ def main():
     print(f"  nits={int(info.nits)}  true-res={residual(A, x, b):.2e}")
 
     print("== multilevel PCs: ARMS vs AMG vs ILU(1) ==")
-    for pc in ("arms", "amg", "iluk"):
+    for pc in ("arms", "amg", "rsamg", "iluk"):
         x, info = lt.solve(S, bs, method="cg", pc=pc)
         print(f"  cg+{pc:5s} nits={int(info.nits):3d}  res={residual(S, x, bs):.2e}")
 
