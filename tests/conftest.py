@@ -66,3 +66,18 @@ def pytest_collection_modifyitems(config, items):
     for item in items:
         if item.nodeid in slow:
             item.add_marker(skip)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules(request):
+    """Full-tier (--runslow) runs push several thousand XLA:CPU
+    compilations through one process; jax 0.9.0's CPU compiler was
+    observed to segfault deterministically late in such runs (round 5:
+    twice at the same test, which passes in isolation and in any
+    file subset tried).  Dropping the compilation caches between test
+    modules bounds the compiler-side state; the cost is re-compiling the
+    few programs shared across files.  Default-tier runs are short
+    enough that the flush is unnecessary — skipped to keep them fast."""
+    yield
+    if request.config.getoption("--runslow"):
+        jax.clear_caches()
