@@ -175,9 +175,16 @@ def main():
             capture_output=True, text=True, timeout=10,
             cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         ).stdout.splitlines()
+        # self-measurement artifacts can't count as dirt: the run
+        # REGENERATES results_r05.json (and the driver rewrites
+        # PROGRESS.jsonl), so both are always modified mid-run
+        def _ignorable(path):
+            base = path.rsplit("/", 1)[-1]
+            return (base == "PROGRESS.jsonl"
+                    or (base.startswith("results_r")
+                        and base.endswith(".json")))
         dirty = bool([ln for ln in _st
-                      if ln.strip() and
-                      not ln.split()[-1].endswith("PROGRESS.jsonl")])
+                      if ln.strip() and not _ignorable(ln.split()[-1])])
     except Exception:                                      # noqa: BLE001
         git_sha, dirty = "unknown", True
     print(json.dumps({"dispatch_floor_s": round(floor, 4),
