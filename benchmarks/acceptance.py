@@ -192,7 +192,10 @@ def main():
                       "git_sha": git_sha, "git_dirty": dirty,
                       "backend": jax.default_backend()}))
 
-    out_f = open(args.out, "a") if args.out else None
+    # TRUNCATE: accumulating rows from different runs is exactly the
+    # stale-row failure class the round-4 verdict flagged (one artifact,
+    # one code state); tests/test_acceptance_artifact.py enforces it
+    out_f = open(args.out, "w") if args.out else None
     results = []
     for cfg in configs:
         t0 = time.perf_counter()
