@@ -197,9 +197,15 @@ def elect_cpoints(S, grp: np.ndarray, M: int,
     ingrp = grp[rows] == grp[S.indices]
     deg = np.bincount(rows[ingrp], minlength=n)
     par = parity if parity is not None else np.zeros(n, dtype=np.int64)
-    order = np.lexsort((np.arange(n), par, -deg, grp))
-    first = np.searchsorted(grp[order], np.arange(M))
-    return order[first]
+    # per-group argmax of (deg, even-parity, lowest index) via ONE packed
+    # int64 key + np.maximum.at — the 3-key lexsort over the full level
+    # was 4.3 s of the 16.8M classical setup
+    key = ((np.minimum(deg, (1 << 20) - 1).astype(np.int64) << 33)
+           | ((1 - par).astype(np.int64) << 32)
+           | (n - 1 - np.arange(n, dtype=np.int64)))
+    best = np.zeros(M, dtype=np.int64)
+    np.maximum.at(best, grp, key)
+    return (n - 1) - (best & ((1 << 32) - 1))
 
 
 def cap_offsets(P, grp: np.ndarray, max_pdiags: int):

@@ -106,9 +106,13 @@ def direct_interpolation(A: sp.csr_matrix, S: sp.csr_matrix,
     Sd = S.tocsr()
     rows_s = np.repeat(np.arange(n), np.diff(Sd.indptr))
     keepsc = is_c_col[Sd.indices]
-    # strong-C pattern as boolean CSR
+    # strong-C pattern as boolean CSR — built by masking the row-ordered
+    # arrays directly (the COO constructor re-sorts ~50M entries at the
+    # 16.8M scale)
+    sc_indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(rows_s[keepsc], minlength=n), out=sc_indptr[1:])
     SCpat = sp.csr_matrix((np.ones(int(keepsc.sum())),
-                           (rows_s[keepsc], Sd.indices[keepsc])), shape=(n, n))
+                           Sd.indices[keepsc], sc_indptr), shape=(n, n))
     ASC = Ad.multiply(SCpat).tocsr()          # a_ij over j ∈ C∩S_i
     den = np.asarray(ASC.sum(axis=1)).ravel()
     num = np.asarray(Ad.sum(axis=1)).ravel() - diag
