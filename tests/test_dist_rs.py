@@ -97,3 +97,16 @@ class TestEndToEnd:
                              mesh=make_mesh(8), options=OPTS)
         res = float(np.linalg.norm(np.asarray(b) - Araw @ np.asarray(x)))
         assert bool(info.converged) and res < 1e-5 * np.sqrt(n)
+
+
+def test_dist_ir_rsamg():
+    """The distributed mixed-precision refinement path with the classical
+    hierarchy (fp32 inner shard program, fp64 outer residuals)."""
+    from lssp_tpu.parallel.dist_solve import dist_solve_ir
+    A = lt.sparse.anisotropic_poisson_2d(64, epsilon=0.01)
+    b = jnp.ones(A.shape[0], dtype=jnp.float64)
+    x, info = dist_solve_ir(A, b, method="cg", pc="rsamg",
+                            mesh=make_mesh(8))
+    rel = float(np.linalg.norm(
+        np.asarray(b) - A.to_scipy() @ np.asarray(x, np.float64))) / 64.0
+    assert bool(info.converged) and rel < 1e-6
