@@ -46,18 +46,21 @@ jax.tree_util.register_pytree_node(
 class DeviceAMG:
     levels: Tuple[DeviceLevel, ...]
     coarse_inv: Any
-    cycles: int     # static: V-cycles per application
+    cycles: int     # static: cycles per application
+    gamma: int = 1  # static: 1 = V-cycle, 2 = W-cycle
 
 
 jax.tree_util.register_pytree_node(
     DeviceAMG,
-    lambda h: ((h.levels, h.coarse_inv), (h.cycles,)),
-    lambda aux, c: DeviceAMG(levels=c[0], coarse_inv=c[1], cycles=aux[0]))
+    lambda h: ((h.levels, h.coarse_inv), (h.cycles, h.gamma)),
+    lambda aux, c: DeviceAMG(levels=c[0], coarse_inv=c[1], cycles=aux[0],
+                             gamma=aux[1]))
 
 
 def build_device_amg(hier: AMGHierarchy, dtype=np.float64,
                      smoother: str = "chebyshev", degree: int = 2,
-                     omega: float = 2.0 / 3.0, cycles: int = 1) -> DeviceAMG:
+                     omega: float = 2.0 / 3.0, cycles: int = 1,
+                     gamma: int = 1) -> DeviceAMG:
     levels = []
     for lev in hier.levels:
         Ad = to_device_format(CSR.from_scipy(lev.A.astype(dtype)))
@@ -72,7 +75,7 @@ def build_device_amg(hier: AMGHierarchy, dtype=np.float64,
             omega=omega))
     return DeviceAMG(levels=tuple(levels),
                      coarse_inv=jnp.asarray(hier.coarse_inv.astype(dtype)),
-                     cycles=cycles)
+                     cycles=cycles, gamma=gamma)
 
 
 def _smooth(lev: DeviceLevel, x, b):
@@ -116,6 +119,9 @@ def _cycle_at(h: DeviceAMG, l: int, b_l, x_l):
     r = b_l - spmv(lev.A, x_l)
     rc = spmv(lev.R, r)
     ec = _cycle_at(h, l + 1, rc, jnp.zeros_like(rc))
+    for _ in range(getattr(h, "gamma", 1) - 1):
+        # W-cycle: revisit the coarse hierarchy warm-started
+        ec = _cycle_at(h, l + 1, rc, ec)
     x_l = x_l + spmv(lev.P, ec)
     return _smooth(lev, x_l, b_l)
 

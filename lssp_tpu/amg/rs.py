@@ -497,18 +497,20 @@ class RSAMG:
     coarse_inv: Any
     cycles: int         # static
     n_top: int          # static: unpadded fine size
+    gamma: int = 1      # static: 1 = V-cycle, 2 = W-cycle
 
 
 jax.tree_util.register_pytree_node(
     RSAMG,
-    lambda h: ((h.levels, h.coarse_inv), (h.cycles, h.n_top)),
+    lambda h: ((h.levels, h.coarse_inv), (h.cycles, h.n_top, h.gamma)),
     lambda aux, c: RSAMG(levels=c[0], coarse_inv=c[1], cycles=aux[0],
-                         n_top=aux[1]))
+                         n_top=aux[1], gamma=aux[2]))
 
 
 def build_device_rs(hier: RSHierarchyHost, dtype=np.float64,
                     smoother: str = "chebyshev", degree: int = 2,
-                    cycles: int = 1, max_diags: int = 96) -> RSAMG:
+                    cycles: int = 1, max_diags: int = 96,
+                    gamma: int = 1) -> RSAMG:
     levels = []
     for lev in hier.levels:
         Pagg = to_aggp(lev.P, lev.grp, lev.g, lev.agg, lev.offsets,
@@ -522,7 +524,7 @@ def build_device_rs(hier: RSHierarchyHost, dtype=np.float64,
     coarse_inv = jnp.asarray(
         np.linalg.pinv(hier.A_coarse.toarray()).astype(dtype))
     return RSAMG(levels=tuple(levels), coarse_inv=coarse_inv, cycles=cycles,
-                 n_top=hier.n_top)
+                 n_top=hier.n_top, gamma=gamma)
 
 
 def _smooth(lev: RSLevel, x, b):
@@ -550,6 +552,10 @@ def rs_vcycle(h: RSAMG, b, x=None):
         if n_below != rc.shape[0]:
             rc = jnp.pad(rc, (0, n_below - rc.shape[0]))
         ec = cycle(l + 1, rc, jnp.zeros_like(rc))
+        for _ in range(getattr(h, "gamma", 1) - 1):
+            # W-cycle: revisit the coarse hierarchy with the current
+            # correction as the starting guess (FASP cycle_type capability)
+            ec = cycle(l + 1, rc, ec)
         x_l = x_l + aggp_prolong(lev.P, ec[:lev.P.shape[1]])
         return _smooth(lev, x_l, b_l)
 
@@ -629,7 +635,8 @@ def setup_rs_pc(A: CSR, opts, reject_below: float = 0.0):
             smoother=opts.amg_smoother
             if opts.amg_smoother != "l1jacobi" else "jacobi",
             degree=smoother_degree(opts.amg_presmooth, opts.amg_postsmooth),
-            cycles=max(1, int(opts.amg_cycles)))
+            cycles=max(1, int(opts.amg_cycles)),
+            gamma=2 if str(opts.amg_cycle_type).upper() == "W" else 1)
         from lssp_tpu.utils.profile import add_bytes, tree_device_bytes
         add_bytes("amg_pack_upload", tree_device_bytes(h))
     return Preconditioner(_rs_apply, state=h, name="amg")

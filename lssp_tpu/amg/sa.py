@@ -84,12 +84,14 @@ class SAHierarchy:
     levels: Tuple[SALevel, ...]
     coarse_inv: Any     # dense (n_b, n_b)
     n_top: int          # static: unpadded problem size
+    gamma: int = 1      # static: 1 = V-cycle, 2 = W-cycle
 
 
 jax.tree_util.register_pytree_node(
     SAHierarchy,
-    lambda h: ((h.levels, h.coarse_inv), (h.n_top,)),
-    lambda aux, c: SAHierarchy(levels=c[0], coarse_inv=c[1], n_top=aux[0]))
+    lambda h: ((h.levels, h.coarse_inv), (h.n_top, h.gamma)),
+    lambda aux, c: SAHierarchy(levels=c[0], coarse_inv=c[1], n_top=aux[0],
+                               gamma=aux[1]))
 
 
 def _pad_identity(A, m):
@@ -489,7 +491,8 @@ def sa_setup(A: CSR, g: int = 4, max_levels: int = 12,
              smooth_levels: Optional[int] = None, grid=None,
              theta_dir: float = 4.0, strength_tol: float = 0.02,
              pattern_radius: Optional[Tuple[int, int]] = None,
-             b_radius: Optional[Tuple[int, int]] = (1, 1)) -> SAHierarchy:
+             b_radius: Optional[Tuple[int, int]] = (1, 1),
+             gamma: int = 1) -> SAHierarchy:
     """Build the structured-SA hierarchy (host, scipy SpGEMM).
 
     ``filter_tol``: post-RAP lumped filtering threshold (stencil control).
@@ -579,7 +582,7 @@ def sa_setup(A: CSR, g: int = 4, max_levels: int = 12,
         from lssp_tpu.utils.profile import add_bytes
         add_bytes("saamg_coarse_inv", int(coarse_inv.nbytes))
     return SAHierarchy(levels=tuple(dev), coarse_inv=coarse_inv,
-                       n_top=n_top)
+                       n_top=n_top, gamma=gamma)
 
 
 # --------------------------------------------------------------------------
@@ -715,6 +718,10 @@ def sa_vcycle(h: SAHierarchy, b, x=None):
         if n_below != rc.shape[0]:
             rc = jnp.pad(rc, (0, n_below - rc.shape[0]))
         ec = cycle(l + 1, rc, jnp.zeros_like(rc))
+        for _ in range(getattr(h, "gamma", 1) - 1):
+            # W-cycle: revisit the coarse hierarchy warm-started (FASP
+            # AMG_param cycle_type capability)
+            ec = cycle(l + 1, rc, ec)
         x_l = x_l + _prolong(lev, ec[:lev.n_next])
         return _smooth(lev, x_l, b_l)
 
@@ -743,7 +750,8 @@ def setup_saamg_pc(A: CSR, opts):
                  if opts.amg_smoother != "l1jacobi" else "jacobi",
                  degree=smoother_degree(opts.amg_presmooth,
                                         opts.amg_postsmooth),
-                 grid=opts.saamg_grid)
+                 grid=opts.saamg_grid,
+                 gamma=2 if str(opts.amg_cycle_type).upper() == "W" else 1)
     cycles = max(1, int(opts.amg_cycles))
     return Preconditioner(functools.partial(_saamg_apply, cycles),
                           state=h, name=f"saamg(x{cycles})")

@@ -141,7 +141,11 @@ class PCOptions:
                                           # | "line" (saamg only: damped
                                           # line Jacobi, PCR tridiagonal
                                           # solves - the anisotropic fix)
-    amg_cycles: int = 1                   # V-cycles per PC application
+    amg_cycles: int = 1                   # cycles per PC application
+    amg_cycle_type: str = "V"             # "V" | "W" (gamma=2 recursion —
+                                          # the FASP AMG_param cycle_type
+                                          # capability; W visits coarse
+                                          # levels twice per descent)
     amg_force_classical: bool = False     # force the classical hierarchy on
                                           # TPU even when its slotted-P
                                           # conversion reports poor locality

@@ -52,7 +52,8 @@ def setup_amg(A, opts):
     h = build_device_amg(
         hier, dtype=np.asarray(A.data).dtype, smoother=opts.amg_smoother,
         degree=smoother_degree(opts.amg_presmooth, opts.amg_postsmooth),
-        cycles=opts.amg_cycles)
+        cycles=opts.amg_cycles,
+        gamma=2 if str(opts.amg_cycle_type).upper() == "W" else 1)
     return Preconditioner(_amg_apply, state=h, name="amg")
 
 

@@ -167,3 +167,19 @@ def test_fmg_initial_guess():
     assert i2["nits"] <= i1["nits"]
     res = np.linalg.norm(b - A.to_scipy() @ np.asarray(x2))
     assert res <= 1.05 * max(1e-7 * np.sqrt(A.shape[0]), 1e-7)
+
+
+@pytest.mark.parametrize("pc", ["amg", "rsamg", "saamg"])
+def test_w_cycle(pc):
+    """W-cycle (FASP AMG_param cycle_type capability) on all three cycle
+    realizations: converges, and never needs more iterations than V."""
+    from lssp_tpu import solve, PCOptions
+    A = anisotropic_poisson_2d(64, 0.01)
+    b = jnp.ones(A.shape[0], dtype=jnp.float64)
+    o = SolverOptions(rtol=1e-8, atol=0.0, rbtol=0.0, maxit=100)
+    xv, iv = solve(A, b, method="cg", pc=pc, options=o)
+    xw, iw = solve(A, b, method="cg", pc=pc, options=o,
+                   pc_options=PCOptions(amg_cycle_type="W"))
+    resw = np.linalg.norm(np.asarray(b) - A.to_scipy() @ np.asarray(xw))
+    assert bool(iw.converged) and resw < 1e-5
+    assert int(iw.nits) <= int(iv.nits) + 1, (int(iw.nits), int(iv.nits))
